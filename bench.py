@@ -1,0 +1,68 @@
+"""Round benchmark entry point (driver-run on real TPU hardware).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): bases/sec/chip at k=8, measured on the
+device counting step (window extraction + table accumulation) with data
+pre-staged in HBM — the TPU replacement for the reference's C scan loop.
+vs_baseline divides by 250 Mbase/s, the midpoint of SURVEY.md §6's
+analytical envelope for the reference's single-core byte-at-a-time loop
+(the reference publishes no numbers; BASELINE.md).
+
+Extra metrics (k=21 sparse) go to stderr so the stdout one-line contract
+holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench.steps import (
+    BASELINE_BASES_PER_S,
+    bench_dense_step,
+    bench_sparse_step,
+    setup_jax,
+)
+
+
+def main() -> int:
+    jax = setup_jax()
+    dev = jax.devices()[0]
+
+    k8_bps, k8_dt = bench_dense_step(jax, k=8)
+    k21_bps, k21_dt = bench_sparse_step(jax, k=21)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bases_per_s_per_chip_k21_sparse",
+                "value": k21_bps,
+                "unit": "bases/s",
+                "vs_baseline": k21_bps / BASELINE_BASES_PER_S,
+                "wall_s": k21_dt,
+                "device": str(dev),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "bases_per_s_per_chip_k8",
+                "value": k8_bps,
+                "unit": "bases/s",
+                "vs_baseline": k8_bps / BASELINE_BASES_PER_S,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

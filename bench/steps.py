@@ -1,0 +1,107 @@
+"""Shared benchmark step functions (used by repo-root bench.py and
+`findkmer bench`).
+
+Measures the jitted device counting step — window extraction + table
+accumulation — with rows pre-staged in HBM, i.e. the TPU replacement for
+the reference's C scan loop (the north-star bases/s/chip metric,
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+# Estimated reference throughput (SURVEY.md §6 analytic midpoint; the
+# reference publishes no benchmarks — BASELINE.md).
+BASELINE_BASES_PER_S = 250e6
+
+
+def setup_jax():
+    cache = os.environ.get(
+        "FINDKMER_COMPILE_CACHE", os.path.expanduser("~/.cache/findkmer-jax")
+    )
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
+                     hist="auto", canonical=False):
+    """bases/s of the jitted dense counting step, data staged in HBM."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+
+    cfg = Config(
+        k=k, batch_rows=batch_rows, chunk_len=chunk_len, hist=hist,
+        canonical=canonical,
+    )
+    counter = KmerCounter(cfg)
+    rng = np.random.default_rng(0)
+    host_rows = rng.integers(0, 4, (batch_rows, cfg.row_len), dtype=np.uint8)
+    # sprinkle some Ns so validity masking isn't dead code
+    mask = rng.random(host_rows.shape) < 0.01
+    host_rows[mask] = 4
+    rows = jax.device_put(jnp.asarray(host_rows))
+
+    state = counter.init_state()
+    state = counter.step(state, rows)  # compile + warmup
+    jax.block_until_ready(state.counts)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = counter.step(state, rows)
+    jax.block_until_ready(state.counts)
+    dt = time.perf_counter() - t0
+
+    bases = batch_rows * chunk_len * steps
+    return bases / dt, dt
+
+
+def bench_sparse_step(jax, k=21, batch_rows=32, chunk_len=16384, steps=4,
+                      capacity=1 << 21, canonical=False):
+    """bases/s of the sparse (sorted-run) counting step for big k."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+
+    cfg = Config(
+        k=k, batch_rows=batch_rows, chunk_len=chunk_len,
+        sparse_capacity=capacity, canonical=canonical,
+    )
+    counter = KmerCounter(cfg)
+    rng = np.random.default_rng(0)
+    host_rows = rng.integers(0, 4, (batch_rows, cfg.row_len), dtype=np.uint8)
+    rows = jax.device_put(jnp.asarray(host_rows))
+
+    state = counter.init_state()
+    state = counter.step(state, rows)
+    jax.block_until_ready(state.cnt)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = counter.step(state, rows)
+    jax.block_until_ready(state.cnt)
+    dt = time.perf_counter() - t0
+    return batch_rows * chunk_len * steps / dt, dt
+
+
+def bench_end_to_end(jax, path, k=8, hist="auto"):
+    """bases/s counting a real FASTA file host->device end to end."""
+    from findkmer_tpu.config import Config
+    from findkmer_tpu import pipeline
+
+    cfg = Config(k=k, hist=hist, batch_rows=64, chunk_len=65536)
+    stats = pipeline.StreamStats()
+    t0 = time.perf_counter()
+    pipeline.count_file(path, cfg, stats=stats)
+    dt = time.perf_counter() - t0
+    return stats.bases / dt, dt

@@ -1,0 +1,192 @@
+"""findkmer CLI — the L5 entry point (SURVEY.md §1.2).
+
+Covers the reference's argv surface (SURVEY.md §2.1 R1: input, k, output,
+zero-suppression) plus the new framework's knobs (canonical, table mode,
+chunk/batch sizes, distribution) per the contract in SURVEY.md §0.1.
+
+Subcommands:
+  count   — count k-mers in FASTA file(s), emit the spectrum.
+  stream  — streaming count with checkpoint/resume (chr1-scale).
+  bench   — timing harness (bench/ has the full suite; this is quick).
+  stats   — parse + encode only, print stream statistics as JSON.
+
+Usage example (reference-shaped):  findkmer count -i in.fa -k 8 -o out.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first TPU compiles are slow
+    (minutes through the axon tunnel); cache them across runs."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "FINDKMER_COMPILE_CACHE", os.path.expanduser("~/.cache/findkmer-jax")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("-i", "--input", required=True, nargs="+", help="FASTA file(s)")
+    p.add_argument("-k", type=int, required=True, help="k-mer length (1..31)")
+    p.add_argument("-o", "--output", default="-", help="output path ('-' = stdout)")
+    p.add_argument("-z", "--zeros", action="store_true",
+                   help="emit zero-count k-mers (direct tables only)")
+    p.add_argument("--canonical", action="store_true",
+                   help="count canonical (revcomp-min) k-mers")
+    p.add_argument("--table-mode", choices=["auto", "direct", "sparse"],
+                   default="auto")
+    p.add_argument("--hist", choices=["auto", "scatter", "sort", "onehot",
+                                      "pallas"], default="auto")
+    p.add_argument("--batch-rows", type=int, default=256)
+    p.add_argument("--chunk-len", type=int, default=4096)
+    p.add_argument("--sparse-capacity", type=int, default=1 << 22)
+    p.add_argument("--sep", default="\t")
+    p.add_argument("--counts-only", action="store_true")
+    p.add_argument("--no-native-encode", action="store_true")
+    p.add_argument("--stats", choices=["none", "json"], default="none",
+                   help="print stream statistics to stderr")
+    p.add_argument("--log", default=None, help="log level (DEBUG/INFO/...)")
+
+
+def _cfg_from_args(args):
+    from findkmer_tpu.config import Config
+
+    return Config(
+        k=args.k,
+        canonical=args.canonical,
+        table_mode=args.table_mode,
+        hist=args.hist,
+        batch_rows=args.batch_rows,
+        chunk_len=max(args.chunk_len, args.k),
+        sparse_capacity=args.sparse_capacity,
+        zeros=args.zeros,
+        sep=args.sep,
+        out_counts_only=args.counts_only,
+        use_native_encode=not args.no_native_encode,
+    )
+
+
+def _open_out(path):
+    if path == "-":
+        return sys.stdout.buffer, False
+    return open(path, "wb"), True
+
+
+def cmd_count(args) -> int:
+    _enable_compile_cache()
+    from findkmer_tpu import output as output_mod
+    from findkmer_tpu import pipeline
+
+    if args.log:
+        os.environ["FINDKMER_LOGLEVEL"] = args.log
+    cfg = _cfg_from_args(args)
+    stats = pipeline.StreamStats()
+
+    # multiple inputs: one combined spectrum (records concatenated)
+    from findkmer_tpu.models.counter import KmerCounter
+
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    t0 = time.time()
+    for path in args.input:
+        for rows in pipeline.prefetch_to_device(
+            pipeline.batches_from_file(path, cfg, stats=stats), cfg.prefetch
+        ):
+            state = counter.step(state, rows)
+    spectrum = counter.finalize(state)
+    wall = time.time() - t0
+
+    f, close = _open_out(args.output)
+    try:
+        output_mod.write_spectrum(f, spectrum, cfg)
+    finally:
+        if close:
+            f.close()
+    if args.stats == "json":
+        d = stats.as_dict()
+        d["wall_s"] = wall
+        d["bases_per_s"] = stats.bases / wall if wall > 0 else None
+        print(json.dumps(d), file=sys.stderr)
+    return 0
+
+
+def cmd_stream(args) -> int:
+    _enable_compile_cache()
+    from findkmer_tpu import streaming
+
+    return streaming.run_stream(args)
+
+
+def cmd_stats(args) -> int:
+    from findkmer_tpu import pipeline
+
+    cfg = _cfg_from_args(args)
+    stats = pipeline.StreamStats()
+    for path in args.input:
+        for _ in pipeline.batches_from_file(path, cfg, stats=stats):
+            pass
+    print(json.dumps(stats.as_dict()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    _enable_compile_cache()
+    from bench import quick as bench_quick  # repo-root bench package
+
+    return bench_quick.run(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="findkmer",
+        description="TPU-native exact k-mer counter (findkmer-tpu)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("count", help="count k-mers, emit spectrum")
+    _add_common(pc)
+    pc.set_defaults(fn=cmd_count)
+
+    ps = sub.add_parser("stream", help="streaming count with checkpointing")
+    _add_common(ps)
+    ps.add_argument("--checkpoint", default=None,
+                    help="checkpoint directory (enables resume)")
+    ps.add_argument("--checkpoint-every", type=int, default=64,
+                    help="batches between checkpoints")
+    ps.set_defaults(fn=cmd_stream)
+
+    pt = sub.add_parser("stats", help="stream statistics only (no device)")
+    _add_common(pt)
+    pt.set_defaults(fn=cmd_stats)
+
+    pb = sub.add_parser("bench", help="quick on-device benchmark")
+    pb.add_argument("-k", type=int, default=8)
+    pb.add_argument("--gbases", type=float, default=0.25,
+                    help="synthetic bases to count (billions)")
+    pb.add_argument("--hist", default="auto")
+    pb.add_argument("--canonical", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Single Config dataclass for the whole engine.
+
+The reference's only configuration surface is argv flags parsed in main()
+(SURVEY.md §2.1 R1).  Here all knobs live in one serializable dataclass that
+the CLI constructs and the pipeline threads through explicitly — no global
+flag registry, no ambient state (SURVEY.md §5 "Config/flag system").  The
+config is embedded in checkpoints so a resumed run cannot silently change
+semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+
+# Table modes
+DIRECT = "direct"   # dense 4^k table, direct-addressed (k <= direct_k_max)
+SPARSE = "sparse"   # sorted sparse (code, count) store (any k, required k > 16)
+AUTO = "auto"       # pick per k
+
+# Dense-count accumulation algorithms (ops/histogram.py)
+HIST_SCATTER = "scatter"     # XLA scatter-add (.at[].add)
+HIST_SORT = "sort"           # sort + run-length + sparse scatter
+HIST_ONEHOT = "onehot"       # one-hot matmul on the MXU (small k only)
+HIST_PALLAS = "pallas"       # fused Pallas window+histogram kernel
+HIST_AUTO = "auto"
+
+# Distributed merge strategies (parallel/dist.py)
+MERGE_PSUM = "psum"                  # replicated table, all-reduce
+MERGE_PSUM_SCATTER = "psum_scatter"  # reduce-scatter into table shards
+MERGE_ALL_TO_ALL = "all_to_all"      # route codes to owner shard, local add
+MERGE_AUTO = "auto"
+
+
+@dataclass(frozen=True)
+class Config:
+    """All engine knobs.  Frozen: derive variants with `replace()`."""
+
+    k: int = 8
+    canonical: bool = False          # count min(kmer, revcomp) [BASELINE config 4]
+
+    # --- table ---
+    table_mode: str = AUTO           # direct | sparse | auto
+    direct_k_max: int = 12           # largest k for a dense 4^k table per chip
+    count_dtype: str = "int32"       # count dtype; overflow policy = saturate-free
+                                     # exact (int32 overflows only past 2^31 obs)
+    sparse_capacity: int = 1 << 22   # max distinct k-mers in the sparse store
+
+    # --- batching / streaming (pipeline.py) ---
+    batch_rows: int = 256            # B: rows per device batch
+    chunk_len: int = 4096            # L: owned bases per row (halo adds k-1)
+    prefetch: int = 2                # host->device double-buffer depth
+
+    # --- histogram algorithm ---
+    hist: str = HIST_AUTO
+
+    # --- distribution (parallel/) ---
+    data_shards: int = 1             # mesh axis "data" size (DP)
+    table_shards: int = 1            # mesh axis "table" size (table sharding)
+    merge: str = MERGE_AUTO
+    route_capacity_factor: float = 1.5  # all-to-all per-bucket slack
+
+    # --- output (output.py) ---
+    zeros: bool = False              # emit zero-count k-mers (small k only)
+    sep: str = "\t"
+    out_counts_only: bool = False    # emit COUNT without the KMER column
+
+    # --- runtime ---
+    use_native_encode: bool = True   # prefer the C encoder when built
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.k <= 0:
+            raise ValueError(f"k must be positive, got {self.k}")
+        if self.k > 31:
+            raise ValueError(f"k > 31 unsupported (code > 62 bits), got {self.k}")
+        if self.table_mode not in (DIRECT, SPARSE, AUTO):
+            raise ValueError(f"bad table_mode {self.table_mode!r}")
+        if self.chunk_len < self.k:
+            raise ValueError(
+                f"chunk_len ({self.chunk_len}) must be >= k ({self.k})"
+            )
+
+    # ------------------------------------------------------------------
+    @property
+    def resolved_table_mode(self) -> str:
+        if self.table_mode != AUTO:
+            if self.table_mode == DIRECT and self.k > 16:
+                raise ValueError(f"direct table requires k <= 16, got k={self.k}")
+            return self.table_mode
+        return DIRECT if self.k <= self.direct_k_max else SPARSE
+
+    @property
+    def table_size(self) -> int:
+        """Dense table entry count (only meaningful in direct mode)."""
+        return 4 ** self.k
+
+    @property
+    def window_len(self) -> int:
+        """Windows owned per row: chunk_len (thanks to the k-1 halo)."""
+        return self.chunk_len
+
+    @property
+    def row_len(self) -> int:
+        """Device row length: k-1 halo bases + chunk_len owned bases."""
+        return self.chunk_len + self.k - 1
+
+    @property
+    def needs_wide_codes(self) -> bool:
+        """True when a window code exceeds 31 bits (k > 15): (hi, lo) pairs."""
+        return self.k > 15
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls(**json.loads(s))

@@ -1,0 +1,173 @@
+"""Streaming multi-record FASTA reader.
+
+Replaces the reference's fgetc-based file plumbing (SURVEY.md §2.1 R2/R3 —
+byte-at-a-time `fgetc` loop in findKmer.c) with a block-buffered reader that
+yields large contiguous byte chunks per record, suitable for vectorized
+encoding (io/encode.py) at chr1 scale with bounded memory.
+
+Semantics (contract SURVEY.md §0.1):
+  * records are delimited by '>' header lines (at line start);
+  * sequence bytes are everything on non-header lines; ASCII whitespace
+    (incl. newlines) is dropped here — it is neither a base nor a window
+    reset, matching the reference scanner skipping '\\n';
+  * all other byte values (N, IUPAC codes, digits, ...) pass through to the
+    encoder, which marks them invalid (window reset).
+
+Headerless files are treated as a single anonymous record.  The hot path is
+vectorized: headers are located with bytes.find on rare "\\n>" boundaries and
+whitespace is stripped with one numpy mask per multi-MB block, so throughput
+is memory-bandwidth-class, not per-byte Python.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+# ASCII whitespace stripped from sequence data (space, tab, CR, LF, VT, FF)
+_WS_TABLE = np.zeros(256, dtype=bool)
+for _b in (0x20, 0x09, 0x0D, 0x0A, 0x0B, 0x0C):
+    _WS_TABLE[_b] = True
+
+
+@dataclass
+class RecordChunk:
+    """One chunk of one record's sequence bytes (whitespace already removed)."""
+
+    record_id: int          # 0-based record ordinal in the stream
+    header: str             # header line text (without '>'), '' if anonymous
+    data: bytes             # raw sequence bytes (may be empty)
+    final: bool             # True on the last chunk of this record
+
+
+def _strip_ws(b: bytes) -> bytes:
+    """Remove ASCII whitespace (incl. newlines) from sequence bytes, fast."""
+    if not b:
+        return b
+    arr = np.frombuffer(b, dtype=np.uint8)
+    ws = _WS_TABLE[arr]
+    if not ws.any():
+        return b
+    return arr[~ws].tobytes()
+
+
+class FastaReader:
+    """Block-buffered streaming FASTA reader with bounded memory.
+
+    Reads `block_size` bytes at a time; a 248 Mbp chr1 record streams in
+    O(block_size) memory [BASELINE config 5].
+    """
+
+    def __init__(self, path_or_file, block_size: int = 1 << 22):
+        self._own = isinstance(path_or_file, (str, os.PathLike))
+        self._f = open(path_or_file, "rb") if self._own else path_or_file
+        self.block_size = int(block_size)
+
+    def close(self):
+        if self._own:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def chunks(self) -> Iterator[RecordChunk]:
+        """Yield RecordChunks in stream order.
+
+        Every record — even an empty one — ends with exactly one chunk whose
+        final=True, so record boundaries are always observable downstream
+        (windows must not span them, SURVEY.md §0.1).
+        """
+        leftover = b""
+        record_id = -1
+        header = ""
+        started = False
+        at_line_start = True  # start-of-file counts as a line start
+
+        def _process(buf: bytes, eof: bool) -> Iterator[RecordChunk]:
+            nonlocal record_id, header, started, at_line_start
+            pos = 0
+            n = len(buf)
+            while pos < n:
+                is_header = buf[pos] == 0x3E and at_line_start  # '>'
+                if is_header:
+                    nl = buf.find(b"\n", pos)
+                    if nl < 0:
+                        if not eof:
+                            raise _NeedMore(pos)
+                        nl = n  # header line unterminated at EOF
+                    if started:
+                        yield RecordChunk(record_id, header, b"", final=True)
+                    record_id += 1
+                    started = True
+                    header = (
+                        buf[pos + 1 : nl].decode("ascii", "replace").strip()
+                    )
+                    pos = nl + 1
+                    at_line_start = True
+                else:
+                    # sequence region: up to the next header start "\n>"
+                    # (also "\r>" for lone-CR line endings)
+                    nxt = buf.find(b"\n>", pos)
+                    nxt_cr = buf.find(b"\r>", pos)
+                    if nxt < 0 or (0 <= nxt_cr < nxt):
+                        nxt = nxt_cr
+                    end = n if nxt < 0 else nxt + 1
+                    data = _strip_ws(buf[pos:end])
+                    if not started:
+                        record_id += 1
+                        started = True
+                        header = ""
+                    if data:
+                        yield RecordChunk(record_id, header, data, final=False)
+                    if end > pos:
+                        at_line_start = buf[end - 1] in (0x0A, 0x0D)
+                    pos = end
+
+        class _NeedMore(Exception):
+            def __init__(self, pos):
+                self.pos = pos
+
+        while True:
+            block = self._f.read(self.block_size)
+            eof = not block
+            buf = leftover + block
+            leftover = b""
+            if not buf:
+                break
+            # Hold back a trailing partial header line: header parsing needs
+            # the full line.  Sequence data can be emitted immediately.
+            try:
+                yield from _process(buf, eof)
+            except _NeedMore as nm:
+                leftover = buf[nm.pos :]
+            if eof:
+                break
+
+        if started:
+            yield RecordChunk(record_id, header, b"", final=True)
+
+    # ------------------------------------------------------------------
+    def records(self) -> Iterator[Tuple[str, bytes]]:
+        """Materialize whole records (header, sequence).  For small files."""
+        header = ""
+        parts: List[bytes] = []
+        for ch in self.chunks():
+            header = ch.header
+            if ch.data:
+                parts.append(ch.data)
+            if ch.final:
+                yield header, b"".join(parts)
+                parts = []
+
+
+def read_records(path) -> List[Tuple[str, bytes]]:
+    """Convenience: fully parse a FASTA file into (header, seq) pairs."""
+    with FastaReader(path) as r:
+        return list(r.records())

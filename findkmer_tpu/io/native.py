@@ -1,0 +1,131 @@
+"""ctypes loader for the native C encoder (src/native/encode.c).
+
+The native library is optional: if the shared object has not been built (or
+fails to load on this platform), io/encode.py silently falls back to the
+numpy LUT path.  Build with `make -C src/native` or `python -m
+findkmer_tpu.io.native` (auto-builds with cc if available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC_DIR = _REPO_ROOT / "src" / "native"
+_LIB_NAME = "libfindkmer_encode.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _lib_path() -> Path:
+    return _SRC_DIR / _LIB_NAME
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the shared library in-place.  Returns True on success."""
+    src = _SRC_DIR / "encode.c"
+    if not src.exists():
+        return False
+    out = _lib_path()
+    cc = os.environ.get("CC", "cc")
+    cmd = [
+        cc, "-O3", "-march=native", "-std=c17", "-fPIC", "-shared",
+        "-o", str(out), str(src),
+    ]
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, timeout=120, cwd=str(_SRC_DIR)
+        )
+        if res.returncode != 0:
+            if not quiet:
+                sys.stderr.write(res.stderr.decode("utf-8", "replace"))
+            return False
+        return out.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    path = _lib_path()
+    if not path.exists() and os.environ.get("FINDKMER_AUTOBUILD", "1") == "1":
+        build(quiet=True)
+    if not path.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.fk_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.fk_encode.restype = None
+        lib.fk_encode_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.fk_encode_packed.restype = None
+        lib.fk_count_valid.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        lib.fk_count_valid.restype = ctypes.c_size_t
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(buf: np.ndarray) -> np.ndarray:
+    """bytes/uint8 array -> uint8 codes via the C LUT loop."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty_like(buf)
+    lib.fk_encode(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        buf.size,
+    )
+    return out
+
+
+def encode_packed(buf: np.ndarray):
+    """bytes -> (packed 2-bit codes, validity bitmask, n) in one C pass."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = buf.size
+    packed = np.empty((n + 3) // 4, dtype=np.uint8)
+    validmask = np.zeros((n + 7) // 8, dtype=np.uint8)
+    lib.fk_encode_packed(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        validmask.ctypes.data_as(ctypes.c_void_p),
+        n,
+    )
+    return packed, validmask, n
+
+
+def count_valid(buf: np.ndarray) -> int:
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    return int(lib.fk_count_valid(buf.ctypes.data_as(ctypes.c_void_p), buf.size))
+
+
+if __name__ == "__main__":
+    ok = build(quiet=False)
+    print(f"build: {'ok' if ok else 'FAILED'} -> {_lib_path()}")
+    if ok:
+        test = np.frombuffer(b"ACGTNacgtX", dtype=np.uint8)
+        print("encode:", encode(test))

@@ -1,0 +1,143 @@
+"""Rolling-window k-mer code extraction (XLA path).
+
+TPU-native replacement for the reference findKmer's scan-loop inner
+iteration (SURVEY.md §3.1 E2: `code = ((code << 2) | base) & mask` with a
+validity run reset on non-ACGT bytes).  The branchy per-byte loop becomes k
+static shifted slices OR'd together on the VPU — fully vectorized, no
+data-dependent control flow, jit-compiled once per (B, R) shape.
+
+Input layout (set up by pipeline.py):
+  rows: (B, R) uint8 codes in {0..3, INVALID=4}; R = L + k - 1 where the
+  first k-1 slots are the halo (last bases of the previous chunk, or INVALID
+  fill at stream start) and the remaining L slots are owned bases.
+
+Output:
+  W = R - k + 1 = L window codes per row.  Window i ends at owned position
+  i, so each chunk owns exactly the windows ending inside it and no window
+  is counted twice across chunk joints (SURVEY.md §5 long-context).
+
+Two precisions:
+  * window_codes       — k <= 15, single int32 code (< 2^30).
+  * window_codes_wide  — 16 <= k <= 31, (hi, lo) uint32 pair; avoids x64
+    (SURVEY.md §7 hard part 4: uint32-pair rolling update).
+
+Canonical (reverse-complement-min) codes are built in the same pass: the
+reverse complement needs the complement bases in reversed order, i.e.
+rc = sum_j (3 - c[i+j]) << 2j, accumulated alongside the forward code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _slices(c: jnp.ndarray, k: int):
+    """Yield the k shifted (B, W) slices of a (B, R) array."""
+    W = c.shape[-1] - k + 1
+    for j in range(k):
+        yield lax.slice_in_dim(c, j, j + W, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def window_codes(
+    rows: jnp.ndarray, k: int, canonical: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All window codes of each row.  k <= 15.
+
+    Returns (codes int32 (B, W), valid bool (B, W)).  codes of invalid
+    windows are arbitrary; mask with `valid`.
+    """
+    assert 1 <= k <= 15, k
+    c = rows.astype(jnp.int32)
+    code = None
+    rc = None
+    valid = None
+    for j, cj in enumerate(_slices(c, k)):
+        b = cj & 3
+        v = cj < 4
+        code = b if code is None else (code << 2) | b
+        valid = v if valid is None else valid & v
+        if canonical:
+            r = (3 - b) << (2 * j)
+            rc = r if rc is None else rc | r
+    if canonical:
+        code = jnp.minimum(code, rc)
+    return code, valid
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def window_codes_wide(
+    rows: jnp.ndarray, k: int, canonical: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All window codes of each row as (hi, lo) uint32 pairs.  16 <= k <= 31.
+
+    The 2k-bit code is split as hi = code >> 32, lo = code & 0xffffffff.
+    Rolling update per base (SURVEY.md §7 hard part 4):
+        hi = (hi << 2) | (lo >> 30);  lo = (lo << 2) | base
+    Returns (hi uint32 (B, W), lo uint32 (B, W), valid bool (B, W)).
+    """
+    assert 16 <= k <= 31, k
+    c32 = rows.astype(jnp.uint32)
+    hi = None
+    lo = None
+    valid = None
+    rc_hi = None
+    rc_lo = None
+    for j, cj in enumerate(_slices(c32, k)):
+        b = cj & jnp.uint32(3)
+        v = cj < jnp.uint32(4)
+        if lo is None:
+            hi = jnp.zeros_like(b)
+            lo = b
+            valid = v
+        else:
+            hi = (hi << 2) | (lo >> 30)
+            lo = (lo << 2) | b
+            valid = valid & v
+        if canonical:
+            comp = jnp.uint32(3) - b
+            if 2 * j < 32:
+                r = comp << (2 * j)
+                rc_lo = r if rc_lo is None else rc_lo | r
+            else:
+                r = comp << (2 * j - 32)
+                rc_hi = r if rc_hi is None else rc_hi | r
+    # mask hi to the 2k-32 meaningful bits (shifted-out bases drop off)
+    hi_bits = 2 * k - 32
+    hi = hi & jnp.uint32((1 << hi_bits) - 1)
+    if canonical:
+        if rc_hi is None:
+            rc_hi = jnp.zeros_like(hi)
+        rc_hi = rc_hi & jnp.uint32((1 << hi_bits) - 1)
+        take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+        hi = jnp.where(take_rc, rc_hi, hi)
+        lo = jnp.where(take_rc, rc_lo, lo)
+    return hi, lo, valid
+
+
+def revcomp_code(code: int, k: int) -> int:
+    """Host-side reverse complement of an integer k-mer code (tests/output)."""
+    rc = 0
+    for _ in range(k):
+        rc = (rc << 2) | (3 - (code & 3))
+        code >>= 2
+    return rc
+
+
+def code_to_str(code: int, k: int) -> str:
+    """Host-side code -> ACGT string (lexicographic order == numeric)."""
+    bases = "ACGT"
+    return "".join(bases[(code >> (2 * (k - 1 - j))) & 3] for j in range(k))
+
+
+def str_to_code(kmer: str) -> int:
+    m = {"A": 0, "C": 1, "G": 2, "T": 3}
+    code = 0
+    for ch in kmer.upper():
+        code = (code << 2) | m[ch]
+    return code

@@ -1,0 +1,71 @@
+"""Multi-host orchestration (SURVEY.md §2.2 communication backend, §3.2 F2).
+
+TPU-native process-group story: one Python process per host,
+`jax.distributed.initialize()` over DCN for bootstrap, then every data-plane
+collective is an XLA op inside the jitted counting step riding ICI
+(parallel/dist.py).  No MPI/NCCL/Gloo anywhere.
+
+Host-side input sharding: host h streams batches h, h+P, h+2P, ... of the
+deterministic global batch sequence (round-robin), so no coordination is
+needed beyond the initial process index.  Each host feeds only its local
+devices via jax.make_array_from_process_local_data; the final merge is the
+same collective finalize as single-host.
+
+This box has one host (SURVEY.md §7: multi-host left runnable via flags);
+the logic below is exercised in tests by simulating P hosts in one process
+(round-robin splitting is a pure function of (batch_index, P)).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """jax.distributed bootstrap; no-op for single-process runs.
+
+    Arguments default from the standard env vars
+    (FINDKMER_COORDINATOR/NUM_PROCESSES/PROCESS_ID) so a launcher can
+    export instead of passing flags.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "FINDKMER_COORDINATOR"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("FINDKMER_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("FINDKMER_PROCESS_ID", "0"))
+    if num_processes <= 1 or coordinator_address is None:
+        return 1, 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return num_processes, process_id
+
+
+def shard_batches_round_robin(
+    batches: Iterator[np.ndarray], num_processes: int, process_id: int
+) -> Iterator[np.ndarray]:
+    """Deterministic host-side input sharding: host h takes batch indices
+    congruent to h mod P.  Pure function of the global batch sequence, so
+    hosts need no coordination and resume composes (streaming.py)."""
+    for i, b in enumerate(batches):
+        if i % num_processes == process_id:
+            yield b
+
+
+def process_batch_count(total_batches: int, num_processes: int,
+                        process_id: int) -> int:
+    """How many batches the given host processes out of `total_batches`."""
+    return (total_batches - process_id + num_processes - 1) // num_processes

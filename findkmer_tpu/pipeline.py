@@ -1,0 +1,178 @@
+"""Streaming batch pipeline: FASTA -> encoded rows -> device batches.
+
+Replaces the reference's fgetc-driven main loop (SURVEY.md §3.1 E1) with a
+batched, double-buffered stream (SURVEY.md §2.3 N8):
+
+  1. io.fasta streams record chunks; io.encode maps them to uint8 codes.
+  2. Records are joined into one virtual code stream with a single INVALID
+     separator between records — any window spanning a record boundary
+     contains the separator and is masked out, so record isolation
+     (SURVEY.md §0.1) falls out of N-masking with zero special cases.
+  3. The virtual stream is cut into rows of L owned codes, each prefixed
+     with the previous row's last k-1 codes (the halo).  A window ends in
+     exactly one row, so every window is counted exactly once across chunk
+     joints (SURVEY.md §5 long-context / SP analog).
+  4. Rows are packed into fixed (B, L+k-1) batches — static shapes, one jit
+     compilation — and fed to the counter with the next batch's H2D
+     transfer in flight (prefetch; JAX dispatch is async).
+
+The row construction is one numpy sliding_window_view per batch: no Python
+per-base work anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from findkmer_tpu.config import Config
+from findkmer_tpu.io.encode import INVALID, encode_bytes
+from findkmer_tpu.io.fasta import FastaReader
+
+
+@dataclass
+class StreamStats:
+    """Running observability counters (SURVEY.md §5 metrics)."""
+
+    records: int = 0
+    bases: int = 0           # sequence bytes seen (excl. separators)
+    valid_bases: int = 0     # ACGT bases
+    batches: int = 0
+    rows: int = 0
+    h2d_bytes: int = 0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def code_stream(
+    reader: FastaReader,
+    *,
+    prefer_native: bool = True,
+    stats: Optional[StreamStats] = None,
+) -> Iterator[np.ndarray]:
+    """Encoded code chunks with one INVALID separator after each record."""
+    sep = np.array([INVALID], dtype=np.uint8)
+    for chunk in reader.chunks():
+        if chunk.data:
+            codes = encode_bytes(chunk.data, prefer_native=prefer_native)
+            if stats is not None:
+                stats.bases += codes.size
+                stats.valid_bases += int((codes < 4).sum())
+            yield codes
+        if chunk.final:
+            if stats is not None:
+                stats.records += 1
+            yield sep
+
+
+def batches_from_codes(
+    codes: Iterator[np.ndarray],
+    cfg: Config,
+    *,
+    stats: Optional[StreamStats] = None,
+) -> Iterator[np.ndarray]:
+    """Cut a virtual code stream into (B, L+k-1) uint8 row batches.
+
+    Row i of a batch covers L owned stream positions plus the k-1 halo
+    codes that precede them (INVALID-filled at stream start).  The final
+    batch is INVALID-padded to full shape (static shapes for jit,
+    SURVEY.md §7 hard part 3).
+    """
+    k, L, B = cfg.k, cfg.chunk_len, cfg.batch_rows
+    R = L + k - 1
+    need = B * L  # owned codes per batch
+    carry = np.full(k - 1, INVALID, dtype=np.uint8)
+    buf: list[np.ndarray] = []
+    buffered = 0
+
+    def _emit(flat_owned: np.ndarray) -> np.ndarray:
+        """flat_owned: (B*L,) owned codes; returns (B, R) rows."""
+        nonlocal carry
+        flat = np.concatenate([carry, flat_owned])
+        windows = np.lib.stride_tricks.sliding_window_view(flat, R)
+        rows = np.ascontiguousarray(windows[0 : B * L : L])
+        carry = flat[-(k - 1) :].copy() if k > 1 else carry
+        if stats is not None:
+            stats.batches += 1
+            stats.rows += B
+            stats.h2d_bytes += rows.nbytes
+        return rows
+
+    for arr in codes:
+        buf.append(arr)
+        buffered += arr.size
+        while buffered >= need:
+            flat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+            yield _emit(flat[:need])
+            rest = flat[need:]
+            buf = [rest] if rest.size else []
+            buffered = rest.size
+    if buffered:
+        flat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+        pad = np.full(need - buffered, INVALID, dtype=np.uint8)
+        yield _emit(np.concatenate([flat, pad]))
+
+
+def batches_from_file(
+    path, cfg: Config, *, stats: Optional[StreamStats] = None
+) -> Iterator[np.ndarray]:
+    with FastaReader(path) as reader:
+        yield from batches_from_codes(
+            code_stream(
+                reader, prefer_native=cfg.use_native_encode, stats=stats
+            ),
+            cfg,
+            stats=stats,
+        )
+
+
+def prefetch_to_device(
+    batches: Iterator[np.ndarray], depth: int, device=None
+) -> Iterator[jax.Array]:
+    """Keep `depth` batches' H2D transfers in flight ahead of consumption.
+
+    jax.device_put is async: starting the next transfer before the current
+    batch's compute is consumed gives the double-buffered host->HBM
+    prefetch of SURVEY.md §2.2 (PP analog) without threads.
+    """
+    from collections import deque
+
+    if device is None:
+        device = jax.devices()[0]
+    q: deque[jax.Array] = deque()
+    it = iter(batches)
+    try:
+        for _ in range(max(1, depth)):
+            q.append(jax.device_put(next(it), device))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(jax.device_put(next(it), device))
+        except StopIteration:
+            pass
+        yield out
+
+
+def count_file(path, cfg: Config, *, stats: Optional[StreamStats] = None):
+    """Single-host end-to-end count: the F1 call stack (SURVEY.md §3.2).
+
+    Returns the finalized spectrum (dense np counts or sparse
+    (codes, counts)) — formatting lives in output.py.
+    """
+    from findkmer_tpu.models.counter import KmerCounter
+
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    for rows in prefetch_to_device(
+        batches_from_file(path, cfg, stats=stats), cfg.prefetch
+    ):
+        state = counter.step(state, rows)
+    return counter.finalize(state)

@@ -1,0 +1,142 @@
+"""Restartable streaming count driver (`findkmer stream`).
+
+Single-host streaming with periodic checkpoints (utils/checkpoint.py) and
+exact resume: on restart the deterministic batch stream is replayed and
+already-counted batches are skipped without touching the device
+(SURVEY.md §5 failure detection / checkpoint-resume).  Multi-host streaming
+composes this with parallel/ (each host streams its shard of batches).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+import time
+from typing import Optional
+
+from findkmer_tpu import pipeline
+from findkmer_tpu.config import Config
+from findkmer_tpu.models.counter import KmerCounter
+from findkmer_tpu.utils import checkpoint as ckpt_mod
+from findkmer_tpu.utils.logging import get_logger
+
+log = get_logger("findkmer.stream")
+
+
+def stream_count(
+    paths,
+    cfg: Config,
+    *,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 64,
+    stats: Optional[pipeline.StreamStats] = None,
+):
+    """Count k-mers across `paths` with optional checkpoint/resume.
+
+    Returns the finalized spectrum.
+    """
+    counter = KmerCounter(cfg)
+    start_batch = 0
+    state = None
+    if checkpoint_dir is not None:
+        loaded = ckpt_mod.load_latest(checkpoint_dir, cfg)
+        if loaded is not None:
+            start_batch, state, saved_stats = loaded
+            log.info("resuming from checkpoint at batch %d", start_batch)
+            if stats is not None and saved_stats:
+                for k_, v in saved_stats.items():
+                    if hasattr(stats, k_):
+                        setattr(stats, k_, v)
+    if state is None:
+        state = counter.init_state()
+
+    def batches():
+        for path in paths:
+            # stats are recounted only for batches actually processed;
+            # during skip we pass stats=None so resumed totals stay exact
+            yield from pipeline.batches_from_file(
+                path, cfg, stats=None if start_batch else stats
+            )
+
+    it = batches()
+    # exact resume: skip batches the checkpoint already covers
+    skipped = 0
+    if start_batch:
+        for _ in range(start_batch):
+            try:
+                next(it)
+                skipped += 1
+            except StopIteration:
+                break
+        # re-enable stats for the remainder
+        it = _with_stats(it, cfg, stats)
+
+    batch_index = start_batch
+    for rows in pipeline.prefetch_to_device(it, cfg.prefetch):
+        state = counter.step(state, rows)
+        batch_index += 1
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every > 0
+            and batch_index % checkpoint_every == 0
+        ):
+            _save(checkpoint_dir, cfg, batch_index, state, stats)
+    if checkpoint_dir is not None and batch_index > start_batch:
+        _save(checkpoint_dir, cfg, batch_index, state, stats)
+    return counter.finalize(state)
+
+
+def _with_stats(it, cfg, stats):
+    for rows in it:
+        if stats is not None:
+            stats.batches += 1
+            stats.rows += rows.shape[0]
+            stats.h2d_bytes += rows.nbytes
+        yield rows
+
+
+def _save(checkpoint_dir, cfg, batch_index, state, stats):
+    import jax
+
+    # block so we never checkpoint an in-flight (possibly donated) buffer
+    jax.block_until_ready(
+        state.counts if hasattr(state, "counts") else state.cnt
+    )
+    ckpt_mod.save(
+        checkpoint_dir,
+        cfg,
+        batch_index,
+        state,
+        stats.as_dict() if stats is not None else {},
+    )
+    log.info("checkpoint @ batch %d", batch_index)
+
+
+def run_stream(args) -> int:
+    """CLI adapter for `findkmer stream` (cli.py)."""
+    from findkmer_tpu import output as output_mod
+    from findkmer_tpu.cli import _cfg_from_args, _open_out
+
+    cfg = _cfg_from_args(args)
+    stats = pipeline.StreamStats()
+    t0 = time.time()
+    spectrum = stream_count(
+        args.input,
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        stats=stats,
+    )
+    wall = time.time() - t0
+    f, close = _open_out(args.output)
+    try:
+        output_mod.write_spectrum(f, spectrum, cfg)
+    finally:
+        if close:
+            f.close()
+    if args.stats == "json":
+        d = stats.as_dict()
+        d["wall_s"] = wall
+        print(json.dumps(d), file=sys.stderr)
+    return 0

@@ -1,0 +1,79 @@
+"""Count-table abstractions: dense (direct-addressed) and sparse stores.
+
+The reference's count structure is a single in-memory 4^k array or 4-ary
+trie (SURVEY.md §2.1 R4).  Here the table is a device-resident value with an
+explicit mode and sharding story (SURVEY.md §2.3 N5):
+
+  * DenseTable  — (4^k,) count vector in HBM (VMEM-sized for small k after
+    XLA fusion), direct-addressed by window code.  k <= 16 hard cap;
+    Config.direct_k_max soft cap for auto mode.
+  * SparseTable — sorted (hi, lo, count) runs of static capacity for big k
+    (ops/sparse.py), exact, no hashing.
+
+Both are immutable-by-convention pytrees updated through the jitted step
+functions in models/counter.py; .to_host() materializes the spectrum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from findkmer_tpu.config import Config
+from findkmer_tpu.ops import sparse as sparse_ops
+
+
+@dataclass
+class DenseTable:
+    counts: jnp.ndarray  # (4^k,) int
+    k: int
+
+    @classmethod
+    def zeros(cls, cfg: Config) -> "DenseTable":
+        if cfg.k > 16:
+            raise ValueError(f"dense table needs k <= 16, got {cfg.k}")
+        dtype = jnp.dtype(cfg.count_dtype)
+        return cls(counts=jnp.zeros((4 ** cfg.k,), dtype), k=cfg.k)
+
+    def to_host(self) -> np.ndarray:
+        return np.asarray(self.counts)
+
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+
+@dataclass
+class SparseTable:
+    hi: jnp.ndarray      # (cap,) uint32, SENTINEL in empty slots
+    lo: jnp.ndarray      # (cap,) uint32
+    cnt: jnp.ndarray     # (cap,) int32
+    overflow: jnp.ndarray  # () bool — sticky overflow flag
+    k: int
+
+    @classmethod
+    def empty(cls, cfg: Config) -> "SparseTable":
+        hi, lo, cnt = sparse_ops.empty_store(cfg.sparse_capacity)
+        return cls(
+            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool), k=cfg.k
+        )
+
+    def to_host(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(codes uint64 sorted ascending, counts) with sentinels stripped."""
+        if bool(self.overflow):
+            raise RuntimeError(
+                "sparse count store overflowed: distinct k-mers exceeded "
+                "Config.sparse_capacity; rerun with a larger capacity"
+            )
+        return sparse_ops.store_to_host(self.hi, self.lo, self.cnt)
+
+    def total(self) -> int:
+        return int(self.cnt.sum())
+
+
+def make_table(cfg: Config):
+    if cfg.resolved_table_mode == "direct":
+        return DenseTable.zeros(cfg)
+    return SparseTable.empty(cfg)

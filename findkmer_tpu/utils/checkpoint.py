@@ -1,0 +1,107 @@
+"""Checkpoint/resume for streaming counts (SURVEY.md §5).
+
+The reference recomputes from scratch on any failure; here the pipeline
+persists (config, batch index, stream stats, count-table state) every N
+batches.  Counting is associative and the batch stream is deterministic
+given (config, inputs), so resuming from the last checkpoint and skipping
+already-counted batches reproduces bit-identical spectra — the fault
+tolerance story for chr1-scale multi-hour streams [BASELINE config 5].
+
+Format: one .npz per checkpoint + a JSON "latest" pointer; atomic via
+rename.  No RNG state exists anywhere in the engine, so checkpoints are
+trivially exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from findkmer_tpu.config import Config
+from findkmer_tpu import table as table_mod
+
+
+def save(
+    ckpt_dir, cfg: Config, batch_index: int, state, stats_dict: dict
+) -> Path:
+    d = Path(ckpt_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    if isinstance(state, table_mod.DenseTable):
+        arrays["counts"] = np.asarray(state.counts)
+        mode = "direct"
+    else:
+        arrays["hi"] = np.asarray(state.hi)
+        arrays["lo"] = np.asarray(state.lo)
+        arrays["cnt"] = np.asarray(state.cnt)
+        arrays["overflow"] = np.asarray(state.overflow)
+        mode = "sparse"
+
+    path = d / f"ckpt_{batch_index:010d}.npz"
+    tmp_fd, tmp_name = tempfile.mkstemp(dir=str(d), suffix=".tmp")
+    try:
+        with os.fdopen(tmp_fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp_name, path)
+    except BaseException:
+        if os.path.exists(tmp_name):
+            os.unlink(tmp_name)
+        raise
+
+    meta = {
+        "config": json.loads(cfg.to_json()),
+        "batch_index": batch_index,
+        "stats": stats_dict,
+        "mode": mode,
+        "file": path.name,
+    }
+    tmp = d / "latest.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, d / "latest.json")
+    return path
+
+
+def load_latest(ckpt_dir, cfg: Config) -> Optional[Tuple[int, object, dict]]:
+    """Return (batch_index, state, stats_dict) or None if no checkpoint.
+
+    Raises if the checkpoint's config is incompatible (different k,
+    canonical, table mode, or batch geometry — resuming under different
+    semantics would silently corrupt counts).
+    """
+    d = Path(ckpt_dir)
+    meta_path = d / "latest.json"
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text())
+    saved_cfg = Config(**meta["config"])
+    for field in (
+        "k", "canonical", "table_mode", "chunk_len", "batch_rows",
+        "sparse_capacity", "count_dtype",
+    ):
+        if getattr(saved_cfg, field) != getattr(cfg, field):
+            raise ValueError(
+                f"checkpoint config mismatch on {field!r}: "
+                f"{getattr(saved_cfg, field)} != {getattr(cfg, field)}"
+            )
+    import jax.numpy as jnp
+
+    data = np.load(d / meta["file"])
+    if meta["mode"] == "direct":
+        state = table_mod.DenseTable(
+            counts=jnp.asarray(data["counts"]), k=cfg.k
+        )
+    else:
+        state = table_mod.SparseTable(
+            hi=jnp.asarray(data["hi"]),
+            lo=jnp.asarray(data["lo"]),
+            cnt=jnp.asarray(data["cnt"]),
+            overflow=jnp.asarray(data["overflow"]),
+            k=cfg.k,
+        )
+    return meta["batch_index"], state, meta.get("stats", {})

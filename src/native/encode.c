@@ -1,0 +1,92 @@
+/* Native host-side encoder for findkmer-tpu.
+ *
+ * TPU-native equivalent of the reference findKmer's C byte scanner
+ * (SURVEY.md §2.1 R3): instead of a branchy fgetc loop feeding a count
+ * structure, this translation unit only does the host-side part of the
+ * job — byte -> 2-bit base code translation and validity masking at
+ * memory bandwidth — and leaves window extraction + counting to the TPU
+ * (ops/window.py, ops/histogram.py).
+ *
+ * Exposed via ctypes (findkmer_tpu/io/native.py); build with
+ * `make -C src/native` -> libfindkmer_encode.so.
+ *
+ * C17, no dependencies beyond libc.
+ */
+
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+#define FK_INVALID 4u
+
+static uint8_t LUT[256];
+
+__attribute__((constructor)) static void fk_init_lut(void) {
+  memset(LUT, FK_INVALID, sizeof(LUT));
+  LUT['A'] = 0; LUT['a'] = 0;
+  LUT['C'] = 1; LUT['c'] = 1;
+  LUT['G'] = 2; LUT['g'] = 2;
+  LUT['T'] = 3; LUT['t'] = 3;
+}
+
+/* bytes -> codes {0..3, FK_INVALID}.  Plain LUT translate; gcc -O3
+ * unrolls this to a few loads/stores per byte and the loop is purely
+ * memory-bound (several GB/s). */
+void fk_encode(const uint8_t *restrict in, uint8_t *restrict out, size_t n) {
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    out[i + 0] = LUT[in[i + 0]];
+    out[i + 1] = LUT[in[i + 1]];
+    out[i + 2] = LUT[in[i + 2]];
+    out[i + 3] = LUT[in[i + 3]];
+    out[i + 4] = LUT[in[i + 4]];
+    out[i + 5] = LUT[in[i + 5]];
+    out[i + 6] = LUT[in[i + 6]];
+    out[i + 7] = LUT[in[i + 7]];
+  }
+  for (; i < n; ++i) out[i] = LUT[in[i]];
+}
+
+/* Fused: bytes -> 2-bit packed codes (4 bases/byte, little-endian within
+ * the byte; invalid bases pack as 0) + validity bitmask (1 bit/base,
+ * little-endian).  n need not be a multiple of 4/8; tails are
+ * zero-padded.  packed must hold ceil(n/4) bytes, validmask ceil(n/8). */
+void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
+                      uint8_t *restrict validmask, size_t n) {
+  size_t nb4 = n / 4, i;
+  for (i = 0; i < nb4; ++i) {
+    uint8_t c0 = LUT[in[4 * i + 0]];
+    uint8_t c1 = LUT[in[4 * i + 1]];
+    uint8_t c2 = LUT[in[4 * i + 2]];
+    uint8_t c3 = LUT[in[4 * i + 3]];
+    uint8_t v0 = c0 < 4, v1 = c1 < 4, v2 = c2 < 4, v3 = c3 < 4;
+    packed[i] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) | ((c2 & 3) << 4) |
+                          ((c3 & 3) << 6));
+    uint8_t nib = (uint8_t)(v0 | (v1 << 1) | (v2 << 2) | (v3 << 3));
+    if (i & 1)
+      validmask[i / 2] |= (uint8_t)(nib << 4);
+    else
+      validmask[i / 2] = nib;
+  }
+  if (n % 4) {
+    uint8_t pb = 0, vb = 0;
+    for (size_t j = 0; j < n % 4; ++j) {
+      uint8_t c = LUT[in[4 * nb4 + j]];
+      pb |= (uint8_t)((c & 3) << (2 * j));
+      vb |= (uint8_t)((c < 4) << j);
+    }
+    packed[nb4] = pb;
+    if (nb4 & 1)
+      validmask[nb4 / 2] |= (uint8_t)(vb << 4);
+    else
+      validmask[nb4 / 2] = vb;
+  }
+}
+
+/* Count valid (ACGT) bytes — used for stats without a second pass in
+ * Python. */
+size_t fk_count_valid(const uint8_t *restrict in, size_t n) {
+  size_t cnt = 0;
+  for (size_t i = 0; i < n; ++i) cnt += LUT[in[i]] < 4;
+  return cnt;
+}

@@ -1,0 +1,90 @@
+"""Checkpoint/resume: a killed run resumed from its checkpoint must produce
+bit-identical spectra (SURVEY.md §5 fault injection)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from findkmer_tpu.config import Config
+from findkmer_tpu import pipeline, streaming
+
+
+@pytest.fixture
+def fasta_file(tmp_path, rng):
+    recs = [random_dna(rng, n, n_prob=0.02) for n in (3000, 1500, 2200)]
+    p = tmp_path / "in.fa"
+    p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(recs)))
+    return str(p)
+
+
+def test_stream_equals_count(fasta_file):
+    cfg = Config(k=6, chunk_len=128, batch_rows=4)
+    a = streaming.stream_count([fasta_file], cfg)
+    b = pipeline.count_file(fasta_file, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_bit_identical(fasta_file, tmp_path):
+    cfg = Config(k=6, chunk_len=128, batch_rows=2)
+    want = pipeline.count_file(fasta_file, cfg)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate a crash: process only the first 3 batches, checkpointing
+    # every batch, then abandon the run
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.utils import checkpoint as ckpt_mod
+
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    batches = pipeline.batches_from_file(fasta_file, cfg)
+    for i, rows in enumerate(batches):
+        if i >= 3:
+            break  # "crash" mid-stream
+        state = counter.step(state, rows)
+        ckpt_mod.save(ckpt, cfg, i + 1, state, {})
+
+    # resume and finish
+    got = streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=2
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_resume_after_complete_is_stable(fasta_file, tmp_path):
+    cfg = Config(k=5, chunk_len=256, batch_rows=2)
+    ckpt = str(tmp_path / "ckpt2")
+    a = streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    b = streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_mismatch_rejected(fasta_file, tmp_path):
+    cfg = Config(k=5, chunk_len=256, batch_rows=2)
+    ckpt = str(tmp_path / "ckpt3")
+    streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        streaming.stream_count(
+            [fasta_file], cfg.replace(k=6), checkpoint_dir=ckpt
+        )
+
+
+def test_sparse_checkpoint_roundtrip(fasta_file, tmp_path):
+    cfg = Config(
+        k=17, chunk_len=128, batch_rows=2, sparse_capacity=16384
+    )
+    ckpt = str(tmp_path / "ckpt4")
+    a = streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=2
+    )
+    b = pipeline.count_file(fasta_file, cfg)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])

@@ -1,0 +1,94 @@
+"""Golden CLI tests: `findkmer count` output vs oracle spectra
+(SURVEY.md §4.2 golden CLI tests)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from oracle.scalar import count_fasta_file, spectrum_lines
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # PYTHONPATH set to the repo ONLY: drops the axon sitecustomize dir,
+    # which would otherwise force the TPU backend in the subprocess
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli"] + args,
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr
+    return res.stdout
+
+
+@pytest.mark.parametrize("k", [4, 8])
+@pytest.mark.parametrize("zeros", [False, True])
+def test_count_golden(fixtures_dir, tmp_path, k, zeros):
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    args = ["count", "-i", path, "-k", str(k), "--chunk-len", "64",
+            "--batch-rows", "2"]
+    if zeros:
+        args.append("-z")
+    out = run_cli(args, tmp_path)
+    want = spectrum_lines(count_fasta_file(path, k), k, zeros=zeros)
+    assert out.splitlines() == want
+
+
+def test_count_canonical_golden(fixtures_dir, tmp_path):
+    path = os.path.join(fixtures_dir, "multi.fa")
+    out = run_cli(
+        ["count", "-i", path, "-k", "5", "--canonical", "--chunk-len",
+         "128", "--batch-rows", "2"],
+        tmp_path,
+    )
+    want = spectrum_lines(
+        count_fasta_file(path, 5, canonical=True), 5, zeros=False
+    )
+    assert out.splitlines() == want
+
+
+def test_count_multiple_inputs(fixtures_dir, tmp_path):
+    p1 = os.path.join(fixtures_dir, "tiny.fa")
+    p2 = os.path.join(fixtures_dir, "debruijn4.fa")
+    out = run_cli(
+        ["count", "-i", p1, p2, "-k", "4", "--chunk-len", "64",
+         "--batch-rows", "2"],
+        tmp_path,
+    )
+    a = count_fasta_file(p1, 4)
+    b = count_fasta_file(p2, 4)
+    for kk, v in b.items():
+        a[kk] = a.get(kk, 0) + v
+    assert out.splitlines() == spectrum_lines(a, 4)
+
+
+def test_output_file_and_sep(fixtures_dir, tmp_path):
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    outfile = tmp_path / "out.tsv"
+    run_cli(
+        ["count", "-i", path, "-k", "4", "-o", str(outfile), "--sep", ","],
+        tmp_path,
+    )
+    want = spectrum_lines(count_fasta_file(path, 4), 4, sep=",")
+    assert outfile.read_text().splitlines() == want
+
+
+def test_stats_subcommand(fixtures_dir, tmp_path):
+    import json
+
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    out = run_cli(["stats", "-i", path, "-k", "4"], tmp_path)
+    d = json.loads(out)
+    assert d["records"] == 2
+    assert d["bases"] == 14 + 8
+    assert d["valid_bases"] == 12 + 8

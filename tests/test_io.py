@@ -1,0 +1,105 @@
+"""FASTA reader + encoder tests (SURVEY.md §4.2)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from findkmer_tpu.io.encode import (
+    INVALID,
+    encode_bytes,
+    decode_codes,
+    pack_2bit,
+    unpack_2bit,
+)
+from findkmer_tpu.io.fasta import FastaReader, read_records
+from oracle.scalar import parse_fasta_text
+
+
+def _records_from_text(text, block_size=1 << 22):
+    r = FastaReader(io.BytesIO(text.encode()), block_size=block_size)
+    return [(h, s.decode()) for h, s in r.records()]
+
+
+CASES = [
+    ">a\nACGT\n",
+    ">a\nACGT\n>b\nTTTT\n",
+    ">a desc here\nACGT\nACGT\n\n>b\n\n>c\nGG\n",
+    "ACGT\nTTTT\n",                      # headerless
+    ">only_header\n",
+    ">a\nACGT",                           # no trailing newline
+    ">a\r\nAC\r\nGT\r\n>b\r\nTT\r\n",     # CRLF
+    ">empty1\n>empty2\n>c\nACGT\n",
+    "",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+@pytest.mark.parametrize("block_size", [7, 64, 1 << 22])
+def test_reader_matches_oracle_parser(text, block_size):
+    got = _records_from_text(text, block_size)
+    want = [(h, s) for h, s in parse_fasta_text(text)]
+    assert got == want
+
+
+def test_reader_tiny_blocks_split_header():
+    # header split across many blocks
+    text = ">" + "h" * 100 + "\nACGTACGT\n>b2\nTT\n"
+    got = _records_from_text(text, block_size=3)
+    assert got == [("h" * 100, "ACGTACGT"), ("b2", "TT")]
+
+
+def test_reader_fixture_files(fixtures_dir):
+    for name in ("ecoli_frag.fa", "multi.fa", "tiny.fa", "debruijn4.fa"):
+        path = os.path.join(fixtures_dir, name)
+        got = [(h, s.decode()) for h, s in read_records(path)]
+        with open(path) as f:
+            want = parse_fasta_text(f.read())
+        assert got == want
+
+
+def test_encode_lut():
+    codes = encode_bytes(b"ACGTacgtNnRX>\n ")
+    assert codes[:8].tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    assert (codes[8:] == INVALID).all()
+
+
+def test_encode_backends_agree(rng):
+    from findkmer_tpu.io import native
+
+    data = rng.integers(0, 256, 100000, dtype=np.uint8).tobytes()
+    np_codes = encode_bytes(data, prefer_native=False)
+    if native.available():
+        nat_codes = encode_bytes(data, prefer_native=True)
+        np.testing.assert_array_equal(np_codes, nat_codes)
+    else:
+        pytest.skip("native encoder not built")
+
+
+def test_pack_unpack_roundtrip(rng):
+    for n in (0, 1, 3, 4, 7, 8, 9, 1000, 4097):
+        codes = rng.integers(0, 5, n).astype(np.uint8)
+        packed, validmask, m = pack_2bit(codes)
+        assert m == n
+        back = unpack_2bit(packed, validmask, m)
+        np.testing.assert_array_equal(back, codes)
+
+
+def test_native_packed_matches_numpy(rng):
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native encoder not built")
+    data = rng.integers(0, 256, 12345, dtype=np.uint8)
+    codes = encode_bytes(data.tobytes(), prefer_native=False)
+    p1, v1, n1 = pack_2bit(codes)
+    p2, v2, n2 = native.encode_packed(data)
+    assert n1 == n2
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(v1, v2)
+    assert native.count_valid(data) == int((codes < 4).sum())
+
+
+def test_decode_codes():
+    assert decode_codes(np.array([0, 1, 2, 3, 4], np.uint8)) == b"ACGTN"

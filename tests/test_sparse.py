@@ -1,0 +1,89 @@
+"""Sparse (sorted-run) store tests vs a Python dict (SURVEY.md §7 M5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from findkmer_tpu.ops.sparse import (
+    batch_to_runs,
+    empty_store,
+    merge_runs,
+    store_to_host,
+)
+
+SENT = np.uint32(0xFFFFFFFF)
+
+
+def _dict_counts(hi, lo, valid):
+    d = {}
+    for h, l, v in zip(
+        np.asarray(hi).ravel(), np.asarray(lo).ravel(), np.asarray(valid).ravel()
+    ):
+        if v:
+            key = (int(h) << 32) | int(l)
+            d[key] = d.get(key, 0) + 1
+    return d
+
+
+def _runs_to_dict(hi, lo, cnt):
+    hi, lo, cnt = map(np.asarray, (hi, lo, cnt))
+    d = {}
+    for h, l, c in zip(hi, lo, cnt):
+        if c > 0:
+            d[(int(h) << 32) | int(l)] = int(c)
+    return d
+
+
+def test_batch_to_runs(rng):
+    hi = jnp.asarray(rng.integers(0, 4, (2, 50)).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 8, (2, 50)).astype(np.uint32))
+    valid = jnp.asarray(rng.random((2, 50)) < 0.7)
+    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
+    assert _runs_to_dict(rhi, rlo, rcnt) == _dict_counts(hi, lo, valid)
+    # sorted ascending with sentinels at the end
+    rh, rl = np.asarray(rhi), np.asarray(rlo)
+    key = rh.astype(np.uint64) << np.uint64(32) | rl.astype(np.uint64)
+    assert (np.diff(key.astype(object)) >= 0).all()
+
+
+def test_merge_runs_matches_dict(rng):
+    cap = 128
+    shi, slo, scnt = empty_store(cap)
+    expect = {}
+    for _ in range(5):
+        hi = jnp.asarray(rng.integers(0, 3, (60,)).astype(np.uint32))
+        lo = jnp.asarray(rng.integers(0, 10, (60,)).astype(np.uint32))
+        valid = jnp.asarray(rng.random((60,)) < 0.8)
+        for k_, v in _dict_counts(hi, lo, valid).items():
+            expect[k_] = expect.get(k_, 0) + v
+        rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
+        shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
+        assert not bool(ovf)
+    assert _runs_to_dict(shi, slo, scnt) == expect
+    codes, counts = store_to_host(shi, slo, scnt)
+    assert {int(c): int(n) for c, n in zip(codes, counts)} == expect
+    assert (np.diff(codes.astype(object)) > 0).all()  # sorted distinct
+
+
+def test_merge_overflow_detected(rng):
+    cap = 8
+    shi, slo, scnt = empty_store(cap)
+    hi = jnp.zeros((32,), jnp.uint32)
+    lo = jnp.arange(32, dtype=jnp.uint32)  # 32 distinct > cap
+    valid = jnp.ones((32,), bool)
+    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
+    shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
+    assert bool(ovf)
+
+
+def test_merge_exact_at_capacity(rng):
+    cap = 16
+    shi, slo, scnt = empty_store(cap)
+    hi = jnp.zeros((16,), jnp.uint32)
+    lo = jnp.arange(16, dtype=jnp.uint32)
+    valid = jnp.ones((16,), bool)
+    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
+    shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
+    assert not bool(ovf)
+    codes, counts = store_to_host(shi, slo, scnt)
+    assert len(codes) == 16
