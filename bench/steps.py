@@ -29,6 +29,18 @@ def setup_jax():
     return jax
 
 
+def _sync(arr):
+    """Hard device sync: pull a reduction to the host.
+
+    jax.block_until_ready on the experimental axon backend can return
+    before execution finishes (observed: 4 sparse steps "done" in 0.26 ms),
+    so benchmarks serialize on an actual D2H value instead.
+    """
+    import jax.numpy as jnp
+
+    return int(jnp.sum(arr if arr.dtype != bool else arr.astype("int32")))
+
+
 def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
                      hist="auto", canonical=False):
     """bases/s of the jitted dense counting step, data staged in HBM."""
@@ -52,12 +64,12 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
 
     state = counter.init_state()
     state = counter.step(state, rows)  # compile + warmup
-    jax.block_until_ready(state.counts)
+    _sync(state.counts)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state = counter.step(state, rows)
-    jax.block_until_ready(state.counts)
+    _sync(state.counts)
     dt = time.perf_counter() - t0
 
     bases = batch_rows * chunk_len * steps
@@ -84,12 +96,14 @@ def bench_sparse_step(jax, k=21, batch_rows=32, chunk_len=16384, steps=4,
 
     state = counter.init_state()
     state = counter.step(state, rows)
-    jax.block_until_ready(state.cnt)
+    state = counter.flush(state)
+    _sync(state.table.cnt)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state = counter.step(state, rows)
-    jax.block_until_ready(state.cnt)
+    state = counter.flush(state)
+    _sync(state.table.cnt)
     dt = time.perf_counter() - t0
     return batch_rows * chunk_len * steps / dt, dt
 

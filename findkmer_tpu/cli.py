@@ -64,7 +64,7 @@ def _add_common(p: argparse.ArgumentParser):
 def _cfg_from_args(args):
     from findkmer_tpu.config import Config
 
-    return Config(
+    cfg = Config(
         k=args.k,
         canonical=args.canonical,
         table_mode=args.table_mode,
@@ -77,6 +77,17 @@ def _cfg_from_args(args):
         out_counts_only=args.counts_only,
         use_native_encode=not args.no_native_encode,
     )
+    # fail fast, before any counting happens
+    cfg.resolved_table_mode
+    if cfg.zeros and cfg.resolved_table_mode != "direct":
+        raise ValueError(
+            "-z/--zeros requires a direct (dense) table; "
+            f"k={cfg.k} resolves to a sparse table"
+        )
+    for path in getattr(args, "input", []) or []:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"input file not found: {path}")
+    return cfg
 
 
 def _open_out(path):
@@ -185,7 +196,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, FileNotFoundError, RuntimeError) as e:
+        # clean one-line errors for expected failure modes; set
+        # FINDKMER_TRACEBACK=1 to debug with the full stack
+        if os.environ.get("FINDKMER_TRACEBACK") == "1":
+            raise
+        print(f"findkmer: error: {e}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0  # e.g. `findkmer count ... | head`
 
 
 if __name__ == "__main__":

@@ -48,6 +48,8 @@ class Config:
     count_dtype: str = "int32"       # count dtype; overflow policy = saturate-free
                                      # exact (int32 overflows only past 2^31 obs)
     sparse_capacity: int = 1 << 22   # max distinct k-mers in the sparse store
+    sparse_merge_every: int = 8      # batches buffered between store merges
+                                     # (amortizes the O(cap log cap) merge)
 
     # --- batching / streaming (pipeline.py) ---
     batch_rows: int = 256            # B: rows per device batch

@@ -9,12 +9,19 @@ intermediates (window codes, validity) out of HBM where it can.
 
 Replaces, end to end, the reference's scan loop + count insert
 (SURVEY.md §3.1 E2/E3).
+
+Sparse-mode batching: merging the whole store every batch costs
+O(cap log cap) per batch.  Instead each batch is reduced to its own sorted
+runs (O(N log N), N = windows/batch) and Config.sparse_merge_every runs are
+buffered before one store merge — an LSM-style amortization that cuts the
+per-base merge cost by ~merge_every when cap >> N.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, replace
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,27 +51,45 @@ def _dense_step(
     return hist_ops.dense_counts(codes, valid, table, table_size, method)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"), donate_argnums=(0, 1, 2))
-def _sparse_step(
+def _window_codes_any(rows, k, canonical):
+    """(hi, lo, valid) uint32 codes for any k (narrow k packs into lo)."""
+    if k <= 15:
+        codes, valid = window_ops.window_codes(rows, k, canonical)
+        return jnp.zeros_like(codes, jnp.uint32), codes.astype(jnp.uint32), valid
+    return window_ops.window_codes_wide(rows, k, canonical)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def _batch_runs(rows: jnp.ndarray, k: int, canonical: bool):
+    """One batch -> its own sorted distinct (hi, lo, cnt) runs."""
+    whi, wlo, valid = _window_codes_any(rows, k, canonical)
+    return sparse_ops.batch_to_runs(whi, wlo, valid)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _merge_pending(
     hi: jnp.ndarray,
     lo: jnp.ndarray,
     cnt: jnp.ndarray,
     overflow: jnp.ndarray,
-    rows: jnp.ndarray,
-    k: int,
-    canonical: bool,
+    pend_hi: jnp.ndarray,   # (P, N) stacked pending runs
+    pend_lo: jnp.ndarray,
+    pend_cnt: jnp.ndarray,
 ):
-    if k <= 15:
-        # sparse mode with small k (table_mode="sparse" forced): narrow
-        # codes fit entirely in lo
-        codes, valid = window_ops.window_codes(rows, k, canonical)
-        whi = jnp.zeros_like(codes, jnp.uint32)
-        wlo = codes.astype(jnp.uint32)
-    else:
-        whi, wlo, valid = window_ops.window_codes_wide(rows, k, canonical)
-    rhi, rlo, rcnt = sparse_ops.batch_to_runs(whi, wlo, valid)
-    hi, lo, cnt, ovf = sparse_ops.merge_runs(hi, lo, cnt, rhi, rlo, rcnt)
-    return hi, lo, cnt, overflow | ovf
+    """Merge P buffered batch-runs into the store in one sort."""
+    nhi, nlo, ncnt, ovf = sparse_ops.merge_runs(
+        hi, lo, cnt,
+        pend_hi.reshape(-1), pend_lo.reshape(-1), pend_cnt.reshape(-1),
+    )
+    return nhi, nlo, ncnt, overflow | ovf
+
+
+@dataclass
+class SparseState:
+    """Sparse counting state: the store + buffered (not yet merged) runs."""
+
+    table: table_mod.SparseTable
+    pending: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
 
 class KmerCounter:
@@ -78,22 +103,36 @@ class KmerCounter:
             if m == "pallas":
                 from findkmer_tpu.ops.pallas import fused_count_available
 
-                if not (fused_count_available() and cfg.k <= 10):
+                if not (fused_count_available() and cfg.k <= 8):
                     raise ValueError(
-                        f"pallas hist needs pallas support and k <= 10 "
+                        f"pallas hist needs pallas support and k <= 8 "
                         f"(got k={cfg.k})"
                     )
             elif m == "auto":
-                # scatter is the general-purpose default; the pallas fused
-                # kernel is opt-in until benched faster (bench/RESULTS.md)
-                m = "scatter"
+                # measured on v5e (bench/RESULTS.md): the pallas
+                # outer-product kernel is ~5x XLA scatter for k <= 8;
+                # scatter is the general-purpose fallback
+                from findkmer_tpu.ops.pallas import fused_count_available
+
+                if (
+                    cfg.k <= 8
+                    and fused_count_available()
+                    and jax.default_backend() == "tpu"
+                ):
+                    m = "pallas"
+                else:
+                    m = "scatter"
             self._method = m
             # pallas on non-TPU backends runs in interpreter mode (tests)
             self._pl_interpret = jax.default_backend() != "tpu"
 
     # ------------------------------------------------------------------
     def init_state(self):
-        return table_mod.make_table(self.cfg)
+        if self.mode == "direct":
+            return table_mod.make_table(self.cfg)
+        return SparseState(
+            table=table_mod.SparseTable.empty(self.cfg), pending=[]
+        )
 
     def step(self, state, rows: jnp.ndarray):
         """One batch update.  rows: (B, R) uint8 codes, R = chunk+k-1."""
@@ -118,12 +157,43 @@ class KmerCounter:
                 self._method,
             )
             return table_mod.DenseTable(counts=counts, k=cfg.k)
-        hi, lo, cnt, ovf = _sparse_step(
-            state.hi, state.lo, state.cnt, state.overflow, rows,
-            cfg.k, cfg.canonical,
+
+        runs = _batch_runs(rows, cfg.k, cfg.canonical)
+        state = SparseState(
+            table=state.table, pending=state.pending + [runs]
         )
-        return table_mod.SparseTable(
-            hi=hi, lo=lo, cnt=cnt, overflow=ovf, k=cfg.k
+        if len(state.pending) >= max(1, cfg.sparse_merge_every):
+            state = self.flush(state)
+        return state
+
+    # ------------------------------------------------------------------
+    def flush(self, state):
+        """Merge buffered runs into the store (no-op for dense tables).
+
+        Call before checkpointing or finalizing so the store is complete.
+        """
+        if self.mode == "direct" or not getattr(state, "pending", None):
+            return state
+        P = max(1, self.cfg.sparse_merge_every)
+        pending = list(state.pending)
+        # pad with sentinel runs so every flush compiles to one shape
+        if len(pending) < P:
+            shape = pending[0][0].shape
+            sent_hi = jnp.full(shape, sparse_ops.SENTINEL, jnp.uint32)
+            sent_cnt = jnp.zeros(shape, jnp.int32)
+            pending += [(sent_hi, sent_hi, sent_cnt)] * (P - len(pending))
+        t = state.table
+        hi, lo, cnt, ovf = _merge_pending(
+            t.hi, t.lo, t.cnt, t.overflow,
+            jnp.stack([p[0] for p in pending]),
+            jnp.stack([p[1] for p in pending]),
+            jnp.stack([p[2] for p in pending]),
+        )
+        return SparseState(
+            table=table_mod.SparseTable(
+                hi=hi, lo=lo, cnt=cnt, overflow=ovf, k=t.k
+            ),
+            pending=[],
         )
 
     def finalize(self, state):
@@ -133,7 +203,22 @@ class KmerCounter:
         """
         if self.mode == "direct":
             return state.to_host()
-        return state.to_host()
+        state = self.flush(state)
+        return state.table.to_host()
+
+    # ------------------------------------------------------------------
+    def table_state(self, state):
+        """The checkpointable table (flushing pending sparse runs first)."""
+        if self.mode == "direct":
+            return state, state
+        state = self.flush(state)
+        return state, state.table
+
+    def restore_state(self, table):
+        """Rebuild step state from a checkpointed table."""
+        if self.mode == "direct":
+            return table
+        return SparseState(table=table, pending=[])
 
     # ------------------------------------------------------------------
     def jitted_forward(self):
@@ -156,8 +241,7 @@ class KmerCounter:
         hi, lo, cnt = sparse_ops.empty_store(cfg.sparse_capacity)
 
         def fn(hi, lo, cnt, rows):
-            return _sparse_step(
-                hi, lo, cnt, jnp.zeros((), bool), rows, cfg.k, cfg.canonical
-            )
+            rhi, rlo, rcnt = _batch_runs(rows, cfg.k, cfg.canonical)
+            return sparse_ops.merge_runs(hi, lo, cnt, rhi, rlo, rcnt)
 
         return fn, (hi, lo, cnt, rows)

@@ -1,31 +1,37 @@
-"""Pallas TPU kernel: fused window extraction + outer-product histogram.
+"""Pallas TPU kernels: outer-product histogram on the MXU.
 
-This is the Pallas replacement for the reference's entire hot loop
-(SURVEY.md §3.1 E2+E3) in one kernel: a tile of encoded rows is DMA'd to
-VMEM, window codes are built with k shifted slices on the VPU, and counts
-are accumulated on the MXU — never materializing window codes in HBM.
-
-Why an outer-product histogram: TPU has no vectorized scatter, so the
-idiomatic exact histogram maps bin-matching onto the MXU.  A full one-hot
-against 4^k bins costs 4^k bytes of VPU one-hot materialization per window
-— hopeless for k=8.  Splitting the code into hi/lo halves (T = T1*T2,
-T1,T2 <= 4^ceil(k/2)) needs only T1+T2 one-hot bytes per window, and the
-(T1, n) x (n, T2) int8 matmul
+TPU has no vectorized scatter, so the idiomatic exact histogram maps bin
+matching onto the MXU.  A full one-hot against 4^k bins costs 4^k one-hot
+bytes per window — hopeless beyond tiny k.  Splitting the code into hi/lo
+halves (4^k = T1*T2) needs only T1+T2 one-hot bytes per window, and an
+int8 matmul
 
     acc[hi, lo] += sum_n onehot_hi[n, hi] * onehot_lo[n, lo]
 
-does the binning at MXU rate.  The (T1, T2) int32 accumulator lives in
-VMEM across the whole grid (output revisiting), so HBM traffic is exactly:
-rows in (1 B/base), table out (4*4^k once).
+does the binning at MXU rate: this is a 2-level radix histogram executed
+as one outer product.  The (T1, T2) int32 accumulator lives in VMEM across
+the whole sequential grid (output revisiting), so table traffic to HBM is
+one write at the end.
 
-Grid: 1-D over row tiles; XLA double-buffers the row DMA automatically via
-the BlockSpec pipeline.  Determinism: grid iterations are sequential on
-TPU, every add is an int32 matmul accumulate — bit-exact, no atomics
-(the race detector cross-check in tests diffs this against jnp.bincount).
+Two variants:
 
-Used for k <= pallas_max_k (default 8; 4^8 accumulator = 256 KiB VMEM).
-Falls back to ops/histogram.py XLA paths elsewhere (SURVEY.md §7 M2/hard
-part 6: capability first, speed second).
+  * histogram_pallas — histogram of pre-extracted window codes (hi/lo
+    bytes + validity as uint8 planes, built by XLA in ops/window.py).
+    Clean non-overlapping 2-D grid blocks; one matmul per grid step (the
+    axon remote Mosaic compiler rejects in-kernel slicing loops, so each
+    grid step is exactly one one-hot + one matmul).  This is the
+    production path: materializing codes in HBM costs ~8 B/window of
+    bandwidth — orders of magnitude above the compute bound here.
+  * fused_window_histogram — window extraction fused into the kernel
+    (single-chunk tiles only); kept for small shapes and as the
+    future-fusion reference.
+
+Determinism: grid iterations are sequential on TPU, every add is an int32
+matmul accumulate — bit-exact, no atomics (tests diff against
+jnp.bincount, the de-facto race detector of SURVEY.md §5).
+
+Replaces the reference's count-insert hot loop (SURVEY.md §3.1 E3) for
+dense tables with k <= 10 (4^10 accumulator = 4 MiB VMEM).
 """
 
 from __future__ import annotations
@@ -52,16 +58,145 @@ def fused_count_available() -> bool:
 
 
 def _split_bits(k: int) -> Tuple[int, int]:
-    """Split a 2k-bit code into (hi_bits, lo_bits) halves, lo >= hi."""
+    """Split a 2k-bit code into (hi_bits, lo_bits), lo_bits <= 8 wide-lane
+    friendly halves.  Both halves must fit a uint8 plane (k <= 8 gives
+    8+8; k in (8, 10] gives wider hi, capped at 8 -> lo 8, hi 2k-8 <= 12
+    ... so hi is stored pre-split as its own plane by the caller)."""
     total = 2 * k
-    lo = (total + 1) // 2
-    # lane dimension (lo one-hot width) likes multiples of 128 -> >= 7 bits
-    lo = max(lo, min(total, 7))
+    lo = min(total, 8)
     return total - lo, lo
 
 
-def _kernel(rows_ref, out_ref, *, k: int, canonical: bool, n_chunk: int,
-            hi_bits: int, lo_bits: int):
+# ----------------------------------------------------------------------
+# production path: histogram of pre-extracted codes
+# ----------------------------------------------------------------------
+
+def _hist_kernel(hi_ref, lo_ref, valid_ref, out_ref, *, T1: int, T2: int):
+    """One grid step: outer-product histogram of an (8, nc) code tile.
+
+    Layout choice: codes live along LANES (rows of nc) and bins along
+    SUBLANES, so each one-hot is `iota (T, 1) == code_row (1, nc)` — a
+    cheap sublane broadcast (the transposed layout, codes-as-column,
+    forces per-element lane splats and is ~5x slower).  The dot contracts
+    the lane dimension of both one-hots:
+
+        acc[t1, t2] += sum_n oh_hi[t1, n] * oh_lo[t2, n]
+
+    Eight unrolled row iterations per tile; histograms are order-invariant
+    so the caller may reshape the window stream into any (C*8, nc) layout.
+    No in-kernel reshapes/transposes — Mosaic only lowers lane-width shape
+    casts.
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = hi_ref.shape[0]
+    hi_iota = lax.broadcasted_iota(jnp.int32, (T1, 1), 0)
+    lo_iota = lax.broadcasted_iota(jnp.int32, (T2, 1), 0)
+    acc = jnp.zeros((T1, T2), jnp.int32)
+    for r in range(rows):
+        hi_row = lax.slice_in_dim(hi_ref[:], r, r + 1, axis=0).astype(
+            jnp.int32
+        )                                                     # (1, nc)
+        lo_row = lax.slice_in_dim(lo_ref[:], r, r + 1, axis=0).astype(
+            jnp.int32
+        )
+        v_row = lax.slice_in_dim(valid_ref[:], r, r + 1, axis=0).astype(
+            jnp.int32
+        )
+        oh_hi = ((hi_iota == hi_row) & (v_row > 0)).astype(jnp.int8)
+        oh_lo = (lo_iota == lo_row).astype(jnp.int8)          # (T2, nc)
+        acc = acc + lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] += acc
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_chunk", "interpret")
+)
+def histogram_pallas(
+    codes: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    n_chunk: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, W) int32 window codes + validity -> (4^k,) int32 histogram.
+
+    Each grid step consumes an (8, n_chunk) tile = 8*n_chunk windows.
+    """
+    assert _PALLAS_OK, "pallas unavailable"
+    assert k <= 8, "uint8 hi/lo planes require k <= 8"
+    hi_bits, lo_bits = _split_bits(k)
+    T1, T2 = 1 << hi_bits, 1 << lo_bits
+
+    # uint8 planes, flattened and re-tiled (histograms are order-invariant)
+    hi8 = (codes >> lo_bits).astype(jnp.uint8).reshape(-1)
+    lo8 = (codes & (T2 - 1)).astype(jnp.uint8).reshape(-1)
+    v8 = valid.astype(jnp.uint8).reshape(-1)
+
+    N = hi8.shape[0]
+    tile = 8 * n_chunk
+    pad = (-N) % tile
+    if pad:
+        hi8 = jnp.pad(hi8, (0, pad))
+        lo8 = jnp.pad(lo8, (0, pad))
+        v8 = jnp.pad(v8, (0, pad))
+    C = hi8.shape[0] // tile
+    hi8 = hi8.reshape(C * 8, n_chunk)
+    lo8 = lo8.reshape(C * 8, n_chunk)
+    v8 = v8.reshape(C * 8, n_chunk)
+
+    spec = pl.BlockSpec(
+        (8, n_chunk), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, T1=T1, T2=T2),
+        grid=(C,),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec(
+            (T1, T2), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T1, T2), jnp.int32),
+        interpret=interpret,
+    )(hi8, lo8, v8)
+    return out.reshape(-1)
+
+
+def add_counts_pallas(
+    rows: jnp.ndarray,
+    table: jnp.ndarray,
+    k: int,
+    canonical: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """table += histogram of all valid windows in rows (B, R) uint8.
+
+    Window extraction runs in XLA (ops/window.py); binning runs in the
+    Pallas outer-product kernel.
+    """
+    from findkmer_tpu.ops import window as window_ops
+
+    codes, valid = window_ops.window_codes(rows, k, canonical)
+    delta = histogram_pallas(codes, valid, k, interpret=interpret)
+    return table + delta.astype(table.dtype)
+
+
+# ----------------------------------------------------------------------
+# fused variant (single-chunk tiles): window extraction inside the kernel
+# ----------------------------------------------------------------------
+
+def _fused_kernel(rows_ref, out_ref, *, k: int, canonical: bool,
+                  hi_bits: int, lo_bits: int):
     Bt, R = rows_ref.shape
     W = R - k + 1
     T1, T2 = 1 << hi_bits, 1 << lo_bits
@@ -71,7 +206,6 @@ def _kernel(rows_ref, out_ref, *, k: int, canonical: bool, n_chunk: int,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     c = rows_ref[:].astype(jnp.int32)  # (Bt, R)
-
     code = None
     rc = None
     valid = None
@@ -88,63 +222,50 @@ def _kernel(rows_ref, out_ref, *, k: int, canonical: bool, n_chunk: int,
         code = jnp.minimum(code, rc)
 
     T = 1 << (2 * k)
-    idx = jnp.where(valid, code, T).reshape(-1)  # (Bt*W,)
+    # invalid windows carry idx == 4^k: hi == T1 matches no column of
+    # hi_iota, so the all-zero oh_hi row nulls the whole contribution
+    idx = jnp.where(valid, code, T).reshape(-1)
     n = idx.shape[0]
-    num_chunks = n // n_chunk
-
-    hi_iota = lax.broadcasted_iota(jnp.int32, (n_chunk, T1), 1)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (n_chunk, T2), 1)
-
-    # static (unrolled) chunk loop: Mosaic has no dynamic_slice on values,
-    # and num_chunks is small and static anyway
-    acc = jnp.zeros((T1, T2), jnp.int32)
-    for ci in range(num_chunks):
-        chunk = lax.slice_in_dim(idx, ci * n_chunk, (ci + 1) * n_chunk)
-        # invalid windows carry idx == 4^k: hi == T1 matches no column of
-        # hi_iota, so the all-zero oh_hi row nulls the whole contribution
-        hi = (chunk >> lo_bits)[:, None]
-        lo = (chunk & (T2 - 1))[:, None]
-        oh_hi = (hi == hi_iota).astype(jnp.int8)  # (n_chunk, T1)
-        oh_lo = (lo == lo_iota).astype(jnp.int8)  # (n_chunk, T2)
-        acc = acc + lax.dot_general(
-            oh_hi, oh_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-    out_ref[:] += acc
+    hi_iota = lax.broadcasted_iota(jnp.int32, (n, T1), 1)
+    lo_iota = lax.broadcasted_iota(jnp.int32, (n, T2), 1)
+    hi = (idx >> lo_bits)[:, None]
+    lo = (idx & (T2 - 1))[:, None]
+    oh_hi = (hi == hi_iota).astype(jnp.int8)
+    oh_lo = (lo == lo_iota).astype(jnp.int8)
+    out_ref[:] += lax.dot_general(
+        oh_hi, oh_lo,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "canonical", "row_tile", "n_chunk", "interpret"),
+    static_argnames=("k", "canonical", "row_tile", "interpret"),
 )
 def fused_window_histogram(
     rows: jnp.ndarray,
     k: int,
     canonical: bool = False,
     row_tile: int = 8,
-    n_chunk: int = 2048,
+    n_chunk: int = 0,  # unused; kept for call compatibility
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """rows (B, R) uint8 -> (4^k,) int32 histogram of valid window codes.
+    """rows (B, R) uint8 -> (4^k,) int32 histogram, fused in one kernel.
 
-    B must be divisible by row_tile; row_tile*(R-k+1) divisible by n_chunk
-    (callers pad rows; models/counter.py guarantees geometry).
+    The whole row tile is one one-hot + one matmul per grid step (the
+    remote Mosaic compiler rejects multi-chunk in-kernel loops), so
+    row_tile * (R-k+1) one-hot bytes must fit VMEM: use for R up to a few
+    thousand.  For larger rows use histogram_pallas via add_counts_pallas.
     """
     assert _PALLAS_OK, "pallas unavailable"
     B, R = rows.shape
-    W = R - k + 1
     hi_bits, lo_bits = _split_bits(k)
     T1, T2 = 1 << hi_bits, 1 << lo_bits
     row_tile = math.gcd(B, row_tile)
-    n = row_tile * W
-    if n % n_chunk != 0:
-        # pick the largest chunk size dividing n (<= requested)
-        c = math.gcd(n, n_chunk)
-        n_chunk = c
 
     kernel = functools.partial(
-        _kernel, k=k, canonical=canonical, n_chunk=n_chunk,
+        _fused_kernel, k=k, canonical=canonical,
         hi_bits=hi_bits, lo_bits=lo_bits,
     )
     out = pl.pallas_call(
@@ -162,17 +283,3 @@ def fused_window_histogram(
         interpret=interpret,
     )(rows)
     return out.reshape(-1)
-
-
-def add_counts_pallas(
-    codes_rows: jnp.ndarray,
-    table: jnp.ndarray,
-    k: int,
-    canonical: bool,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """table += fused histogram of rows (convenience accumulation wrapper)."""
-    delta = fused_window_histogram(
-        codes_rows, k, canonical, interpret=interpret
-    )
-    return table + delta.astype(table.dtype)

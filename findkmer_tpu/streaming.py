@@ -42,7 +42,8 @@ def stream_count(
     if checkpoint_dir is not None:
         loaded = ckpt_mod.load_latest(checkpoint_dir, cfg)
         if loaded is not None:
-            start_batch, state, saved_stats = loaded
+            start_batch, table, saved_stats = loaded
+            state = counter.restore_state(table)
             log.info("resuming from checkpoint at batch %d", start_batch)
             if stats is not None and saved_stats:
                 for k_, v in saved_stats.items():
@@ -81,9 +82,9 @@ def stream_count(
             and checkpoint_every > 0
             and batch_index % checkpoint_every == 0
         ):
-            _save(checkpoint_dir, cfg, batch_index, state, stats)
+            state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
     if checkpoint_dir is not None and batch_index > start_batch:
-        _save(checkpoint_dir, cfg, batch_index, state, stats)
+        state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
     return counter.finalize(state)
 
 
@@ -96,21 +97,23 @@ def _with_stats(it, cfg, stats):
         yield rows
 
 
-def _save(checkpoint_dir, cfg, batch_index, state, stats):
+def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
     import jax
 
+    state, table = counter.table_state(state)  # flushes pending sparse runs
     # block so we never checkpoint an in-flight (possibly donated) buffer
     jax.block_until_ready(
-        state.counts if hasattr(state, "counts") else state.cnt
+        table.counts if hasattr(table, "counts") else table.cnt
     )
     ckpt_mod.save(
         checkpoint_dir,
         cfg,
         batch_index,
-        state,
+        table,
         stats.as_dict() if stats is not None else {},
     )
     log.info("checkpoint @ batch %d", batch_index)
+    return state
 
 
 def run_stream(args) -> int:
