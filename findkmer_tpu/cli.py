@@ -58,6 +58,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-native-encode", action="store_true")
     p.add_argument("--stats", choices=["none", "json"], default="none",
                    help="print stream statistics to stderr")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="emit a jax.profiler trace to LOGDIR")
     p.add_argument("--log", default=None, help="log level (DEBUG/INFO/...)")
 
 
@@ -105,6 +107,9 @@ def cmd_count(args) -> int:
         os.environ["FINDKMER_LOGLEVEL"] = args.log
     cfg = _cfg_from_args(args)
     stats = pipeline.StreamStats()
+    from findkmer_tpu.utils.prof import PhaseTimers, device_trace
+
+    timers = PhaseTimers() if args.stats == "json" else None
 
     # multiple inputs: one combined spectrum (records concatenated)
     from findkmer_tpu.models.counter import KmerCounter
@@ -112,12 +117,22 @@ def cmd_count(args) -> int:
     counter = KmerCounter(cfg)
     state = counter.init_state()
     t0 = time.time()
-    for path in args.input:
-        for rows in pipeline.prefetch_to_device(
-            pipeline.batches_from_file(path, cfg, stats=stats), cfg.prefetch
-        ):
-            state = counter.step(state, rows)
-    spectrum = counter.finalize(state)
+    with device_trace(args.profile):
+        for path in args.input:
+            for rows in pipeline.prefetch_to_device(
+                pipeline.batches_from_file(path, cfg, stats=stats),
+                cfg.prefetch,
+            ):
+                if timers is None:
+                    state = counter.step(state, rows)
+                else:
+                    with timers.phase("dispatch"):
+                        state = counter.step(state, rows)
+        if timers is None:
+            spectrum = counter.finalize(state)
+        else:
+            with timers.phase("finalize"):
+                spectrum = counter.finalize(state)
     wall = time.time() - t0
 
     f, close = _open_out(args.output)
@@ -130,6 +145,8 @@ def cmd_count(args) -> int:
         d = stats.as_dict()
         d["wall_s"] = wall
         d["bases_per_s"] = stats.bases / wall if wall > 0 else None
+        if timers is not None:
+            d["phases"] = timers.as_dict()
         print(json.dumps(d), file=sys.stderr)
     return 0
 
@@ -151,6 +168,36 @@ def cmd_stats(args) -> int:
             pass
     print(json.dumps(stats.as_dict()))
     return 0
+
+
+def cmd_merge(args) -> int:
+    from findkmer_tpu import spectra
+
+    if args.zeros and args.k <= 0:
+        raise ValueError("merge -z needs -k to enumerate all 4^k k-mers")
+    counts = spectra.merge_spectra(args.input, sep=args.sep)
+    f, close = _open_out(args.output)
+    try:
+        zk = args.k if args.zeros else None
+        for line in spectra.spectrum_lines(counts, sep=args.sep, zeros_k=zk):
+            f.write(line.encode() + b"\n")
+    finally:
+        if close:
+            f.close()
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from findkmer_tpu import spectra
+
+    a = spectra.read_spectrum(args.input[0], sep=args.sep)
+    b = spectra.read_spectrum(args.input[1], sep=args.sep)
+    diffs = spectra.diff_spectra(a, b)
+    for d in diffs[:args.limit]:
+        print(d)
+    if len(diffs) > args.limit:
+        print(f"... and {len(diffs) - args.limit} more")
+    return 1 if diffs else 0
 
 
 def cmd_bench(args) -> int:
@@ -182,6 +229,26 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("stats", help="stream statistics only (no device)")
     _add_common(pt)
     pt.set_defaults(fn=cmd_stats)
+
+    pm = sub.add_parser(
+        "merge", help="merge spectrum TSV files (multi-host tail)"
+    )
+    pm.add_argument("-i", "--input", required=True, nargs="+",
+                    help="spectrum files (KMER<sep>COUNT)")
+    pm.add_argument("-o", "--output", default="-")
+    pm.add_argument("-k", type=int, default=0,
+                    help="k (only needed with -z)")
+    pm.add_argument("-z", "--zeros", action="store_true")
+    pm.add_argument("--sep", default="\t")
+    pm.set_defaults(fn=cmd_merge)
+
+    pd = sub.add_parser(
+        "diff", help="diff two spectrum files (exit 1 when different)"
+    )
+    pd.add_argument("-i", "--input", required=True, nargs=2)
+    pd.add_argument("--sep", default="\t")
+    pd.add_argument("--limit", type=int, default=50)
+    pd.set_defaults(fn=cmd_diff)
 
     pb = sub.add_parser("bench", help="quick on-device benchmark")
     pb.add_argument("-k", type=int, default=8)

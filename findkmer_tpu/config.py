@@ -48,8 +48,20 @@ class Config:
     count_dtype: str = "int32"       # count dtype; overflow policy = saturate-free
                                      # exact (int32 overflows only past 2^31 obs)
     sparse_capacity: int = 1 << 22   # max distinct k-mers in the sparse store
-    sparse_merge_every: int = 8      # batches buffered between store merges
-                                     # (amortizes the O(cap log cap) merge)
+    sparse_merge_every: int = 64     # max batches buffered between store
+                                     # merges (amortizes the big sort)
+    sparse_flush_entries: int = 1 << 23
+    # flush when buffered window entries exceed this.  The sparse path is
+    # log-structured: raw codes accumulate and one sort dedups them.  The
+    # size is a measured sweet spot (bench/RESULTS.md): TPU XLA sort is
+    # bitonic O(N log^2 N), so giant flushes lose (84M entries sort at
+    # ~93 Melem/s vs 217 at 4M), while tiny ones pay ~6 ms/call overhead.
+    sparse_compact_batches: bool = False
+    # False: buffer raw window codes and let the flush's single big sort
+    # dedup everything — no per-batch sort at all.  TPU sort has ~5-7 ms
+    # fixed overhead per call (bench/RESULTS.md), so many small sorts lose
+    # to one big one.  True: RLE-compact each batch before buffering
+    # (wins only for highly repetitive input where batches collapse).
 
     # --- batching / streaming (pipeline.py) ---
     batch_rows: int = 256            # B: rows per device batch

@@ -66,6 +66,19 @@ def _batch_runs(rows: jnp.ndarray, k: int, canonical: bool):
     return sparse_ops.batch_to_runs(whi, wlo, valid)
 
 
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def _batch_codes(rows: jnp.ndarray, k: int, canonical: bool):
+    """One batch -> raw (hi, lo, cnt) window codes, invalid masked to
+    sentinel.  No sort: merge_runs re-sorts its whole input anyway, so the
+    flush's single big sort subsumes per-batch compaction."""
+    whi, wlo, valid = _window_codes_any(rows, k, canonical)
+    sent = jnp.uint32(sparse_ops.SENTINEL)
+    hi = jnp.where(valid, whi, sent).reshape(-1)
+    lo = jnp.where(valid, wlo, sent).reshape(-1)
+    cnt = valid.reshape(-1).astype(jnp.int32)
+    return hi, lo, cnt
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _merge_pending(
     hi: jnp.ndarray,
@@ -158,11 +171,18 @@ class KmerCounter:
             )
             return table_mod.DenseTable(counts=counts, k=cfg.k)
 
-        runs = _batch_runs(rows, cfg.k, cfg.canonical)
+        batch_fn = (
+            _batch_runs if cfg.sparse_compact_batches else _batch_codes
+        )
+        runs = batch_fn(rows, cfg.k, cfg.canonical)
         state = SparseState(
             table=state.table, pending=state.pending + [runs]
         )
-        if len(state.pending) >= max(1, cfg.sparse_merge_every):
+        entries = sum(p[0].shape[0] for p in state.pending)
+        if (
+            len(state.pending) >= max(1, cfg.sparse_merge_every)
+            or entries >= cfg.sparse_flush_entries
+        ):
             state = self.flush(state)
         return state
 
@@ -174,9 +194,12 @@ class KmerCounter:
         """
         if self.mode == "direct" or not getattr(state, "pending", None):
             return state
-        P = max(1, self.cfg.sparse_merge_every)
         pending = list(state.pending)
-        # pad with sentinel runs so every flush compiles to one shape
+        # pad to the next power of two so only O(log merge_every) distinct
+        # merge shapes ever compile (compiles are expensive on this tunnel)
+        P = 1
+        while P < len(pending):
+            P *= 2
         if len(pending) < P:
             shape = pending[0][0].shape
             sent_hi = jnp.full(shape, sparse_ops.SENTINEL, jnp.uint32)

@@ -51,14 +51,26 @@ def _rle_sorted(hi, lo, cnt):
     prev_hi = jnp.concatenate([sent1, hi[:-1]])
     prev_lo = jnp.concatenate([sent1, lo[:-1]])
     is_start = (hi != prev_hi) | (lo != prev_lo)
-    run_id = jnp.cumsum(is_start) - 1
-    run_sum = jax.ops.segment_sum(cnt, run_id, num_segments=n)
-    summed = run_sum[run_id]
+    next_hi = jnp.concatenate([hi[1:], sent1])
+    next_lo = jnp.concatenate([lo[1:], sent1])
+    is_end = (hi != next_hi) | (lo != next_lo)
+    # Scan-only run sums (no scatter/gather — XLA scatter serializes on
+    # TPU at ~ns/element and dominated this whole path):
+    #   C[i]    = inclusive prefix sum of cnt
+    #   base[i] = prefix sum just before the start of i's run, propagated
+    #             to every position of the run by a running max (prefix
+    #             sums are nondecreasing, so the latest start wins)
+    #   total at run END = C - base
+    # The run's total is emitted at its END position (any one position
+    # per run works; callers re-sort by code, where end vs start of equal
+    # codes is indistinguishable).
+    C = jnp.cumsum(cnt)
+    base = lax.cummax(jnp.where(is_start, C - cnt, 0), axis=0)
     is_sent = hi == SENTINEL
-    keep = is_start & ~is_sent
+    keep = is_end & ~is_sent
     out_hi = jnp.where(keep, hi, SENTINEL)
     out_lo = jnp.where(keep, lo, SENTINEL)
-    out_cnt = jnp.where(keep, summed, 0).astype(cnt.dtype)
+    out_cnt = jnp.where(keep, C - base, 0).astype(cnt.dtype)
     return out_hi, out_lo, out_cnt
 
 

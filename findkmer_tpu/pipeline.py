@@ -161,18 +161,53 @@ def prefetch_to_device(
         yield out
 
 
-def count_file(path, cfg: Config, *, stats: Optional[StreamStats] = None):
+def count_file(
+    path,
+    cfg: Config,
+    *,
+    stats: Optional[StreamStats] = None,
+    timers=None,
+):
     """Single-host end-to-end count: the F1 call stack (SURVEY.md §3.2).
 
     Returns the finalized spectrum (dense np counts or sparse
-    (codes, counts)) — formatting lives in output.py.
+    (codes, counts)) — formatting lives in output.py.  Pass a
+    utils.prof.PhaseTimers to get a host/dispatch/finalize wall-clock
+    breakdown (device work is async; "host_batches" is encode+batching
+    time, "dispatch" is step submission, "finalize" includes the final
+    device drain).
     """
     from findkmer_tpu.models.counter import KmerCounter
 
     counter = KmerCounter(cfg)
     state = counter.init_state()
-    for rows in prefetch_to_device(
-        batches_from_file(path, cfg, stats=stats), cfg.prefetch
-    ):
-        state = counter.step(state, rows)
-    return counter.finalize(state)
+
+    def timed_batches():
+        it = iter(
+            prefetch_to_device(batches_from_file(path, cfg, stats=stats),
+                               cfg.prefetch)
+        )
+        while True:
+            if timers is None:
+                try:
+                    yield next(it)
+                except StopIteration:
+                    return
+            else:
+                with timers.phase("host_batches"):
+                    try:
+                        rows = next(it)
+                    except StopIteration:
+                        return
+                yield rows
+
+    for rows in timed_batches():
+        if timers is None:
+            state = counter.step(state, rows)
+        else:
+            with timers.phase("dispatch"):
+                state = counter.step(state, rows)
+    if timers is None:
+        return counter.finalize(state)
+    with timers.phase("finalize"):
+        return counter.finalize(state)

@@ -1,0 +1,68 @@
+"""Spectrum merge/diff tools (findkmer merge, findkmer diff)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from findkmer_tpu import spectra
+from oracle.scalar import count_fasta_file, spectrum_lines
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_read_merge_roundtrip(tmp_path, fixtures_dir):
+    a = count_fasta_file(os.path.join(fixtures_dir, "tiny.fa"), 4)
+    b = count_fasta_file(os.path.join(fixtures_dir, "debruijn4.fa"), 4)
+    pa, pb = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    pa.write_text("\n".join(spectrum_lines(a, 4)) + "\n")
+    pb.write_text("\n".join(spectrum_lines(b, 4)) + "\n")
+    merged = spectra.merge_spectra([str(pa), str(pb)])
+    want = dict(a)
+    for k_, v in b.items():
+        want[k_] = want.get(k_, 0) + v
+    assert merged == want
+
+
+def test_diff_spectra():
+    assert spectra.diff_spectra({"AA": 1}, {"AA": 1}) == []
+    d = spectra.diff_spectra({"AA": 1, "AC": 2}, {"AA": 3})
+    assert d == ["AA: 1 != 3", "AC: 2 != 0"]
+
+
+def test_malformed_line_reported(tmp_path):
+    p = tmp_path / "bad.tsv"
+    p.write_text("AAAA\t1\ngarbage line\n")
+    with pytest.raises(ValueError, match="bad.tsv:2"):
+        spectra.read_spectrum(str(p))
+
+
+def _cli(args, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+
+
+def test_merge_cli_equals_combined_count(tmp_path, fixtures_dir):
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    d = os.path.join(fixtures_dir, "debruijn4.fa")
+    r1 = _cli(["count", "-i", t, "-k", "4", "-o", "s1.tsv"], tmp_path)
+    r2 = _cli(["count", "-i", d, "-k", "4", "-o", "s2.tsv"], tmp_path)
+    assert r1.returncode == 0 and r2.returncode == 0, (r1.stderr, r2.stderr)
+    rm = _cli(["merge", "-i", "s1.tsv", "s2.tsv"], tmp_path)
+    assert rm.returncode == 0, rm.stderr
+    rc = _cli(["count", "-i", t, d, "-k", "4"], tmp_path)
+    assert rm.stdout == rc.stdout
+
+    # diff: identical -> exit 0; different -> exit 1 with lines
+    rd = _cli(["diff", "-i", "s1.tsv", "s1.tsv"], tmp_path)
+    assert rd.returncode == 0 and rd.stdout == ""
+    rd2 = _cli(["diff", "-i", "s1.tsv", "s2.tsv"], tmp_path)
+    assert rd2.returncode == 1 and rd2.stdout
