@@ -76,9 +76,14 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
     return bases / dt, dt
 
 
-def bench_sparse_step(jax, k=21, batch_rows=32, chunk_len=16384, steps=4,
-                      capacity=1 << 21, canonical=False):
-    """bases/s of the sparse (sorted-run) counting step for big k."""
+def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=16,
+                      capacity=1 << 22, canonical=False):
+    """bases/s of the sparse (log-structured sorted-run) path for big k.
+
+    Warmup runs one full flush cycle so every jit shape (including the
+    power-of-two-padded merge) is compiled before timing; the timed
+    region then covers whole flush cycles.
+    """
     import numpy as np
     import jax.numpy as jnp
 
@@ -95,7 +100,10 @@ def bench_sparse_step(jax, k=21, batch_rows=32, chunk_len=16384, steps=4,
     rows = jax.device_put(jnp.asarray(host_rows))
 
     state = counter.init_state()
-    state = counter.step(state, rows)
+    windows_per_batch = batch_rows * chunk_len
+    warm = max(1, cfg.sparse_flush_entries // windows_per_batch) + 1
+    for _ in range(warm):
+        state = counter.step(state, rows)
     state = counter.flush(state)
     _sync(state.table.cnt)
 

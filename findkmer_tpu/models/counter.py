@@ -116,9 +116,9 @@ class KmerCounter:
             if m == "pallas":
                 from findkmer_tpu.ops.pallas import fused_count_available
 
-                if not (fused_count_available() and cfg.k <= 8):
+                if not (fused_count_available() and cfg.k <= 10):
                     raise ValueError(
-                        f"pallas hist needs pallas support and k <= 8 "
+                        f"pallas hist needs pallas support and k <= 10 "
                         f"(got k={cfg.k})"
                     )
             elif m == "auto":
@@ -128,7 +128,7 @@ class KmerCounter:
                 from findkmer_tpu.ops.pallas import fused_count_available
 
                 if (
-                    cfg.k <= 8
+                    cfg.k <= 10
                     and fused_count_available()
                     and jax.default_backend() == "tpu"
                 ):

@@ -58,12 +58,11 @@ def fused_count_available() -> bool:
 
 
 def _split_bits(k: int) -> Tuple[int, int]:
-    """Split a 2k-bit code into (hi_bits, lo_bits), lo_bits <= 8 wide-lane
-    friendly halves.  Both halves must fit a uint8 plane (k <= 8 gives
-    8+8; k in (8, 10] gives wider hi, capped at 8 -> lo 8, hi 2k-8 <= 12
-    ... so hi is stored pre-split as its own plane by the caller)."""
+    """Split a 2k-bit code into (hi_bits, lo_bits) halves."""
     total = 2 * k
-    lo = min(total, 8)
+    # balanced split minimizes one-hot bytes (T1 + T2 per window); keep
+    # lo >= 7 bits so the lane dimension is at least 128 wide
+    lo = max((total + 1) // 2, min(total, 7))
     return total - lo, lo
 
 
@@ -135,13 +134,17 @@ def histogram_pallas(
     Each grid step consumes an (8, n_chunk) tile = 8*n_chunk windows.
     """
     assert _PALLAS_OK, "pallas unavailable"
-    assert k <= 8, "uint8 hi/lo planes require k <= 8"
+    # k <= 10: (T1, T2) int32 accumulator is 4^k * 4 bytes <= 4 MiB VMEM
+    assert k <= 10, "pallas histogram accumulator limited to k <= 10"
     hi_bits, lo_bits = _split_bits(k)
     T1, T2 = 1 << hi_bits, 1 << lo_bits
 
-    # uint8 planes, flattened and re-tiled (histograms are order-invariant)
-    hi8 = (codes >> lo_bits).astype(jnp.uint8).reshape(-1)
-    lo8 = (codes & (T2 - 1)).astype(jnp.uint8).reshape(-1)
+    # narrow planes, flattened and re-tiled (histograms are
+    # order-invariant); uint16 when a half exceeds 8 bits (k in 9..10)
+    hi_dt = jnp.uint8 if hi_bits <= 8 else jnp.uint16
+    lo_dt = jnp.uint8 if lo_bits <= 8 else jnp.uint16
+    hi8 = (codes >> lo_bits).astype(hi_dt).reshape(-1)
+    lo8 = (codes & (T2 - 1)).astype(lo_dt).reshape(-1)
     v8 = valid.astype(jnp.uint8).reshape(-1)
 
     N = hi8.shape[0]

@@ -19,7 +19,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("k", [4, 6, 8])
+@pytest.mark.parametrize("k", [4, 6, 8, 9, 10])
 def test_fused_matches_xla(rng, k):
     B, L = 8, 128
     R = L + k - 1
@@ -46,12 +46,27 @@ def test_fused_canonical(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_counter_pallas_method_vs_oracle(rng):
+@pytest.mark.parametrize("k", [6, 9, 10])
+def test_counter_pallas_method_vs_oracle(rng, k):
     from test_vs_oracle import check
 
     seq = random_dna(rng, 2000, n_prob=0.03)
-    cfg = Config(k=6, hist="pallas", chunk_len=128, batch_rows=4)
+    cfg = Config(k=k, hist="pallas", chunk_len=128, batch_rows=4)
     check(">r\n" + seq + "\n", cfg)
+
+
+@pytest.mark.parametrize("k", [4, 8, 10])
+def test_histogram_pallas_matches_bincount(rng, k):
+    import jax.numpy as jnp
+    from findkmer_tpu.ops.pallas.histogram_kernel import histogram_pallas
+
+    codes = jnp.asarray(rng.integers(0, 4**k, (8, 300)).astype(np.int32))
+    valid = jnp.asarray(rng.random((8, 300)) < 0.8)
+    got = np.asarray(histogram_pallas(codes, valid, k, interpret=True))
+    want = np.bincount(
+        np.asarray(codes)[np.asarray(valid)], minlength=4**k
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_odd_geometry(rng):
