@@ -61,10 +61,14 @@ class FastaReader:
     O(block_size) memory [BASELINE config 5].
     """
 
-    def __init__(self, path_or_file, block_size: int = 1 << 22):
+    def __init__(self, path_or_file, block_size: int = 1 << 22,
+                 strip_ws: bool = True):
         self._own = isinstance(path_or_file, (str, os.PathLike))
         self._f = open(path_or_file, "rb") if self._own else path_or_file
         self.block_size = int(block_size)
+        # strip_ws=False leaves whitespace in chunk data for consumers
+        # with a fused strip+encode path (io/native.fk_encode_compact)
+        self.strip_ws = bool(strip_ws)
 
     def close(self):
         if self._own:
@@ -119,7 +123,11 @@ class FastaReader:
                     if nxt < 0 or (0 <= nxt_cr < nxt):
                         nxt = nxt_cr
                     end = n if nxt < 0 else nxt + 1
-                    data = _strip_ws(buf[pos:end])
+                    data = (
+                        _strip_ws(buf[pos:end])
+                        if self.strip_ws
+                        else buf[pos:end]
+                    )
                     if not started:
                         record_id += 1
                         started = True

@@ -75,6 +75,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fk_encode_packed.restype = None
         lib.fk_count_valid.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
         lib.fk_count_valid.restype = ctypes.c_size_t
+        lib.fk_encode_compact.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.fk_encode_compact.restype = ctypes.c_size_t
         _lib = lib
     except OSError:
         _lib = None
@@ -114,6 +118,23 @@ def encode_packed(buf: np.ndarray):
         n,
     )
     return packed, validmask, n
+
+
+def encode_compact(buf) -> np.ndarray:
+    """Raw FASTA sequence bytes -> compacted codes (whitespace removed,
+    non-ACGT -> INVALID) in one C pass."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(buf, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty(buf.size, dtype=np.uint8)
+    m = lib.fk_encode_compact(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        buf.size,
+    )
+    return out[: int(m)]
 
 
 def count_valid(buf: np.ndarray) -> int:

@@ -33,6 +33,9 @@ import jax
 from findkmer_tpu.config import Config
 from findkmer_tpu.io.encode import INVALID, encode_bytes
 from findkmer_tpu.io.fasta import FastaReader
+from findkmer_tpu.utils.malloc_tuning import tune_for_streaming
+
+tune_for_streaming()  # keep big freed buffers on the heap (module doc)
 
 
 @dataclass
@@ -54,16 +57,29 @@ def code_stream(
     reader: FastaReader,
     *,
     prefer_native: bool = True,
+    fused: bool = False,
     stats: Optional[StreamStats] = None,
 ) -> Iterator[np.ndarray]:
-    """Encoded code chunks with one INVALID separator after each record."""
+    """Encoded code chunks with one INVALID separator after each record.
+
+    fused=True: chunk data still contains whitespace (reader constructed
+    with strip_ws=False) and the native C pass strips + encodes in one
+    sweep (io/native.fk_encode_compact).
+    """
     sep = np.array([INVALID], dtype=np.uint8)
+    if fused:
+        from findkmer_tpu.io import native as native_mod
     for chunk in reader.chunks():
         if chunk.data:
-            codes = encode_bytes(chunk.data, prefer_native=prefer_native)
+            if fused:
+                codes = native_mod.encode_compact(chunk.data)
+            else:
+                codes = encode_bytes(
+                    chunk.data, prefer_native=prefer_native
+                )
             if stats is not None:
                 stats.bases += codes.size
-                stats.valid_bases += int((codes < 4).sum())
+                stats.valid_bases += int(np.count_nonzero(codes < 4))
             yield codes
         if chunk.final:
             if stats is not None:
@@ -83,49 +99,74 @@ def batches_from_codes(
     codes that precede them (INVALID-filled at stream start).  The final
     batch is INVALID-padded to full shape (static shapes for jit,
     SURVEY.md §7 hard part 3).
+
+    Hot-path memory discipline: one persistent `work` buffer holds the
+    flat stream window; each batch is a single strided copy out of it.
+    The output array is freshly allocated per batch (it may alias into a
+    still-in-flight device_put, so reuse would race the H2D DMA) but
+    utils.malloc_tuning keeps glibc from munmapping freed big buffers, so
+    the pages stay warm — this VM faults fresh pages at ~0.02 GB/s
+    (bench/RESULTS.md) and per-batch mmap churn dominated the host
+    pipeline before this.
     """
     k, L, B = cfg.k, cfg.chunk_len, cfg.batch_rows
     R = L + k - 1
     need = B * L  # owned codes per batch
-    carry = np.full(k - 1, INVALID, dtype=np.uint8)
-    buf: list[np.ndarray] = []
-    buffered = 0
+    halo = k - 1
+    work = np.full(halo + need, INVALID, dtype=np.uint8)
+    filled = 0  # owned codes currently in work[halo:]
 
-    def _emit(flat_owned: np.ndarray) -> np.ndarray:
-        """flat_owned: (B*L,) owned codes; returns (B, R) rows."""
-        nonlocal carry
-        flat = np.concatenate([carry, flat_owned])
-        windows = np.lib.stride_tricks.sliding_window_view(flat, R)
-        rows = np.ascontiguousarray(windows[0 : B * L : L])
-        carry = flat[-(k - 1) :].copy() if k > 1 else carry
+    def _emit() -> np.ndarray:
+        # row i = work[i*L : i*L + R].  Copy the owned region as one
+        # contiguous reshape (row-wise memcpy; the naive overlapping
+        # strided copy ran at 80 MB/s) and fix up the k-1 halo columns
+        # with a tiny strided copy.
+        out = np.empty((B, R), dtype=np.uint8)
+        out[:, halo:] = work[halo : halo + need].reshape(B, L)
+        if halo:
+            out[:, :halo] = np.lib.stride_tricks.as_strided(
+                work, shape=(B, halo), strides=(L, 1)
+            )
+        if halo:
+            work[:halo] = work[need : need + halo]  # next batch's halo
         if stats is not None:
             stats.batches += 1
             stats.rows += B
-            stats.h2d_bytes += rows.nbytes
-        return rows
+            stats.h2d_bytes += out.nbytes
+        return out
 
     for arr in codes:
-        buf.append(arr)
-        buffered += arr.size
-        while buffered >= need:
-            flat = np.concatenate(buf) if len(buf) > 1 else buf[0]
-            yield _emit(flat[:need])
-            rest = flat[need:]
-            buf = [rest] if rest.size else []
-            buffered = rest.size
-    if buffered:
-        flat = np.concatenate(buf) if len(buf) > 1 else buf[0]
-        pad = np.full(need - buffered, INVALID, dtype=np.uint8)
-        yield _emit(np.concatenate([flat, pad]))
+        pos = 0
+        n = arr.size
+        while n - pos >= need - filled:
+            take = need - filled
+            work[halo + filled : halo + need] = arr[pos : pos + take]
+            pos += take
+            filled = 0
+            yield _emit()
+        rem = n - pos
+        if rem:
+            work[halo + filled : halo + filled + rem] = arr[pos:]
+            filled += rem
+    if filled:
+        work[halo + filled :] = INVALID
+        filled = 0
+        yield _emit()
 
 
 def batches_from_file(
     path, cfg: Config, *, stats: Optional[StreamStats] = None
 ) -> Iterator[np.ndarray]:
-    with FastaReader(path) as reader:
+    from findkmer_tpu.io import native as native_mod
+
+    fused = cfg.use_native_encode and native_mod.available()
+    with FastaReader(path, strip_ws=not fused) as reader:
         yield from batches_from_codes(
             code_stream(
-                reader, prefer_native=cfg.use_native_encode, stats=stats
+                reader,
+                prefer_native=cfg.use_native_encode,
+                fused=fused,
+                stats=stats,
             ),
             cfg,
             stats=stats,

@@ -83,6 +83,34 @@ void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
   }
 }
 
+/* Fused whitespace-strip + encode: raw FASTA sequence-region bytes ->
+ * compacted codes.  ASCII whitespace (space, \t, \r, \n, \v, \f) is
+ * dropped; ACGT/acgt -> 0..3; everything else -> FK_INVALID.  Returns the
+ * compacted length (<= n).  Single pass, branch-light — replaces the
+ * separate numpy mask+compact pass that dominated host batching. */
+static uint8_t LUT_WS[256];
+
+__attribute__((constructor)) static void fk_init_ws_lut(void) {
+  memset(LUT_WS, FK_INVALID, sizeof(LUT_WS));
+  LUT_WS['A'] = 0; LUT_WS['a'] = 0;
+  LUT_WS['C'] = 1; LUT_WS['c'] = 1;
+  LUT_WS['G'] = 2; LUT_WS['g'] = 2;
+  LUT_WS['T'] = 3; LUT_WS['t'] = 3;
+  LUT_WS[' '] = 255; LUT_WS['\t'] = 255; LUT_WS['\r'] = 255;
+  LUT_WS['\n'] = 255; LUT_WS['\v'] = 255; LUT_WS['\f'] = 255;
+}
+
+size_t fk_encode_compact(const uint8_t *restrict in, uint8_t *restrict out,
+                         size_t n) {
+  size_t m = 0;
+  for (size_t i = 0; i < n; ++i) {
+    uint8_t c = LUT_WS[in[i]];
+    out[m] = c;
+    m += (c != 255);
+  }
+  return m;
+}
+
 /* Count valid (ACGT) bytes — used for stats without a second pass in
  * Python. */
 size_t fk_count_valid(const uint8_t *restrict in, size_t n) {
