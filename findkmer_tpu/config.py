@@ -84,6 +84,12 @@ class Config:
 
     # --- runtime ---
     use_native_encode: bool = True   # prefer the C encoder when built
+    packed_h2d: bool = True
+    # ship batches as 2-bit-packed codes + validity bitmask (0.375 B/base
+    # vs 1 B/base) and unpack on device.  Measured decisive here: the TPU
+    # sits behind a ~100 MB/s tunnel, so H2D bytes bound end-to-end
+    # throughput (bench/RESULTS.md); on real PCIe hosts it still quarters
+    # transfer volume.
     seed: int = 0
 
     def __post_init__(self):

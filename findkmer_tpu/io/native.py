@@ -79,6 +79,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ]
         lib.fk_encode_compact.restype = ctypes.c_size_t
+        lib.fk_pack_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.fk_pack_rows.restype = None
         _lib = lib
     except OSError:
         _lib = None
@@ -135,6 +141,27 @@ def encode_compact(buf) -> np.ndarray:
         buf.size,
     )
     return out[: int(m)]
+
+
+def pack_rows(work: np.ndarray, B: int, L: int, R: int):
+    """Flat work buffer -> ((B, R8/4) packed, (B, R8/8) validbits).
+
+    Row i covers work[i*L : i*L+R] (overlapping halos), padded with
+    invalid to R8 = R rounded up to 8.
+    """
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    work = np.ascontiguousarray(work, dtype=np.uint8)
+    assert work.size >= (B - 1) * L + R
+    R8 = (R + 7) // 8 * 8
+    packed = np.empty((B, R8 // 4), dtype=np.uint8)
+    validbits = np.empty((B, R8 // 8), dtype=np.uint8)
+    lib.fk_pack_rows(
+        work.ctypes.data_as(ctypes.c_void_p), B, L, R, R8,
+        packed.ctypes.data_as(ctypes.c_void_p),
+        validbits.ctypes.data_as(ctypes.c_void_p),
+    )
+    return packed, validbits
 
 
 def count_valid(buf: np.ndarray) -> int:

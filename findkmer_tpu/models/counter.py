@@ -36,19 +36,41 @@ from findkmer_tpu import table as table_mod
 
 @partial(
     jax.jit,
-    static_argnames=("k", "canonical", "table_size", "method"),
+    static_argnames=("k", "canonical", "table_size", "method", "R"),
     donate_argnums=(0,),
 )
 def _dense_step(
     table: jnp.ndarray,
-    rows: jnp.ndarray,
+    batch,
     k: int,
     canonical: bool,
     table_size: int,
     method: str,
+    R: int,
 ) -> jnp.ndarray:
+    rows = window_ops.rows_from_batch(batch, R)
     codes, valid = window_ops.window_codes(rows, k, canonical)
     return hist_ops.dense_counts(codes, valid, table, table_size, method)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "canonical", "R", "interpret"),
+)
+def _pallas_dense_step(
+    table: jnp.ndarray,
+    batch,
+    k: int,
+    canonical: bool,
+    R: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    from findkmer_tpu.ops.pallas.histogram_kernel import histogram_pallas
+
+    rows = window_ops.rows_from_batch(batch, R)
+    codes, valid = window_ops.window_codes(rows, k, canonical)
+    delta = histogram_pallas(codes, valid, k, interpret=interpret)
+    return table + delta.astype(table.dtype)
 
 
 def _window_codes_any(rows, k, canonical):
@@ -59,18 +81,20 @@ def _window_codes_any(rows, k, canonical):
     return window_ops.window_codes_wide(rows, k, canonical)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def _batch_runs(rows: jnp.ndarray, k: int, canonical: bool):
+@partial(jax.jit, static_argnames=("k", "canonical", "R"))
+def _batch_runs(batch, k: int, canonical: bool, R: int):
     """One batch -> its own sorted distinct (hi, lo, cnt) runs."""
+    rows = window_ops.rows_from_batch(batch, R)
     whi, wlo, valid = _window_codes_any(rows, k, canonical)
     return sparse_ops.batch_to_runs(whi, wlo, valid)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def _batch_codes(rows: jnp.ndarray, k: int, canonical: bool):
+@partial(jax.jit, static_argnames=("k", "canonical", "R"))
+def _batch_codes(batch, k: int, canonical: bool, R: int):
     """One batch -> raw (hi, lo, cnt) window codes, invalid masked to
     sentinel.  No sort: merge_runs re-sorts its whole input anyway, so the
     flush's single big sort subsumes per-batch compaction."""
+    rows = window_ops.rows_from_batch(batch, R)
     whi, wlo, valid = _window_codes_any(rows, k, canonical)
     sent = jnp.uint32(sparse_ops.SENTINEL)
     hi = jnp.where(valid, whi, sent).reshape(-1)
@@ -147,34 +171,35 @@ class KmerCounter:
             table=table_mod.SparseTable.empty(self.cfg), pending=[]
         )
 
-    def step(self, state, rows: jnp.ndarray):
-        """One batch update.  rows: (B, R) uint8 codes, R = chunk+k-1."""
+    def step(self, state, batch):
+        """One batch update.
+
+        batch: (B, R) uint8 code rows, or a (packed, validbits) pair in
+        the 2-bit H2D format (Config.packed_h2d; unpacked on device).
+        """
         cfg = self.cfg
         if self.mode == "direct":
             if self._method == "pallas":
-                from findkmer_tpu.ops.pallas.histogram_kernel import (
-                    add_counts_pallas,
-                )
-
-                counts = add_counts_pallas(
-                    rows, state.counts, cfg.k, cfg.canonical,
-                    interpret=self._pl_interpret,
+                counts = _pallas_dense_step(
+                    state.counts, batch, cfg.k, cfg.canonical,
+                    cfg.row_len, self._pl_interpret,
                 )
                 return table_mod.DenseTable(counts=counts, k=cfg.k)
             counts = _dense_step(
                 state.counts,
-                rows,
+                batch,
                 cfg.k,
                 cfg.canonical,
                 cfg.table_size,
                 self._method,
+                cfg.row_len,
             )
             return table_mod.DenseTable(counts=counts, k=cfg.k)
 
         batch_fn = (
             _batch_runs if cfg.sparse_compact_batches else _batch_codes
         )
-        runs = batch_fn(rows, cfg.k, cfg.canonical)
+        runs = batch_fn(batch, cfg.k, cfg.canonical, cfg.row_len)
         state = SparseState(
             table=state.table, pending=state.pending + [runs]
         )
@@ -256,7 +281,8 @@ class KmerCounter:
             def fn(table, rows):
                 return _dense_step(
                     table, rows, cfg.k, cfg.canonical, cfg.table_size,
-                    self._method,
+                    "scatter" if self._method == "pallas" else self._method,
+                    cfg.row_len,
                 )
 
             return fn, (table, rows)
@@ -264,7 +290,8 @@ class KmerCounter:
         hi, lo, cnt = sparse_ops.empty_store(cfg.sparse_capacity)
 
         def fn(hi, lo, cnt, rows):
-            rhi, rlo, rcnt = _batch_runs(rows, cfg.k, cfg.canonical)
+            rhi, rlo, rcnt = _batch_runs(rows, cfg.k, cfg.canonical,
+                                         cfg.row_len)
             return sparse_ops.merge_runs(hi, lo, cnt, rhi, rlo, rcnt)
 
         return fn, (hi, lo, cnt, rows)

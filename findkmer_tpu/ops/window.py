@@ -120,6 +120,38 @@ def window_codes_wide(
     return hi, lo, valid
 
 
+def unpack_rows(
+    packed: jnp.ndarray, validbits: jnp.ndarray, R: int
+) -> jnp.ndarray:
+    """Device-side unpack of 2-bit-packed rows back to uint8 code rows.
+
+    packed:    (B, R8/4) uint8, 4 bases/byte little-endian within byte.
+    validbits: (B, R8/8) uint8, 1 bit/base little-endian.
+    Returns (B, R) uint8 codes with INVALID (4) at invalid positions.
+    Pure VPU shifts; XLA fuses this into the window extraction, so the
+    packed H2D format costs no extra memory pass.
+    """
+    B = packed.shape[0]
+    shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    codes = (
+        (packed[:, :, None] >> shifts2[None, None, :]) & jnp.uint8(3)
+    ).reshape(B, -1)
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    bits = (
+        (validbits[:, :, None] >> shifts1[None, None, :]) & jnp.uint8(1)
+    ).reshape(B, -1)
+    rows = jnp.where(bits == 1, codes, jnp.uint8(4))
+    return rows[:, :R]
+
+
+def rows_from_batch(batch, R: int) -> jnp.ndarray:
+    """Accept either raw (B, R) uint8 rows or a (packed, validbits) pair."""
+    if isinstance(batch, (tuple, list)):
+        packed, validbits = batch
+        return unpack_rows(packed, validbits, R)
+    return batch
+
+
 def revcomp_code(code: int, k: int) -> int:
     """Host-side reverse complement of an integer k-mer code (tests/output)."""
     rc = 0

@@ -89,9 +89,18 @@ class DistributedCounter:
         k, canonical = cfg.k, cfg.canonical
         T = cfg.table_size if self.mode == "direct" else None
         dtype = jnp.dtype(cfg.count_dtype)
-        rows_spec = P(AXIS, None)
+        rows_leaf_spec = P(AXIS, None)
+        # batches may be raw (B, R) rows or a (packed, validbits) pair
+        # (Config.packed_h2d); both leaves shard on the batch dim
+        rows_spec = (
+            (rows_leaf_spec, rows_leaf_spec)
+            if cfg.packed_h2d
+            else rows_leaf_spec
+        )
+        R = cfg.row_len
+        unpack = window_ops.rows_from_batch
         state_spec = P(AXIS, None)
-        self._rows_sharding = NamedSharding(mesh, rows_spec)
+        self._rows_sharding = NamedSharding(mesh, rows_leaf_spec)
         self._state_sharding = NamedSharding(mesh, state_spec)
         method = cfg.hist if cfg.hist not in ("auto", "pallas") else "scatter"
 
@@ -99,7 +108,9 @@ class DistributedCounter:
 
             def step(tables, rows):
                 # tables: (1, T) local slice of (n_dev, T); rows local shard
-                codes, valid = window_ops.window_codes(rows, k, canonical)
+                codes, valid = window_ops.window_codes(
+                    unpack(rows, R), k, canonical
+                )
                 t = hist_ops.dense_counts(
                     codes, valid, tables[0], T, method
                 )
@@ -134,7 +145,9 @@ class DistributedCounter:
 
             def step(shards, overflow, rows):
                 # shards: (1, shard_size); rows: local (B/n, R)
-                codes, valid = window_ops.window_codes(rows, k, canonical)
+                codes, valid = window_ops.window_codes(
+                    unpack(rows, R), k, canonical
+                )
                 flat = jnp.where(valid, codes, SENT).reshape(-1)
                 dest = flat >> shift  # invalid -> n_dev (dropped by scatter)
                 # stable sort by dest, codes as payload
@@ -184,13 +197,16 @@ class DistributedCounter:
 
             def step(hi, lo, cnt, overflow, rows):
                 # all leading dims (1, ...) local slices
+                urows = unpack(rows, R)
                 if k <= 15:
-                    codes, valid = window_ops.window_codes(rows, k, canonical)
+                    codes, valid = window_ops.window_codes(
+                        urows, k, canonical
+                    )
                     whi = jnp.zeros_like(codes, jnp.uint32)
                     wlo = codes.astype(jnp.uint32)
                 else:
                     whi, wlo, valid = window_ops.window_codes_wide(
-                        rows, k, canonical
+                        urows, k, canonical
                     )
                 rhi, rlo, rcnt = sparse_ops.batch_to_runs(whi, wlo, valid)
                 nhi, nlo, ncnt, ovf = sparse_ops.merge_runs(
@@ -242,12 +258,14 @@ class DistributedCounter:
             jnp.zeros((), bool),
         )
 
-    def put_batch(self, rows: np.ndarray) -> jax.Array:
-        """Host (B, R) batch -> device array sharded over the mesh."""
+    def put_batch(self, rows):
+        """Host batch (rows or (packed, validbits)) -> sharded device."""
         return jax.device_put(rows, self._rows_sharding)
 
     def step(self, state, rows):
-        if isinstance(rows, np.ndarray):
+        if isinstance(rows, np.ndarray) or (
+            isinstance(rows, tuple) and isinstance(rows[0], np.ndarray)
+        ):
             rows = self.put_batch(rows)
         if self.merge == "psum":
             return self._step(state, rows)

@@ -116,11 +116,34 @@ def batches_from_codes(
     work = np.full(halo + need, INVALID, dtype=np.uint8)
     filled = 0  # owned codes currently in work[halo:]
 
-    def _emit() -> np.ndarray:
-        # row i = work[i*L : i*L + R].  Copy the owned region as one
-        # contiguous reshape (row-wise memcpy; the naive overlapping
-        # strided copy ran at 80 MB/s) and fix up the k-1 halo columns
-        # with a tiny strided copy.
+    pack = cfg.packed_h2d
+    if pack:
+        from findkmer_tpu.io import native as native_mod
+
+        native_pack = native_mod.available()
+        R8 = (R + 7) // 8 * 8
+
+    def _emit():
+        nonlocal filled
+        if stats is not None:
+            stats.batches += 1
+            stats.rows += B
+        if pack:
+            # 2-bit + validity-bit device format: 0.375 B/base on the
+            # wire (H2D bandwidth bounds e2e throughput here)
+            if native_pack:
+                packed, validbits = native_mod.pack_rows(work, B, L, R)
+            else:
+                packed, validbits = _numpy_pack_rows(work, B, L, R, R8)
+            if halo:
+                work[:halo] = work[need : need + halo]
+            if stats is not None:
+                stats.h2d_bytes += packed.nbytes + validbits.nbytes
+            return packed, validbits
+        # raw byte rows: row i = work[i*L : i*L + R].  Copy the owned
+        # region as one contiguous reshape (row-wise memcpy; the naive
+        # overlapping strided copy ran at 80 MB/s) and fix up the k-1
+        # halo columns with a tiny strided copy.
         out = np.empty((B, R), dtype=np.uint8)
         out[:, halo:] = work[halo : halo + need].reshape(B, L)
         if halo:
@@ -130,8 +153,6 @@ def batches_from_codes(
         if halo:
             work[:halo] = work[need : need + halo]  # next batch's halo
         if stats is not None:
-            stats.batches += 1
-            stats.rows += B
             stats.h2d_bytes += out.nbytes
         return out
 
@@ -154,6 +175,28 @@ def batches_from_codes(
         yield _emit()
 
 
+def _numpy_pack_rows(work, B, L, R, R8):
+    """Vectorized fallback for native.pack_rows (same output layout)."""
+    rows = np.full((B, R8), INVALID, dtype=np.uint8)
+    # build rows via the same contiguous + halo trick
+    halo = R - L
+    rows[:, halo:R] = work[halo : halo + B * L].reshape(B, L)
+    if halo:
+        rows[:, :halo] = np.lib.stride_tricks.as_strided(
+            work, shape=(B, halo), strides=(L, 1)
+        )
+    valid = rows < 4
+    safe = np.where(valid, rows, 0).astype(np.uint8)
+    packed = (
+        safe[:, 0::4]
+        | (safe[:, 1::4] << 2)
+        | (safe[:, 2::4] << 4)
+        | (safe[:, 3::4] << 6)
+    ).astype(np.uint8)
+    validbits = np.packbits(valid, axis=1, bitorder="little")
+    return packed, validbits
+
+
 def batches_from_file(
     path, cfg: Config, *, stats: Optional[StreamStats] = None
 ) -> Iterator[np.ndarray]:
@@ -174,32 +217,81 @@ def batches_from_file(
 
 
 def prefetch_to_device(
-    batches: Iterator[np.ndarray], depth: int, device=None
+    batches: Iterator[np.ndarray], depth: int, device=None,
+    threaded: bool = True,
 ) -> Iterator[jax.Array]:
     """Keep `depth` batches' H2D transfers in flight ahead of consumption.
 
-    jax.device_put is async: starting the next transfer before the current
-    batch's compute is consumed gives the double-buffered host->HBM
-    prefetch of SURVEY.md §2.2 (PP analog) without threads.
+    Producer thread + async jax.device_put: host batching (FASTA parse,
+    encode, pack) overlaps the H2D transfer AND device compute, so
+    end-to-end throughput approaches max(host, transfer, compute) instead
+    of their sum — the double-buffered host->HBM prefetch of SURVEY.md
+    §2.2 (PP analog).  The numpy/C hot loops release the GIL, so one
+    thread suffices.
     """
     from collections import deque
 
     if device is None:
         device = jax.devices()[0]
-    q: deque[jax.Array] = deque()
-    it = iter(batches)
-    try:
-        for _ in range(max(1, depth)):
-            q.append(jax.device_put(next(it), device))
-    except StopIteration:
-        pass
-    while q:
-        out = q.popleft()
+    depth = max(1, depth)
+
+    if not threaded:
+        q: deque[jax.Array] = deque()
+        it = iter(batches)
         try:
-            q.append(jax.device_put(next(it), device))
+            for _ in range(depth):
+                q.append(jax.device_put(next(it), device))
         except StopIteration:
             pass
-        yield out
+        while q:
+            out = q.popleft()
+            try:
+                q.append(jax.device_put(next(it), device))
+            except StopIteration:
+                pass
+            yield out
+        return
+
+    import queue
+    import threading
+
+    _END = object()
+    host_q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def producer():
+        try:
+            for b in batches:
+                host_q.put(b)
+            host_q.put(_END)
+        except BaseException as e:  # surface errors in the consumer
+            host_q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    dq: deque[jax.Array] = deque()
+    done = False
+    try:
+        while True:
+            while not done and len(dq) < depth:
+                item = host_q.get()
+                if item is _END:
+                    done = True
+                elif isinstance(item, BaseException):
+                    raise item
+                else:
+                    dq.append(jax.device_put(item, device))
+            if not dq:
+                break
+            yield dq.popleft()
+    finally:
+        done = True
+        # drain so the producer can exit if the consumer stops early
+        while t.is_alive():
+            try:
+                host_q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def count_file(

@@ -92,8 +92,9 @@ def _with_stats(it, cfg, stats):
     for rows in it:
         if stats is not None:
             stats.batches += 1
-            stats.rows += rows.shape[0]
-            stats.h2d_bytes += rows.nbytes
+            stats.rows += cfg.batch_rows
+            leaves = rows if isinstance(rows, tuple) else (rows,)
+            stats.h2d_bytes += sum(a.nbytes for a in leaves)
         yield rows
 
 

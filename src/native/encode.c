@@ -111,6 +111,41 @@ size_t fk_encode_compact(const uint8_t *restrict in, uint8_t *restrict out,
   return m;
 }
 
+/* Pack batch rows straight out of the pipeline's flat work buffer into
+ * the 2-bit + validity-bitmask device format (Config.packed_h2d): row i
+ * reads codes work[i*L .. i*L+R) (rows overlap by the k-1 halo) and is
+ * padded with invalid to R8 (R rounded up to a multiple of 8).  Output
+ * pitches: packed R8/4 bytes/row, validbits R8/8 bytes/row.  One pass,
+ * no intermediate (B, R) byte matrix. */
+void fk_pack_rows(const uint8_t *restrict work, size_t B, size_t L,
+                  size_t R, size_t R8, uint8_t *restrict packed,
+                  uint8_t *restrict validbits) {
+  size_t pp = R8 / 4, vp = R8 / 8;
+  for (size_t i = 0; i < B; ++i) {
+    const uint8_t *row = work + i * L;
+    uint8_t *prow = packed + i * pp;
+    uint8_t *vrow = validbits + i * vp;
+    for (size_t b = 0; b < vp; ++b) {
+      uint8_t pb0 = 0, pb1 = 0, vb = 0;
+      size_t base = b * 8;
+      for (size_t j = 0; j < 8; ++j) {
+        size_t idx = base + j;
+        uint8_t c = idx < R ? row[idx] : FK_INVALID;
+        uint8_t valid = c < 4;
+        uint8_t code = (uint8_t)(c & 3u & (uint8_t)-valid);
+        if (j < 4)
+          pb0 |= (uint8_t)(code << (2 * j));
+        else
+          pb1 |= (uint8_t)(code << (2 * (j - 4)));
+        vb |= (uint8_t)(valid << j);
+      }
+      prow[2 * b] = pb0;
+      prow[2 * b + 1] = pb1;
+      vrow[b] = vb;
+    }
+  }
+}
+
 /* Count valid (ACGT) bytes — used for stats without a second pass in
  * Python. */
 size_t fk_count_valid(const uint8_t *restrict in, size_t n) {
