@@ -36,7 +36,8 @@ def run_scaling(n_devices_list, merge="psum", k=8, batch_rows=64,
         if n > len(jax.devices()):
             continue
         cfg = Config(
-            k=k, batch_rows=batch_rows * n, chunk_len=chunk_len, merge=merge
+            k=k, batch_rows=batch_rows * n, chunk_len=chunk_len, merge=merge,
+            packed_h2d=False,  # synthetic raw rows
         )
         mesh = make_mesh(n)
         dc = DistributedCounter(cfg, mesh)

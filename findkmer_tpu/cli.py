@@ -224,6 +224,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint directory (enables resume)")
     ps.add_argument("--checkpoint-every", type=int, default=64,
                     help="batches between checkpoints")
+    ps.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total host processes "
+                         "(env FINDKMER_NUM_PROCESSES)")
+    ps.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this host's index "
+                         "(env FINDKMER_PROCESS_ID)")
+    ps.add_argument("--coordinator", default=None,
+                    help="multi-host: jax.distributed coordinator "
+                         "address (env FINDKMER_COORDINATOR); each host "
+                         "emits a partial spectrum — combine with "
+                         "`findkmer merge`")
     ps.set_defaults(fn=cmd_stream)
 
     pt = sub.add_parser("stats", help="stream statistics only (no device)")

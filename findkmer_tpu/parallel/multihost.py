@@ -44,13 +44,22 @@ def initialize(
         num_processes = int(os.environ.get("FINDKMER_NUM_PROCESSES", "1"))
     if process_id is None:
         process_id = int(os.environ.get("FINDKMER_PROCESS_ID", "0"))
-    if num_processes <= 1 or coordinator_address is None:
+    if num_processes <= 1:
         return 1, 0
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if not (0 <= process_id < num_processes):
+        raise ValueError(
+            f"process_id {process_id} out of range for {num_processes} "
+            "processes"
+        )
+    # Without a coordinator the hosts run independently (file-level merge
+    # via `findkmer merge`); with one, jax.distributed gives a global
+    # device mesh for collective merging (parallel/dist.py).
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     return num_processes, process_id
 
 

@@ -31,10 +31,19 @@ def stream_count(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 64,
     stats: Optional[pipeline.StreamStats] = None,
+    num_processes: int = 1,
+    process_id: int = 0,
 ):
     """Count k-mers across `paths` with optional checkpoint/resume.
 
-    Returns the finalized spectrum.
+    Multi-host: with num_processes > 1 this host deterministically takes
+    batches process_id, process_id+P, ... of the global batch sequence
+    (parallel/multihost.py) and returns its PARTIAL spectrum; partials
+    are combined exactly with `findkmer merge` (counting is associative).
+    Checkpoint indices are local to this host's subsequence, so resume
+    composes with sharding.
+
+    Returns the finalized (possibly partial) spectrum.
     """
     counter = KmerCounter(cfg)
     start_batch = 0
@@ -53,12 +62,24 @@ def stream_count(
         state = counter.init_state()
 
     def batches():
-        for path in paths:
-            # stats are recounted only for batches actually processed;
-            # during skip we pass stats=None so resumed totals stay exact
-            yield from pipeline.batches_from_file(
-                path, cfg, stats=None if start_batch else stats
+        def all_batches():
+            for path in paths:
+                # stats are recounted only for batches actually processed;
+                # during skip stats=None so resumed totals stay exact
+                yield from pipeline.batches_from_file(
+                    path, cfg, stats=None if start_batch else stats
+                )
+
+        if num_processes > 1:
+            from findkmer_tpu.parallel.multihost import (
+                shard_batches_round_robin,
             )
+
+            yield from shard_batches_round_robin(
+                all_batches(), num_processes, process_id
+            )
+        else:
+            yield from all_batches()
 
     it = batches()
     # exact resume: skip batches the checkpoint already covers
@@ -124,6 +145,11 @@ def run_stream(args) -> int:
 
     cfg = _cfg_from_args(args)
     stats = pipeline.StreamStats()
+    from findkmer_tpu.parallel.multihost import initialize
+
+    num_processes, process_id = initialize(
+        args.coordinator, args.num_processes, args.process_id
+    )
     t0 = time.time()
     spectrum = stream_count(
         args.input,
@@ -131,6 +157,8 @@ def run_stream(args) -> int:
         checkpoint_dir=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         stats=stats,
+        num_processes=num_processes,
+        process_id=process_id,
     )
     wall = time.time() - t0
     f, close = _open_out(args.output)
