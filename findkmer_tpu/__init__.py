@@ -20,4 +20,14 @@ Correctness bar: bit-exact spectra versus the scalar oracle in oracle/
 from findkmer_tpu.version import __version__
 from findkmer_tpu.config import Config
 
-__all__ = ["Config", "__version__"]
+
+def __getattr__(name):
+    # lazy: importing findkmer_tpu must stay cheap (no jax import)
+    if name in ("count", "count_text", "Spectrum"):
+        from findkmer_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(name)
+
+
+__all__ = ["Config", "count", "count_text", "Spectrum", "__version__"]

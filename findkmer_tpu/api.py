@@ -1,0 +1,162 @@
+"""Public Python API — the library-user surface of findkmer-tpu.
+
+The CLI (cli.py) is a thin wrapper over these functions; library users
+get the same capabilities without subprocesses:
+
+    import findkmer_tpu as fk
+
+    spec = fk.count(["genome.fa"], k=8)            # Spectrum
+    spec["ACGTACGT"]                               # -> count
+    spec.to_dict()                                 # {kmer: count}
+    spec.total(), spec.distinct()
+    spec.histo()                                   # count-of-counts
+    fk.count(["a.fa"], k=21, canonical=True).write("out.tsv")
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from findkmer_tpu.config import Config
+
+
+@dataclass
+class Spectrum:
+    """A finalized k-mer spectrum (dense or sparse backing)."""
+
+    k: int
+    canonical: bool
+    _dense: Optional[np.ndarray] = None            # (4^k,) counts
+    _codes: Optional[np.ndarray] = None            # sorted uint64 codes
+    _counts: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_engine(cls, spectrum, cfg: Config) -> "Spectrum":
+        if isinstance(spectrum, tuple):
+            codes, counts = spectrum
+            return cls(
+                k=cfg.k, canonical=cfg.canonical,
+                _codes=np.asarray(codes, dtype=np.uint64),
+                _counts=np.asarray(counts),
+            )
+        return cls(
+            k=cfg.k, canonical=cfg.canonical, _dense=np.asarray(spectrum)
+        )
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, kmer: Union[str, int]) -> int:
+        from findkmer_tpu.ops.window import str_to_code
+
+        code = str_to_code(kmer) if isinstance(kmer, str) else int(kmer)
+        if self._dense is not None:
+            return int(self._dense[code])
+        i = np.searchsorted(self._codes, np.uint64(code))
+        if i < self._codes.size and self._codes[i] == np.uint64(code):
+            return int(self._counts[i])
+        return 0
+
+    def total(self) -> int:
+        arr = self._dense if self._dense is not None else self._counts
+        return int(arr.sum())
+
+    def distinct(self) -> int:
+        if self._dense is not None:
+            return int(np.count_nonzero(self._dense))
+        return int(self._counts.size)
+
+    def items(self) -> Iterable[Tuple[str, int]]:
+        """(kmer, count) pairs in lexicographic order, zeros skipped."""
+        from findkmer_tpu.ops.window import code_to_str
+
+        if self._dense is not None:
+            for code in np.nonzero(self._dense)[0]:
+                yield code_to_str(int(code), self.k), int(self._dense[code])
+        else:
+            for code, cnt in zip(self._codes, self._counts):
+                yield code_to_str(int(code), self.k), int(cnt)
+
+    def to_dict(self) -> Dict[str, int]:
+        return dict(self.items())
+
+    def histo(self, max_count: int = 10000) -> np.ndarray:
+        """Count-of-counts: h[m] = number of distinct k-mers seen m times
+        (m clipped to max_count; h[0] unused)."""
+        counts = (
+            self._dense[self._dense > 0]
+            if self._dense is not None
+            else self._counts
+        )
+        clipped = np.minimum(counts.astype(np.int64), max_count)
+        return np.bincount(clipped, minlength=max_count + 1)
+
+    def write(self, path_or_file, *, zeros: bool = False, sep: str = "\t"):
+        """Write the spectrum in CLI format (lexicographic KMER<sep>COUNT)."""
+        from findkmer_tpu import output as output_mod
+
+        cfg = Config(
+            k=self.k, canonical=self.canonical, zeros=zeros, sep=sep,
+            table_mode="direct" if self._dense is not None else "sparse",
+        )
+        spectrum = (
+            self._dense
+            if self._dense is not None
+            else (self._codes, self._counts)
+        )
+        if hasattr(path_or_file, "write"):
+            return output_mod.write_spectrum(path_or_file, spectrum, cfg)
+        with open(path_or_file, "wb") as f:
+            return output_mod.write_spectrum(f, spectrum, cfg)
+
+
+def count(
+    inputs: Union[str, Sequence[str]],
+    k: int,
+    *,
+    canonical: bool = False,
+    config: Optional[Config] = None,
+    **config_overrides,
+) -> Spectrum:
+    """Count k-mers in FASTA file(s); returns a Spectrum.
+
+    Extra keyword arguments become Config fields (e.g. chunk_len=...,
+    table_mode="sparse", hist="pallas").
+    """
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu import pipeline
+
+    if isinstance(inputs, (str, bytes)):
+        inputs = [inputs]
+    cfg = (config or Config(k=k, canonical=canonical)).replace(
+        k=k, canonical=canonical, **config_overrides
+    )
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    for path in inputs:
+        for rows in pipeline.prefetch_to_device(
+            pipeline.batches_from_file(path, cfg), cfg.prefetch
+        ):
+            state = counter.step(state, rows)
+    return Spectrum.from_engine(counter.finalize(state), cfg)
+
+
+def count_text(text: str, k: int, **kw) -> Spectrum:
+    """Count k-mers in in-memory FASTA text (convenience for small data)."""
+    import io as iomod
+
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu import pipeline
+
+    cfg = Config(k=k, **{kk: v for kk, v in kw.items()})
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    reader = FastaReader(iomod.BytesIO(text.encode()))
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(reader, prefer_native=False), cfg
+    ):
+        state = counter.step(state, rows)
+    return Spectrum.from_engine(counter.finalize(state), cfg)

@@ -200,6 +200,26 @@ def cmd_diff(args) -> int:
     return 1 if diffs else 0
 
 
+def cmd_histo(args) -> int:
+    """Count-of-counts histogram (KMC `histogram`-style output)."""
+    _enable_compile_cache()
+    from findkmer_tpu import api
+
+    cfg = _cfg_from_args(args)
+    spec = api.count(args.input, cfg.k, canonical=cfg.canonical,
+                     config=cfg)
+    h = spec.histo(max_count=args.max_count)
+    f, close = _open_out(args.output)
+    try:
+        for m in range(1, h.size):
+            if h[m] or not args.nonzero_only:
+                f.write(f"{m}{cfg.sep}{int(h[m])}\n".encode())
+    finally:
+        if close:
+            f.close()
+    return 0
+
+
 def cmd_bench(args) -> int:
     _enable_compile_cache()
     from bench import quick as bench_quick  # repo-root bench package
@@ -252,6 +272,15 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-z", "--zeros", action="store_true")
     pm.add_argument("--sep", default="\t")
     pm.set_defaults(fn=cmd_merge)
+
+    ph = sub.add_parser(
+        "histo", help="count-of-counts histogram of the spectrum"
+    )
+    _add_common(ph)
+    ph.add_argument("--max-count", type=int, default=10000,
+                    help="clip multiplicities above this into one bin")
+    ph.add_argument("--nonzero-only", action="store_true")
+    ph.set_defaults(fn=cmd_histo)
 
     pd = sub.add_parser(
         "diff", help="diff two spectrum files (exit 1 when different)"

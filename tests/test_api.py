@@ -1,0 +1,58 @@
+"""Public Python API (findkmer_tpu.count / Spectrum)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import findkmer_tpu as fk
+from oracle.scalar import count_fasta_file
+
+
+def test_count_file_api(fixtures_dir):
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    spec = fk.count(path, 4)
+    want = count_fasta_file(path, 4)
+    assert spec.to_dict() == want
+    assert spec["ACGT"] == want["ACGT"]
+    assert spec["TTTT"] == 0
+    assert spec.total() == sum(want.values())
+    assert spec.distinct() == len(want)
+
+
+def test_count_sparse_api(fixtures_dir):
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    spec = fk.count(path, 17, sparse_capacity=4096, chunk_len=64,
+                    batch_rows=2)
+    want = count_fasta_file(path, 17)
+    assert spec.to_dict() == want
+    assert spec["A" * 17] == 0
+
+
+def test_count_text_api():
+    spec = fk.count_text(">r\nACGTACGT\n", 4)
+    assert spec.to_dict() == {"ACGT": 2, "CGTA": 1, "GTAC": 1, "TACG": 1}
+
+
+def test_histo(fixtures_dir):
+    path = os.path.join(fixtures_dir, "debruijn4.fa")
+    spec = fk.count(path, 4)
+    h = spec.histo()
+    assert h[1] == 256 and h[2:].sum() == 0
+
+
+def test_spectrum_write_roundtrip(tmp_path, fixtures_dir):
+    path = os.path.join(fixtures_dir, "multi.fa")
+    spec = fk.count(path, 5, chunk_len=128, batch_rows=2)
+    out = tmp_path / "s.tsv"
+    spec.write(str(out))
+    from findkmer_tpu.spectra import read_spectrum
+
+    assert read_spectrum(str(out)) == spec.to_dict()
+
+
+def test_canonical_api(fixtures_dir):
+    path = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    spec = fk.count(path, 5, canonical=True, chunk_len=1024, batch_rows=4)
+    want = count_fasta_file(path, 5, canonical=True)
+    assert spec.to_dict() == want
