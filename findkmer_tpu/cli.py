@@ -51,7 +51,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--hist", choices=["auto", "scatter", "sort", "onehot",
                                       "pallas"], default="auto")
     p.add_argument("--batch-rows", type=int, default=256)
-    p.add_argument("--chunk-len", type=int, default=4096)
+    p.add_argument("--chunk-len", type=int, default=65536)
     p.add_argument("--sparse-capacity", type=int, default=1 << 22)
     p.add_argument("--sep", default="\t")
     p.add_argument("--counts-only", action="store_true")

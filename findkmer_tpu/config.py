@@ -65,7 +65,10 @@ class Config:
 
     # --- batching / streaming (pipeline.py) ---
     batch_rows: int = 256            # B: rows per device batch
-    chunk_len: int = 4096            # L: owned bases per row (halo adds k-1)
+    chunk_len: int = 65536           # L: owned bases per row (halo adds k-1)
+    # 256 x 65536 = 16.7 Mbase/batch: big batches amortize per-dispatch
+    # latency (decisive through the axon tunnel; bench/RESULTS.md) and
+    # keep jit shape count at one; small inputs just pad the final batch
     prefetch: int = 2                # host->device double-buffer depth
 
     # --- histogram algorithm ---
