@@ -86,9 +86,27 @@ def _cfg_from_args(args):
             "-z/--zeros requires a direct (dense) table; "
             f"k={cfg.k} resolves to a sparse table"
         )
+    total_bytes = 0
     for path in getattr(args, "input", []) or []:
         if not os.path.exists(path):
             raise FileNotFoundError(f"input file not found: {path}")
+        total_bytes += os.path.getsize(path)
+
+    # Auto-size the sparse store when the user left it at the default:
+    # distinct k-mers <= windows <= input bytes; clamp to an HBM-safe
+    # ceiling (store + flush working set).  Explicit --sparse-capacity
+    # always wins; a store overflow still errors with a clear message.
+    if (
+        cfg.resolved_table_mode == "sparse"
+        and args.sparse_capacity == 1 << 22
+        and total_bytes > 0
+    ):
+        need = min(total_bytes, min(4 ** cfg.k, 1 << 28))
+        cap = 1 << 20
+        while cap < need:
+            cap <<= 1
+        if cap != cfg.sparse_capacity:
+            cfg = cfg.replace(sparse_capacity=cap)
     return cfg
 
 

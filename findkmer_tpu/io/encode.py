@@ -19,7 +19,7 @@ which makes spectrum emission a linear scan (SURVEY.md §0.1).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

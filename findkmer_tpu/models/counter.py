@@ -19,7 +19,7 @@ per-base merge cost by ~merge_every when cap >> N.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Tuple
 

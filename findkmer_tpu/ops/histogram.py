@@ -22,8 +22,6 @@ is branch-free; the trash bin is dropped before results are read.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

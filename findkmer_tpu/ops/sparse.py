@@ -24,7 +24,6 @@ and XLA pipelines it; no data-dependent shapes anywhere.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

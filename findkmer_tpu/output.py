@@ -15,7 +15,7 @@ chunks — no per-k-mer Python on the hot path.
 
 from __future__ import annotations
 
-from typing import IO, Iterator, Tuple
+from typing import IO, Iterator
 
 import numpy as np
 

@@ -8,9 +8,7 @@ tool for diffing against a reference spectrum file.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Tuple
-
-import numpy as np
+from typing import Dict, Iterable, List
 
 
 def read_spectrum(path, sep: str = "\t") -> Dict[str, int]:

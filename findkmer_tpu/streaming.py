@@ -9,7 +9,6 @@ composes this with parallel/ (each host streams its shard of batches).
 
 from __future__ import annotations
 
-import itertools
 import json
 import sys
 import time

@@ -17,7 +17,7 @@ functions in models/counter.py; .to_host() materializes the spectrum.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

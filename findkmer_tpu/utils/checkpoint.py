@@ -14,7 +14,6 @@ trivially exact.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import tempfile

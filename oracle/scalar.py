@@ -27,7 +27,7 @@ output traversal (SURVEY.md §3.1 E4).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 _BASES = "ACGT"
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}

@@ -2,9 +2,6 @@
 
 import os
 
-import numpy as np
-import pytest
-
 import findkmer_tpu as fk
 from oracle.scalar import count_fasta_file
 

@@ -1,8 +1,6 @@
 """Checkpoint/resume: a killed run resumed from its checkpoint must produce
 bit-identical spectra (SURVEY.md §5 fault injection)."""
 
-import os
-
 import numpy as np
 import pytest
 

@@ -12,7 +12,6 @@ from findkmer_tpu.parallel.multihost import (
     shard_batches_round_robin,
 )
 from findkmer_tpu.models.counter import KmerCounter
-from test_vs_oracle import oracle_dict, spectrum_to_dict
 
 
 def test_initialize_single_process_noop():

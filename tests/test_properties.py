@@ -3,11 +3,10 @@ oracle on arbitrary generated inputs and is invariant to chunk geometry
 and record order."""
 
 import numpy as np
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from findkmer_tpu.config import Config
-from oracle.scalar import canonical_str, count_kmers_in_records
+from oracle.scalar import canonical_str
 from test_vs_oracle import count_text as engine_count_text
 from test_vs_oracle import oracle_dict, spectrum_to_dict
 

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from findkmer_tpu.ops.sparse import (
     batch_to_runs,
