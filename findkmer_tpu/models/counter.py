@@ -103,22 +103,39 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
     return hi, lo, cnt
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnames=("cap",))
 def _merge_pending(
-    hi: jnp.ndarray,
+    hi: jnp.ndarray,        # (fill_cap,) live prefix of the store
     lo: jnp.ndarray,
     cnt: jnp.ndarray,
     overflow: jnp.ndarray,
     pend_hi: jnp.ndarray,   # (P, N) stacked pending runs
     pend_lo: jnp.ndarray,
     pend_cnt: jnp.ndarray,
+    cap: int,               # full store capacity (overflow bound)
 ):
-    """Merge P buffered batch-runs into the store in one sort."""
-    nhi, nlo, ncnt, ovf = sparse_ops.merge_runs(
-        hi, lo, cnt,
-        pend_hi.reshape(-1), pend_lo.reshape(-1), pend_cnt.reshape(-1),
-    )
-    return nhi, nlo, ncnt, overflow | ovf
+    """Merge P buffered batch-runs into the store's live prefix.
+
+    The store is sorted with sentinels at the end, so slicing it to a
+    power-of-two prefix covering all live entries (fill tracking in
+    KmerCounter.flush) makes the merge sort scale with CONTENTS, not
+    capacity — a 128M-entry store that holds 2M distinct k-mers sorts
+    ~2M entries, not 128M.  Output length fill_cap + P*N; the caller
+    re-pads to the full store.  Overflow = any real entry beyond cap.
+    """
+    fill_cap = hi.shape[0]
+    chi = jnp.concatenate([hi, pend_hi.reshape(-1)])
+    clo = jnp.concatenate([lo, pend_lo.reshape(-1)])
+    ccnt = jnp.concatenate([cnt, pend_cnt.reshape(-1)])
+    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
+    chi, clo, ccnt = sparse_ops._rle_sorted(chi, clo, ccnt)
+    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
+    if chi.shape[0] > cap:
+        ovf = jnp.any(chi[cap:] != sparse_ops.SENTINEL)
+    else:
+        ovf = jnp.zeros((), bool)
+    distinct = jnp.count_nonzero(ccnt)
+    return chi, clo, ccnt, overflow | ovf, distinct
 
 
 @dataclass
@@ -127,6 +144,7 @@ class SparseState:
 
     table: table_mod.SparseTable
     pending: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    fill: object = 0   # live store entries (int or lazy device scalar)
 
 
 class KmerCounter:
@@ -201,7 +219,8 @@ class KmerCounter:
         )
         runs = batch_fn(batch, cfg.k, cfg.canonical, cfg.row_len)
         state = SparseState(
-            table=state.table, pending=state.pending + [runs]
+            table=state.table, pending=state.pending + [runs],
+            fill=state.fill,
         )
         entries = sum(p[0].shape[0] for p in state.pending)
         if (
@@ -231,17 +250,43 @@ class KmerCounter:
             sent_cnt = jnp.zeros(shape, jnp.int32)
             pending += [(sent_hi, sent_hi, sent_cnt)] * (P - len(pending))
         t = state.table
-        hi, lo, cnt, ovf = _merge_pending(
-            t.hi, t.lo, t.cnt, t.overflow,
+        cap = t.hi.shape[0]
+        # live prefix: smallest power-of-two slice covering all fill
+        # entries (bounded shape set -> bounded compile count).  fill may
+        # be the PREVIOUS flush's device scalar — long since computed, so
+        # int() does not stall the pipeline.
+        fill_val = int(state.fill)
+        fill_cap = 1 << 20
+        while fill_cap < fill_val:
+            fill_cap *= 2
+        fill_cap = min(fill_cap, cap)
+        hi, lo, cnt, ovf, distinct = _merge_pending(
+            t.hi[:fill_cap], t.lo[:fill_cap], t.cnt[:fill_cap],
+            t.overflow,
             jnp.stack([p[0] for p in pending]),
             jnp.stack([p[1] for p in pending]),
             jnp.stack([p[2] for p in pending]),
+            cap,
         )
+        # re-pad the merged prefix to the full store capacity
+        m = hi.shape[0]
+        if m >= cap:
+            hi, lo, cnt = hi[:cap], lo[:cap], cnt[:cap]
+        else:
+            pad = cap - m
+            hi = jnp.concatenate(
+                [hi, jnp.full((pad,), sparse_ops.SENTINEL, jnp.uint32)]
+            )
+            lo = jnp.concatenate(
+                [lo, jnp.full((pad,), sparse_ops.SENTINEL, jnp.uint32)]
+            )
+            cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
         return SparseState(
             table=table_mod.SparseTable(
                 hi=hi, lo=lo, cnt=cnt, overflow=ovf, k=t.k
             ),
             pending=[],
+            fill=distinct,  # device scalar; materialized by next use
         )
 
     def finalize(self, state):
@@ -266,7 +311,8 @@ class KmerCounter:
         """Rebuild step state from a checkpointed table."""
         if self.mode == "direct":
             return table
-        return SparseState(table=table, pending=[])
+        fill = int(np.count_nonzero(np.asarray(table.cnt)))
+        return SparseState(table=table, pending=[], fill=fill)
 
     # ------------------------------------------------------------------
     def jitted_forward(self):
