@@ -256,9 +256,12 @@ class KmerCounter:
         # be the PREVIOUS flush's device scalar — long since computed, so
         # int() does not stall the pipeline.
         fill_val = int(state.fill)
+        # powers of 4: halves the number of distinct merge shapes that
+        # ever compile (each new shape costs minutes through the remote
+        # compile tunnel) at <= 3x extra sort width on average
         fill_cap = 1 << 20
         while fill_cap < fill_val:
-            fill_cap *= 2
+            fill_cap *= 4
         fill_cap = min(fill_cap, cap)
         hi, lo, cnt, ovf, distinct = _merge_pending(
             t.hi[:fill_cap], t.lo[:fill_cap], t.cnt[:fill_cap],
