@@ -85,6 +85,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.fk_pack_rows.restype = None
+        lib.fk_format_spectrum.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
+        ]
+        lib.fk_format_spectrum.restype = ctypes.c_size_t
         _lib = lib
     except OSError:
         _lib = None
@@ -162,6 +167,25 @@ def pack_rows(work: np.ndarray, B: int, L: int, R: int):
         validbits.ctypes.data_as(ctypes.c_void_p),
     )
     return packed, validbits
+
+
+def format_spectrum(codes: np.ndarray, counts: np.ndarray, k: int,
+                    sep: bytes) -> bytes:
+    """Format "KMER<sep>COUNT\\n" lines in one C pass (~10x numpy)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert len(sep) == 1, "native formatter supports 1-byte separators"
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = codes.size
+    out = np.empty(n * (k + 22), dtype=np.uint8)
+    m = lib.fk_format_spectrum(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        n, k, sep[0],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[: int(m)].tobytes()
 
 
 def count_valid(buf: np.ndarray) -> int:

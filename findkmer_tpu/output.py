@@ -41,6 +41,15 @@ def _format_chunk(
     codes: np.ndarray, counts: np.ndarray, k: int, sep: bytes,
     counts_only: bool,
 ) -> bytes:
+    if not counts_only and len(sep) == 1:
+        # one-pass C formatter (~10x the numpy string assembly)
+        try:
+            from findkmer_tpu.io import native
+
+            if native.available():
+                return native.format_spectrum(codes, counts, k, sep)
+        except Exception:
+            pass
     counts_s = counts.astype("S")
     if counts_only:
         return b"\n".join(counts_s.tolist()) + b"\n"

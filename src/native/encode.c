@@ -146,6 +146,36 @@ void fk_pack_rows(const uint8_t *restrict work, size_t B, size_t L,
   }
 }
 
+/* Format spectrum lines "KMER<sep>COUNT\n" for n entries in one pass —
+ * the C replacement for the per-line Python/numpy string assembly in
+ * output.py (the reference's output traversal, SURVEY.md §3.1 E4, at
+ * memory bandwidth).  codes are 2k-bit k-mer codes (A=0..T=3, most
+ * significant base first); out must hold n*(k+22) bytes.  Returns bytes
+ * written. */
+size_t fk_format_spectrum(const uint64_t *restrict codes,
+                          const long long *restrict counts, size_t n,
+                          uint32_t k, uint8_t sep, uint8_t *restrict out) {
+  static const char BASES[4] = {'A', 'C', 'G', 'T'};
+  uint8_t *p = out;
+  for (size_t i = 0; i < n; ++i) {
+    uint64_t c = codes[i];
+    for (uint32_t j = 0; j < k; ++j)
+      p[j] = (uint8_t)BASES[(c >> (2 * (k - 1 - j))) & 3u];
+    p += k;
+    *p++ = sep;
+    unsigned long long v = (unsigned long long)counts[i];
+    char tmp[24];
+    int t = 0;
+    do {
+      tmp[t++] = (char)('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (t) *p++ = (uint8_t)tmp[--t];
+    *p++ = '\n';
+  }
+  return (size_t)(p - out);
+}
+
 /* Count valid (ACGT) bytes — used for stats without a second pass in
  * Python. */
 size_t fk_count_valid(const uint8_t *restrict in, size_t n) {
