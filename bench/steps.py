@@ -101,7 +101,11 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=16,
 
     state = counter.init_state()
     windows_per_batch = batch_rows * chunk_len
-    warm = max(1, cfg.sparse_flush_entries // windows_per_batch) + 1
+    # TWO full flush cycles: the first flush merges into an empty store
+    # (smallest fill-prefix shape); the second compiles the steady-state
+    # fill-prefix shape.  Anything less leaves a multi-minute remote
+    # compile inside the timed region.
+    warm = 2 * max(1, cfg.sparse_flush_entries // windows_per_batch) + 2
     for _ in range(warm):
         state = counter.step(state, rows)
     state = counter.flush(state)
