@@ -55,6 +55,13 @@ class Config:
     # size is a measured sweet spot (bench/RESULTS.md): TPU XLA sort is
     # bitonic O(N log^2 N), so giant flushes lose (84M entries sort at
     # ~93 Melem/s vs 217 at 4M), while tiny ones pay ~6 ms/call overhead.
+    sparse_young_capacity: int = 1 << 25
+    # two-level (LSM) store: pending raw codes merge into a bounded
+    # "young" sorted store (fast, small sorts); young compacts into the
+    # big "main" store only when it would overflow.  Keeps every routine
+    # sort in the fast few-tens-of-M range regardless of total distinct
+    # count (chr-scale stores hit HBM pressure and large-sort decay when
+    # every flush sorted the full store; bench/RESULTS.md).
     sparse_compact_batches: bool = False
     # False: buffer raw window codes and let the flush's single big sort
     # dedup everything — no per-batch sort at all.  TPU sort has ~5-7 ms

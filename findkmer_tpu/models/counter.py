@@ -114,16 +114,14 @@ def _merge_pending(
     pend_cnt: jnp.ndarray,
     cap: int,               # full store capacity (overflow bound)
 ):
-    """Merge P buffered batch-runs into the store's live prefix.
+    """Merge P buffered batch-runs into a store's live prefix.
 
     The store is sorted with sentinels at the end, so slicing it to a
-    power-of-two prefix covering all live entries (fill tracking in
+    power-of-four prefix covering all live entries (fill tracking in
     KmerCounter.flush) makes the merge sort scale with CONTENTS, not
-    capacity — a 128M-entry store that holds 2M distinct k-mers sorts
-    ~2M entries, not 128M.  Output length fill_cap + P*N; the caller
-    re-pads to the full store.  Overflow = any real entry beyond cap.
+    capacity.  Output length fill_cap + P*N; the caller re-pads.
+    Overflow = any real entry beyond cap.
     """
-    fill_cap = hi.shape[0]
     chi = jnp.concatenate([hi, pend_hi.reshape(-1)])
     clo = jnp.concatenate([lo, pend_lo.reshape(-1)])
     ccnt = jnp.concatenate([cnt, pend_cnt.reshape(-1)])
@@ -138,13 +136,72 @@ def _merge_pending(
     return chi, clo, ccnt, overflow | ovf, distinct
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_merge(
+    mhi, mlo, mcnt,          # (main_fill_cap,) live prefix of main
+    overflow,
+    yhi, ylo, ycnt,          # (young_fill_cap,) live prefix of young
+    pend_hi, pend_lo, pend_cnt,  # (P, N) pending runs (may be sentinels)
+    cap: int,                # main capacity (overflow bound)
+):
+    """LSM compaction: fold young + pending into main in one sort."""
+    chi = jnp.concatenate([mhi, yhi, pend_hi.reshape(-1)])
+    clo = jnp.concatenate([mlo, ylo, pend_lo.reshape(-1)])
+    ccnt = jnp.concatenate([mcnt, ycnt, pend_cnt.reshape(-1)])
+    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
+    chi, clo, ccnt = sparse_ops._rle_sorted(chi, clo, ccnt)
+    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
+    if chi.shape[0] > cap:
+        ovf = jnp.any(chi[cap:] != sparse_ops.SENTINEL)
+    else:
+        ovf = jnp.zeros((), bool)
+    distinct = jnp.count_nonzero(ccnt)
+    return chi, clo, ccnt, overflow | ovf, distinct
+
+
+def _fill_ladder(fill_val: int, cap: int) -> int:
+    """Smallest power-of-4 prefix (>= 1M) covering fill, clamped to cap.
+
+    Powers of 4 bound the number of distinct merge shapes that ever
+    compile (each new shape costs minutes through the remote tunnel)."""
+    c = 1 << 20
+    while c < fill_val:
+        c *= 4
+    return min(c, cap)
+
+
+def _pad_to(hi, lo, cnt, cap: int):
+    """Truncate or sentinel-pad merged arrays to exactly cap entries."""
+    m = hi.shape[0]
+    if m >= cap:
+        return hi[:cap], lo[:cap], cnt[:cap]
+    pad = cap - m
+    return (
+        jnp.concatenate([hi, jnp.full((pad,), sparse_ops.SENTINEL,
+                                      jnp.uint32)]),
+        jnp.concatenate([lo, jnp.full((pad,), sparse_ops.SENTINEL,
+                                      jnp.uint32)]),
+        jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)]),
+    )
+
+
 @dataclass
 class SparseState:
-    """Sparse counting state: the store + buffered (not yet merged) runs."""
+    """Two-level (LSM) sparse counting state.
+
+    pending: raw batch code runs, not yet sorted at all.
+    young:   bounded sorted store absorbing flushes with SMALL sorts.
+    table:   the main store; young compacts into it only when young
+             would overflow (and at checkpoint/finalize), so routine
+             sorts never scale with total distinct count.
+    fill values may be ints or lazy device scalars from a prior merge.
+    """
 
     table: table_mod.SparseTable
     pending: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
-    fill: object = 0   # live store entries (int or lazy device scalar)
+    young: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] = None
+    fill: object = 0         # live entries in table (main)
+    young_fill: object = 0   # live entries in young
 
 
 class KmerCounter:
@@ -185,8 +242,12 @@ class KmerCounter:
     def init_state(self):
         if self.mode == "direct":
             return table_mod.make_table(self.cfg)
+        ycap = min(self.cfg.sparse_young_capacity,
+                   self.cfg.sparse_capacity)
         return SparseState(
-            table=table_mod.SparseTable.empty(self.cfg), pending=[]
+            table=table_mod.SparseTable.empty(self.cfg),
+            pending=[],
+            young=sparse_ops.empty_store(ycap),
         )
 
     def step(self, state, batch):
@@ -220,7 +281,8 @@ class KmerCounter:
         runs = batch_fn(batch, cfg.k, cfg.canonical, cfg.row_len)
         state = SparseState(
             table=state.table, pending=state.pending + [runs],
-            fill=state.fill,
+            young=state.young, fill=state.fill,
+            young_fill=state.young_fill,
         )
         entries = sum(p[0].shape[0] for p in state.pending)
         if (
@@ -232,13 +294,17 @@ class KmerCounter:
 
     # ------------------------------------------------------------------
     def flush(self, state):
-        """Merge buffered runs into the store (no-op for dense tables).
+        """Merge buffered runs into the young store (no-op for dense).
 
-        Call before checkpointing or finalizing so the store is complete.
+        Two-level LSM: routine flushes sort at most
+        young_prefix + pending entries.  When young would overflow, young
+        + pending compact into the main store instead (rare: once per
+        young-capacity's worth of distinct k-mers).
         """
         if self.mode == "direct" or not getattr(state, "pending", None):
             return state
         pending = list(state.pending)
+        pending_entries = sum(p[0].shape[0] for p in pending)
         # pad to the next power of two so only O(log merge_every) distinct
         # merge shapes ever compile (compiles are expensive on this tunnel)
         P = 1
@@ -249,47 +315,68 @@ class KmerCounter:
             sent_hi = jnp.full(shape, sparse_ops.SENTINEL, jnp.uint32)
             sent_cnt = jnp.zeros(shape, jnp.int32)
             pending += [(sent_hi, sent_hi, sent_cnt)] * (P - len(pending))
+        phi = jnp.stack([p[0] for p in pending])
+        plo = jnp.stack([p[1] for p in pending])
+        pcnt = jnp.stack([p[2] for p in pending])
+
+        yhi, ylo, ycnt = state.young
+        ycap = yhi.shape[0]
+        # fill values may be the PREVIOUS merge's device scalar — long
+        # since computed, so int() does not stall the pipeline
+        yfill = int(state.young_fill)
+
+        if yfill + pending_entries > ycap:
+            return self._compact(state, phi, plo, pcnt, yfill)
+
+        ypref = _fill_ladder(yfill, ycap)
+        hi, lo, cnt, _ovf, distinct = _merge_pending(
+            yhi[:ypref], ylo[:ypref], ycnt[:ypref],
+            jnp.zeros((), bool), phi, plo, pcnt, ycap,
+        )
+        # bound check above guarantees distinct <= ycap (no young loss)
+        hi, lo, cnt = _pad_to(hi, lo, cnt, ycap)
+        return SparseState(
+            table=state.table, pending=[], young=(hi, lo, cnt),
+            fill=state.fill, young_fill=distinct,
+        )
+
+    def _compact(self, state, phi, plo, pcnt, yfill):
+        """Fold young + pending into the main store (the rare big sort)."""
         t = state.table
         cap = t.hi.shape[0]
-        # live prefix: smallest power-of-two slice covering all fill
-        # entries (bounded shape set -> bounded compile count).  fill may
-        # be the PREVIOUS flush's device scalar — long since computed, so
-        # int() does not stall the pipeline.
-        fill_val = int(state.fill)
-        # powers of 4: halves the number of distinct merge shapes that
-        # ever compile (each new shape costs minutes through the remote
-        # compile tunnel) at <= 3x extra sort width on average
-        fill_cap = 1 << 20
-        while fill_cap < fill_val:
-            fill_cap *= 4
-        fill_cap = min(fill_cap, cap)
-        hi, lo, cnt, ovf, distinct = _merge_pending(
-            t.hi[:fill_cap], t.lo[:fill_cap], t.cnt[:fill_cap],
-            t.overflow,
-            jnp.stack([p[0] for p in pending]),
-            jnp.stack([p[1] for p in pending]),
-            jnp.stack([p[2] for p in pending]),
-            cap,
+        yhi, ylo, ycnt = state.young
+        ycap = yhi.shape[0]
+        mpref = _fill_ladder(int(state.fill), cap)
+        ypref = _fill_ladder(yfill, ycap)
+        hi, lo, cnt, ovf, distinct = _compact_merge(
+            t.hi[:mpref], t.lo[:mpref], t.cnt[:mpref], t.overflow,
+            yhi[:ypref], ylo[:ypref], ycnt[:ypref],
+            phi, plo, pcnt, cap,
         )
-        # re-pad the merged prefix to the full store capacity
-        m = hi.shape[0]
-        if m >= cap:
-            hi, lo, cnt = hi[:cap], lo[:cap], cnt[:cap]
-        else:
-            pad = cap - m
-            hi = jnp.concatenate(
-                [hi, jnp.full((pad,), sparse_ops.SENTINEL, jnp.uint32)]
-            )
-            lo = jnp.concatenate(
-                [lo, jnp.full((pad,), sparse_ops.SENTINEL, jnp.uint32)]
-            )
-            cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+        hi, lo, cnt = _pad_to(hi, lo, cnt, cap)
         return SparseState(
             table=table_mod.SparseTable(
                 hi=hi, lo=lo, cnt=cnt, overflow=ovf, k=t.k
             ),
             pending=[],
-            fill=distinct,  # device scalar; materialized by next use
+            young=sparse_ops.empty_store(ycap),
+            fill=distinct,      # device scalar; materialized by next use
+            young_fill=0,
+        )
+
+    _SENT_RUN_N = 8
+
+    def _compact_all(self, state):
+        """Flush pending, then fold young into main (for checkpoint or
+        finalize).  No-op when both are already empty."""
+        state = self.flush(state)
+        if int(state.young_fill) == 0:
+            return state
+        sent_hi = jnp.full((1, self._SENT_RUN_N), sparse_ops.SENTINEL,
+                           jnp.uint32)
+        sent_cnt = jnp.zeros((1, self._SENT_RUN_N), jnp.int32)
+        return self._compact(
+            state, sent_hi, sent_hi, sent_cnt, int(state.young_fill)
         )
 
     def finalize(self, state):
@@ -299,7 +386,7 @@ class KmerCounter:
         """
         if self.mode == "direct":
             return state.to_host()
-        state = self.flush(state)
+        state = self._compact_all(state)
         return state.table.to_host()
 
     # ------------------------------------------------------------------
@@ -307,7 +394,7 @@ class KmerCounter:
         """The checkpointable table (flushing pending sparse runs first)."""
         if self.mode == "direct":
             return state, state
-        state = self.flush(state)
+        state = self._compact_all(state)
         return state, state.table
 
     def restore_state(self, table):
@@ -315,7 +402,12 @@ class KmerCounter:
         if self.mode == "direct":
             return table
         fill = int(np.count_nonzero(np.asarray(table.cnt)))
-        return SparseState(table=table, pending=[], fill=fill)
+        ycap = min(self.cfg.sparse_young_capacity,
+                   self.cfg.sparse_capacity)
+        return SparseState(
+            table=table, pending=[],
+            young=sparse_ops.empty_store(ycap), fill=fill,
+        )
 
     # ------------------------------------------------------------------
     def jitted_forward(self):

@@ -86,3 +86,40 @@ def test_merge_exact_at_capacity(rng):
     assert not bool(ovf)
     codes, counts = store_to_host(shi, slo, scnt)
     assert len(codes) == 16
+
+
+def test_lsm_young_compaction_matches_oracle(rng):
+    """Tiny young capacity forces repeated young->main compactions; the
+    spectrum must stay bit-exact (two-level LSM path)."""
+    from conftest import random_dna
+    from findkmer_tpu.config import Config
+    from test_vs_oracle import check
+
+    seq = random_dna(rng, 4000, n_prob=0.03)
+    cfg = Config(
+        k=17, chunk_len=64, batch_rows=2, sparse_capacity=16384,
+        sparse_young_capacity=512, sparse_merge_every=2,
+    )
+    check(">r\n" + seq + "\n", cfg)
+
+
+def test_lsm_checkpoint_compacts(rng, tmp_path):
+    """Checkpoints fold young into main; resume stays bit-identical."""
+    import numpy as np
+    from conftest import random_dna
+    from findkmer_tpu.config import Config
+    from findkmer_tpu import pipeline, streaming
+
+    seq = random_dna(rng, 3000, n_prob=0.02)
+    p = tmp_path / "in.fa"
+    p.write_text(">r\n" + seq + "\n")
+    cfg = Config(
+        k=18, chunk_len=128, batch_rows=2, sparse_capacity=16384,
+        sparse_young_capacity=1024, sparse_merge_every=2,
+    )
+    ck = str(tmp_path / "ck")
+    a = streaming.stream_count([str(p)], cfg, checkpoint_dir=ck,
+                               checkpoint_every=2)
+    b = pipeline.count_file(str(p), cfg)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
