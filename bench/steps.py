@@ -76,13 +76,16 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
     return bases / dt, dt
 
 
-def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=16,
-                      capacity=1 << 22, canonical=False):
-    """bases/s of the sparse (log-structured sorted-run) path for big k.
+def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=32,
+                      capacity=1 << 27, canonical=False):
+    """bases/s of the sparse (LSM sorted-run) path for big k.
 
-    Warmup runs one full flush cycle so every jit shape (including the
-    power-of-two-padded merge) is compiled before timing; the timed
-    region then covers whole flush cycles.
+    Geometry is chosen so the two-level store behaves as in production:
+    flushes (2M entries) merge into the young store, and young compacts
+    into main every ~4 flushes.  Warmup covers two young cycles plus a
+    compaction so every jit shape (fill ladders included) is compiled
+    before timing; anything less leaves a multi-minute remote compile
+    inside the timed region.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -90,6 +93,8 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=16,
     from findkmer_tpu.config import Config
     from findkmer_tpu.models.counter import KmerCounter
 
+    # production defaults: flush at 8.4M entries into a 33M young store,
+    # compaction every ~4 young merges
     cfg = Config(
         k=k, batch_rows=batch_rows, chunk_len=chunk_len,
         sparse_capacity=capacity, canonical=canonical,
@@ -101,11 +106,10 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=16,
 
     state = counter.init_state()
     windows_per_batch = batch_rows * chunk_len
-    # TWO full flush cycles: the first flush merges into an empty store
-    # (smallest fill-prefix shape); the second compiles the steady-state
-    # fill-prefix shape.  Anything less leaves a multi-minute remote
-    # compile inside the timed region.
-    warm = 2 * max(1, cfg.sparse_flush_entries // windows_per_batch) + 2
+    young_cycle = max(
+        1, min(cfg.sparse_young_capacity, capacity) // windows_per_batch
+    )
+    warm = 2 * young_cycle + 2  # two young cycles incl. >=1 compaction
     for _ in range(warm):
         state = counter.step(state, rows)
     state = counter.flush(state)
