@@ -117,8 +117,11 @@ class Config:
     @property
     def resolved_table_mode(self) -> str:
         if self.table_mode != AUTO:
-            if self.table_mode == DIRECT and self.k > 16:
-                raise ValueError(f"direct table requires k <= 16, got k={self.k}")
+            # int32 window codes address at most 4^15 (window_codes caps
+            # k <= 15); k=16 would also allocate a 17 GB table — cleanly
+            # reject at config time rather than mid-trace
+            if self.table_mode == DIRECT and self.k > 15:
+                raise ValueError(f"direct table requires k <= 15, got k={self.k}")
             return self.table_mode
         return DIRECT if self.k <= self.direct_k_max else SPARSE
 

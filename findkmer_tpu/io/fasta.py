@@ -123,16 +123,18 @@ class FastaReader:
                     if nxt < 0 or (0 <= nxt_cr < nxt):
                         nxt = nxt_cr
                     end = n if nxt < 0 else nxt + 1
-                    data = (
-                        _strip_ws(buf[pos:end])
-                        if self.strip_ws
-                        else buf[pos:end]
-                    )
+                    raw = buf[pos:end]
+                    data = _strip_ws(raw) if self.strip_ws else raw
                     if not started:
-                        record_id += 1
-                        started = True
-                        header = ""
-                    if data:
+                        # only actual sequence bytes start the anonymous
+                        # record — blank/whitespace lines before the first
+                        # '>' are not a phantom empty record
+                        has_seq = bool(data if self.strip_ws else _strip_ws(raw))
+                        if has_seq:
+                            record_id += 1
+                            started = True
+                            header = ""
+                    if started and data:
                         yield RecordChunk(record_id, header, data, final=False)
                     if end > pos:
                         at_line_start = buf[end - 1] in (0x0A, 0x0D)

@@ -53,18 +53,26 @@ def _rle_sorted(hi, lo, cnt):
     next_hi = jnp.concatenate([hi[1:], sent1])
     next_lo = jnp.concatenate([lo[1:], sent1])
     is_end = (hi != next_hi) | (lo != next_lo)
-    # Scan-only run sums (no scatter/gather — XLA scatter serializes on
-    # TPU at ~ns/element and dominated this whole path):
-    #   C[i]    = inclusive prefix sum of cnt
-    #   base[i] = prefix sum just before the start of i's run, propagated
-    #             to every position of the run by a running max (prefix
-    #             sums are nondecreasing, so the latest start wins)
-    #   total at run END = C - base
+    # Scan-only run sums (no scatter — XLA scatter serializes on TPU at
+    # ~ns/element and dominated this whole path):
+    #   C[i]    = inclusive prefix sum of cnt, in uint32 so overflow is
+    #             well-defined wraparound (differences stay exact mod 2^32)
+    #   base[i] = prefix sum just before the start of i's run.  Propagated
+    #             BY POSITION (cummax over run-start indices, which are
+    #             monotone by construction), then gathered — propagating
+    #             the prefix-sum VALUE by cummax silently breaks once
+    #             cumulative observations wrap past 2^31 (a stale pre-wrap
+    #             base wins the max and corrupts every later run total).
+    #   total at run END = C - base, exact mod 2^32; true run totals are
+    #   bounded by the int32 count dtype so no aliasing occurs.
     # The run's total is emitted at its END position (any one position
     # per run works; callers re-sort by code, where end vs start of equal
     # codes is indistinguishable).
-    C = jnp.cumsum(cnt)
-    base = lax.cummax(jnp.where(is_start, C - cnt, 0), axis=0)
+    cu = cnt.astype(jnp.uint32)
+    C = jnp.cumsum(cu)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_pos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
+    base = jnp.take(C - cu, start_pos)
     is_sent = hi == SENTINEL
     keep = is_end & ~is_sent
     out_hi = jnp.where(keep, hi, SENTINEL)

@@ -53,20 +53,17 @@ def stream_count(
             start_batch, table, saved_stats = loaded
             state = counter.restore_state(table)
             log.info("resuming from checkpoint at batch %d", start_batch)
-            if stats is not None and saved_stats:
-                for k_, v in saved_stats.items():
-                    if hasattr(stats, k_):
-                        setattr(stats, k_, v)
     if state is None:
         state = counter.init_state()
 
     def batches():
         def all_batches():
             for path in paths:
-                # stats are recounted only for batches actually processed;
-                # during skip stats=None so resumed totals stay exact
+                # stats recount the FULL replayed stream (skipped batches
+                # really are re-encoded on the host during the skip), so
+                # resumed totals equal a from-scratch run's totals
                 yield from pipeline.batches_from_file(
-                    path, cfg, stats=None if start_batch else stats
+                    path, cfg, stats=stats
                 )
 
         if num_processes > 1:
@@ -82,16 +79,12 @@ def stream_count(
 
     it = batches()
     # exact resume: skip batches the checkpoint already covers
-    skipped = 0
     if start_batch:
         for _ in range(start_batch):
             try:
                 next(it)
-                skipped += 1
             except StopIteration:
                 break
-        # re-enable stats for the remainder
-        it = _with_stats(it, cfg, stats)
 
     batch_index = start_batch
     for rows in pipeline.prefetch_to_device(it, cfg.prefetch):
@@ -106,16 +99,6 @@ def stream_count(
     if checkpoint_dir is not None and batch_index > start_batch:
         state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
     return counter.finalize(state)
-
-
-def _with_stats(it, cfg, stats):
-    for rows in it:
-        if stats is not None:
-            stats.batches += 1
-            stats.rows += cfg.batch_rows
-            leaves = rows if isinstance(rows, tuple) else (rows,)
-            stats.h2d_bytes += sum(a.nbytes for a in leaves)
-        yield rows
 
 
 def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):

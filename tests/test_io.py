@@ -103,3 +103,27 @@ def test_native_packed_matches_numpy(rng):
 
 def test_decode_codes():
     assert decode_codes(np.array([0, 1, 2, 3, 4], np.uint8)) == b"ACGTN"
+
+
+def test_reader_blank_prefix_no_phantom_record(tmp_path):
+    """Blank/whitespace lines before the first '>' must not create a
+    phantom empty anonymous record (round-2 advisor finding)."""
+    from findkmer_tpu.io.fasta import read_records
+
+    p = tmp_path / "blank.fa"
+    p.write_text("\n  \n\t\n>r1\nACGT\n")
+    recs = read_records(str(p))
+    assert len(recs) == 1
+    assert recs[0] == ("r1", b"ACGT")
+
+    # leading whitespace before headerless sequence still yields one record
+    p2 = tmp_path / "headerless.fa"
+    p2.write_text("\n\nACGTACGT\n")
+    recs2 = read_records(str(p2))
+    assert len(recs2) == 1
+    assert recs2[0] == ("", b"ACGTACGT")
+
+    # whitespace-only file: no records at all
+    p3 = tmp_path / "empty.fa"
+    p3.write_text("\n \n")
+    assert read_records(str(p3)) == []

@@ -123,3 +123,22 @@ def test_lsm_checkpoint_compacts(rng, tmp_path):
     b = pipeline.count_file(str(p), cfg)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_rle_exact_past_2e31_observations():
+    """Regression (round-2 advisor finding): run totals must stay exact
+    when cumulative observations in one merge input exceed 2^31 — the old
+    value-propagating cummax wrapped negative and corrupted later runs."""
+    shi = jnp.asarray(np.array([0, 0, 0, SENT], np.uint32))
+    slo = jnp.asarray(np.array([1, 2, 3, SENT], np.uint32))
+    scnt = jnp.asarray(np.array([1_600_000_000, 1_600_000_000, 5, 0],
+                                np.int32))
+    rhi = jnp.asarray(np.array([0, SENT, SENT, SENT], np.uint32))
+    rlo = jnp.asarray(np.array([3, SENT, SENT, SENT], np.uint32))
+    rcnt = jnp.asarray(np.array([1, 0, 0, 0], np.int32))
+    nhi, nlo, ncnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
+    out = _runs_to_dict(nhi, nlo, ncnt)
+    assert out[3] == 6
+    assert out[1] == 1_600_000_000
+    assert out[2] == 1_600_000_000
+    assert not bool(ovf)
