@@ -125,7 +125,7 @@ def count(
     Extra keyword arguments become Config fields (e.g. chunk_len=...,
     table_mode="sparse", hist="pallas").
     """
-    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.models.counter import make_counter
     from findkmer_tpu import pipeline
 
     if isinstance(inputs, (str, bytes)):
@@ -133,11 +133,12 @@ def count(
     cfg = (config or Config(k=k, canonical=canonical)).replace(
         k=k, canonical=canonical, **config_overrides
     )
-    counter = KmerCounter(cfg)
+    counter = make_counter(cfg)
     state = counter.init_state()
     for path in inputs:
         for rows in pipeline.prefetch_to_device(
-            pipeline.batches_from_file(path, cfg), cfg.prefetch
+            pipeline.batches_from_file(path, cfg), cfg.prefetch,
+            put=counter.put_batch,
         ):
             state = counter.step(state, rows)
     return Spectrum.from_engine(counter.finalize(state), cfg)

@@ -53,6 +53,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-rows", type=int, default=256)
     p.add_argument("--chunk-len", type=int, default=65536)
     p.add_argument("--sparse-capacity", type=int, default=1 << 22)
+    p.add_argument("--devices", type=int, default=1,
+                   help="devices in the counting mesh (1 = single-device "
+                        "engine, 0 = all available, N = first N)")
+    p.add_argument("--merge", choices=["auto", "psum", "psum_scatter",
+                                       "all_to_all"], default="auto",
+                   help="multi-device table merge strategy")
     p.add_argument("--sep", default="\t")
     p.add_argument("--counts-only", action="store_true")
     p.add_argument("--no-native-encode", action="store_true")
@@ -74,6 +80,8 @@ def _cfg_from_args(args):
         batch_rows=args.batch_rows,
         chunk_len=max(args.chunk_len, args.k),
         sparse_capacity=args.sparse_capacity,
+        devices=args.devices,
+        merge=args.merge,
         zeros=args.zeros,
         sep=args.sep,
         out_counts_only=args.counts_only,
@@ -130,16 +138,16 @@ def cmd_count(args) -> int:
     timers = PhaseTimers() if args.stats == "json" else None
 
     # multiple inputs: one combined spectrum (records concatenated)
-    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.models.counter import make_counter
 
-    counter = KmerCounter(cfg)
+    counter = make_counter(cfg)
     state = counter.init_state()
     t0 = time.time()
     with device_trace(args.profile):
         for path in args.input:
             for rows in pipeline.prefetch_to_device(
                 pipeline.batches_from_file(path, cfg, stats=stats),
-                cfg.prefetch,
+                cfg.prefetch, put=counter.put_batch,
             ):
                 if timers is None:
                     state = counter.step(state, rows)
@@ -193,12 +201,19 @@ def cmd_merge(args) -> int:
 
     if args.zeros and args.k <= 0:
         raise ValueError("merge -z needs -k to enumerate all 4^k k-mers")
-    counts = spectra.merge_spectra(args.input, sep=args.sep)
+    zk = args.k if args.zeros else None
     f, close = _open_out(args.output)
     try:
-        zk = args.k if args.zeros else None
-        for line in spectra.spectrum_lines(counts, sep=args.sep, zeros_k=zk):
-            f.write(line.encode() + b"\n")
+        if args.in_memory:
+            counts = spectra.merge_spectra(args.input, sep=args.sep)
+            for line in spectra.spectrum_lines(counts, sep=args.sep,
+                                               zeros_k=zk):
+                f.write(line.encode() + b"\n")
+        else:
+            # streaming k-way merge: O(MB) memory at chr scale (our
+            # spectrum writers always emit sorted files)
+            spectra.merge_sorted_streaming(args.input, f, sep=args.sep,
+                                           zeros_k=zk)
     finally:
         if close:
             f.close()
@@ -289,6 +304,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="k (only needed with -z)")
     pm.add_argument("-z", "--zeros", action="store_true")
     pm.add_argument("--sep", default="\t")
+    pm.add_argument("--in-memory", action="store_true",
+                    help="dict-based merge (accepts unsorted inputs; "
+                         "default is a streaming sorted merge in O(MB) "
+                         "memory)")
     pm.set_defaults(fn=cmd_merge)
 
     ph = sub.add_parser(

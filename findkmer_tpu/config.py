@@ -81,8 +81,9 @@ class Config:
     hist: str = HIST_AUTO
 
     # --- distribution (parallel/) ---
-    data_shards: int = 1             # mesh axis "data" size (DP)
-    table_shards: int = 1            # mesh axis "table" size (table sharding)
+    devices: int = 1                 # devices in the 1-D mesh: 1 = the
+                                     # single-device engine, 0 = all
+                                     # available, N>1 = first N
     merge: str = MERGE_AUTO
     route_capacity_factor: float = 1.5  # all-to-all per-bucket slack
 

@@ -1,3 +1,3 @@
-from findkmer_tpu.models.counter import KmerCounter
+from findkmer_tpu.models.counter import KmerCounter, make_counter
 
-__all__ = ["KmerCounter"]
+__all__ = ["KmerCounter", "make_counter"]

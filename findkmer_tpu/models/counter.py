@@ -204,6 +204,21 @@ class SparseState:
     young_fill: object = 0   # live entries in young
 
 
+def make_counter(cfg: Config):
+    """Counter for cfg.devices: the single-device engine (devices == 1)
+    or a mesh DistributedCounter (devices == 0 -> all available, N > 1 ->
+    first N).  Both expose init_state/step/flush/finalize/put_batch."""
+    n = cfg.devices
+    if n == 0:
+        n = len(jax.devices())
+    if n <= 1:
+        return KmerCounter(cfg)
+    from findkmer_tpu.parallel.dist import DistributedCounter
+    from findkmer_tpu.parallel.mesh import make_mesh
+
+    return DistributedCounter(cfg, make_mesh(n))
+
+
 class KmerCounter:
     """Single-device k-mer counter (distribution lives in parallel/)."""
 
@@ -239,6 +254,11 @@ class KmerCounter:
             self._pl_interpret = jax.default_backend() != "tpu"
 
     # ------------------------------------------------------------------
+    def put_batch(self, rows):
+        """Host batch -> this engine's device (counter-uniform interface
+        with DistributedCounter.put_batch)."""
+        return jax.device_put(rows, jax.devices()[0])
+
     def init_state(self):
         if self.mode == "direct":
             return table_mod.make_table(self.cfg)

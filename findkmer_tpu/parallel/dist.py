@@ -104,7 +104,7 @@ class DistributedCounter:
         self._state_sharding = NamedSharding(mesh, state_spec)
         method = cfg.hist if cfg.hist not in ("auto", "pallas") else "scatter"
 
-        if self.merge == "psum":
+        if self.merge in ("psum", "psum_scatter"):
 
             def step(tables, rows):
                 # tables: (1, T) local slice of (n_dev, T); rows local shard
@@ -124,10 +124,39 @@ class DistributedCounter:
                 donate_argnums=(0,),
             )
 
-            def finalize(tables):
-                return jnp.sum(tables, axis=0)  # one cross-device reduce
+            if self.merge == "psum":
 
-            self._finalize = jax.jit(finalize)
+                def finalize(tables):
+                    return jnp.sum(tables, axis=0)  # one cross-device reduce
+
+                self._finalize = jax.jit(finalize)
+            else:
+                # reduce-scatter: each device reduces only its own 1/n
+                # table slice ((n-1)/n x the all-reduce traffic); the
+                # result stays sharded across devices — the cheap merge
+                # when the output is consumed shard-wise (SURVEY.md §5
+                # "psum_scatter as the cheaper merge").  Requires
+                # T % n_dev == 0 (4^k over power-of-two meshes).
+                if T % n_dev != 0:
+                    raise ValueError(
+                        f"psum_scatter needs table size 4^{k} divisible "
+                        f"by {n_dev} devices (use a power-of-two mesh)"
+                    )
+
+                def finalize_rs(tables):
+                    # local (1, T) -> reduce-scatter -> local (1, T/n);
+                    # global result (n_dev, T/n), shard i on device i
+                    out = lax.psum_scatter(
+                        tables[0], AXIS, scatter_dimension=0, tiled=True
+                    )
+                    return out[None]
+
+                self._finalize = jax.jit(
+                    shard_map(
+                        finalize_rs, mesh=mesh, in_specs=state_spec,
+                        out_specs=state_spec,
+                    )
+                )
 
         elif self.merge == "all_to_all":
             shard_size = T // n_dev
@@ -235,7 +264,7 @@ class DistributedCounter:
     def init_state(self):
         cfg, n_dev = self.cfg, self.n_dev
         dtype = jnp.dtype(cfg.count_dtype)
-        if self.merge == "psum":
+        if self.merge in ("psum", "psum_scatter"):
             return jax.device_put(
                 jnp.zeros((n_dev, cfg.table_size), dtype),
                 self._state_sharding,
@@ -262,12 +291,17 @@ class DistributedCounter:
         """Host batch (rows or (packed, validbits)) -> sharded device."""
         return jax.device_put(rows, self._rows_sharding)
 
+    def flush(self, state):
+        """Interface parity with KmerCounter (per-batch merges are
+        already inside the sharded step)."""
+        return state
+
     def step(self, state, rows):
         if isinstance(rows, np.ndarray) or (
             isinstance(rows, tuple) and isinstance(rows[0], np.ndarray)
         ):
             rows = self.put_batch(rows)
-        if self.merge == "psum":
+        if self.merge in ("psum", "psum_scatter"):
             return self._step(state, rows)
         if self.merge == "all_to_all":
             shards, overflow = state
@@ -282,6 +316,9 @@ class DistributedCounter:
         """Merge device state -> host spectrum (dense array or sparse tuple)."""
         if self.merge == "psum":
             return np.asarray(self._finalize(state))
+        if self.merge == "psum_scatter":
+            # (n_dev, T/n) device-sharded -> full (T,) on host
+            return np.asarray(self._finalize(state)).reshape(-1)
         if self.merge == "all_to_all":
             shards, overflow = state
             if bool(overflow):

@@ -218,7 +218,7 @@ def batches_from_file(
 
 def prefetch_to_device(
     batches: Iterator[np.ndarray], depth: int, device=None,
-    threaded: bool = True,
+    threaded: bool = True, put=None,
 ) -> Iterator[jax.Array]:
     """Keep `depth` batches' H2D transfers in flight ahead of consumption.
 
@@ -231,8 +231,10 @@ def prefetch_to_device(
     """
     from collections import deque
 
-    if device is None:
-        device = jax.devices()[0]
+    if put is None:
+        if device is None:
+            device = jax.devices()[0]
+        put = lambda b: jax.device_put(b, device)  # noqa: E731
     depth = max(1, depth)
 
     if not threaded:
@@ -240,13 +242,13 @@ def prefetch_to_device(
         it = iter(batches)
         try:
             for _ in range(depth):
-                q.append(jax.device_put(next(it), device))
+                q.append(put(next(it)))
         except StopIteration:
             pass
         while q:
             out = q.popleft()
             try:
-                q.append(jax.device_put(next(it), device))
+                q.append(put(next(it)))
             except StopIteration:
                 pass
             yield out
@@ -280,7 +282,7 @@ def prefetch_to_device(
                 elif isinstance(item, BaseException):
                     raise item
                 else:
-                    dq.append(jax.device_put(item, device))
+                    dq.append(put(item))
             if not dq:
                 break
             yield dq.popleft()
@@ -310,15 +312,15 @@ def count_file(
     time, "dispatch" is step submission, "finalize" includes the final
     device drain).
     """
-    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.models.counter import make_counter
 
-    counter = KmerCounter(cfg)
+    counter = make_counter(cfg)
     state = counter.init_state()
 
     def timed_batches():
         it = iter(
             prefetch_to_device(batches_from_file(path, cfg, stats=stats),
-                               cfg.prefetch)
+                               cfg.prefetch, put=counter.put_batch)
         )
         while True:
             if timers is None:

@@ -44,7 +44,15 @@ def stream_count(
 
     Returns the finalized (possibly partial) spectrum.
     """
-    counter = KmerCounter(cfg)
+    from findkmer_tpu.models.counter import make_counter
+
+    counter = make_counter(cfg)
+    if checkpoint_dir is not None and not isinstance(counter, KmerCounter):
+        raise ValueError(
+            "--checkpoint is not yet supported with --devices > 1 "
+            "(distributed state is merged per step, not checkpointable); "
+            "run per-host single-device streams and `findkmer merge`"
+        )
     start_batch = 0
     state = None
     if checkpoint_dir is not None:
@@ -87,7 +95,8 @@ def stream_count(
                 break
 
     batch_index = start_batch
-    for rows in pipeline.prefetch_to_device(it, cfg.prefetch):
+    for rows in pipeline.prefetch_to_device(it, cfg.prefetch,
+                                            put=counter.put_batch):
         state = counter.step(state, rows)
         batch_index += 1
         if (

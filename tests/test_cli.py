@@ -92,3 +92,18 @@ def test_stats_subcommand(fixtures_dir, tmp_path):
     assert d["records"] == 2
     assert d["bases"] == 14 + 8
     assert d["valid_bases"] == 12 + 8
+
+
+def test_cli_devices_mesh_matches_oracle(tmp_path, fixtures_dir):
+    """`findkmer count --devices 8` on the CPU mesh == single-device
+    output (VERDICT item 5: CLI-reachable distribution)."""
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    args = ["count", "-i", src, "-k", "6", "--chunk-len", "512",
+            "--batch-rows", "8"]
+    single = run_cli(args, tmp_path)
+    multi = run_cli(args + ["--devices", "8"], tmp_path)
+    assert single == multi
+
+    rs = run_cli(args + ["--devices", "8", "--merge", "psum_scatter"],
+                 tmp_path)
+    assert rs == single

@@ -84,3 +84,42 @@ def test_dist_matches_single_device_engine(rng):
     single, _ = count_text(text, cfg)
     multi = _count_dist(text, cfg.replace(merge="psum"), 8)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_psum_scatter_equals_psum(rng, n_dev):
+    """Reduce-scatter merge == all-reduce merge == oracle (VERDICT item:
+    implement psum_scatter or delete the constant)."""
+    seq = random_dna(rng, 4000, n_prob=0.03)
+    text = ">r\n" + seq + "\n"
+    base = Config(k=7, chunk_len=64, batch_rows=8)
+    s_ps = _count_dist(text, base.replace(merge="psum"), n_dev)
+    s_rs = _count_dist(text, base.replace(merge="psum_scatter"), n_dev)
+    np.testing.assert_array_equal(np.asarray(s_ps), np.asarray(s_rs))
+    assert spectrum_to_dict(np.asarray(s_rs), 7) == oracle_dict(text, 7)
+
+
+def test_all_to_all_k11_eight_shards(rng):
+    """Config-3 route arithmetic at representative k: 4^11 = 4M-entry
+    table sharded 8 ways, key-routed all_to_all (VERDICT missing #5)."""
+    seq = random_dna(rng, 6000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(k=11, chunk_len=128, batch_rows=8, merge="all_to_all",
+                 table_mode="direct")
+    spectrum = _count_dist(text, cfg, 8)
+    got = spectrum_to_dict(np.asarray(spectrum), 11)
+    assert got == oracle_dict(text, 11)
+
+
+def test_make_counter_devices(rng):
+    """make_counter routes devices=1 to the single-device engine and
+    devices>1 to the mesh; both match the oracle."""
+    from findkmer_tpu.models.counter import KmerCounter, make_counter
+    from findkmer_tpu.parallel.dist import DistributedCounter
+
+    assert isinstance(make_counter(Config(k=4)), KmerCounter)
+    dc = make_counter(Config(k=4, devices=8))
+    assert isinstance(dc, DistributedCounter)
+    dc0 = make_counter(Config(k=4, devices=0))
+    assert isinstance(dc0, DistributedCounter)
+    assert dc0.n_dev == 8

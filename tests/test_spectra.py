@@ -66,3 +66,55 @@ def test_merge_cli_equals_combined_count(tmp_path, fixtures_dir):
     assert rd.returncode == 0 and rd.stdout == ""
     rd2 = _cli(["diff", "-i", "s1.tsv", "s2.tsv"], tmp_path)
     assert rd2.returncode == 1 and rd2.stdout
+
+
+def test_streaming_merge_matches_dict(tmp_path):
+    """Streaming k-way merge == dict merge on sorted inputs."""
+    import io
+    import random
+    from findkmer_tpu import spectra
+
+    rng = random.Random(7)
+    kmers = sorted({"".join(rng.choice("ACGT") for _ in range(5))
+                    for _ in range(200)})
+    files = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.tsv"
+        sel = sorted(rng.sample(kmers, 120))
+        p.write_text("".join(f"{k}\t{rng.randint(1, 99)}\n" for k in sel))
+        files.append(str(p))
+
+    buf = io.BytesIO()
+    n = spectra.merge_sorted_streaming(files, buf)
+    got = buf.getvalue().decode().splitlines()
+    want = list(spectra.spectrum_lines(spectra.merge_spectra(files)))
+    assert got == want
+    assert n == len(want)
+
+
+def test_streaming_merge_zeros(tmp_path):
+    import io
+    from findkmer_tpu import spectra
+    from oracle.scalar import all_kmers
+
+    p = tmp_path / "s.tsv"
+    p.write_text("AC\t3\nGT\t1\n")
+    buf = io.BytesIO()
+    spectra.merge_sorted_streaming([str(p)], buf, zeros_k=2)
+    got = buf.getvalue().decode().splitlines()
+    assert len(got) == 16
+    assert got[0] == "AA\t0"
+    d = dict(line.split("\t") for line in got)
+    assert d["AC"] == "3" and d["GT"] == "1"
+    assert [line.split("\t")[0] for line in got] == list(all_kmers(2))
+
+
+def test_streaming_merge_rejects_unsorted(tmp_path):
+    import io
+    import pytest
+    from findkmer_tpu import spectra
+
+    p = tmp_path / "bad.tsv"
+    p.write_text("GT\t1\nAC\t2\n")
+    with pytest.raises(ValueError, match="not sorted"):
+        spectra.merge_sorted_streaming([str(p)], io.BytesIO())
