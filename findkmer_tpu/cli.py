@@ -39,7 +39,10 @@ def _enable_compile_cache():
 
 
 def _add_common(p: argparse.ArgumentParser):
-    p.add_argument("-i", "--input", required=True, nargs="+", help="FASTA file(s)")
+    p.add_argument("-i", "--input", required=True, nargs="+",
+                   help="FASTA/FASTQ file(s), optionally gzipped")
+    p.add_argument("--format", choices=["auto", "fasta", "fastq"],
+                   default="auto", help="input format (auto-sniffed)")
     p.add_argument("-k", type=int, required=True, help="k-mer length (1..31)")
     p.add_argument("-o", "--output", default="-", help="output path ('-' = stdout)")
     p.add_argument("-z", "--zeros", action="store_true",
@@ -82,6 +85,7 @@ def _cfg_from_args(args):
         sparse_capacity=args.sparse_capacity,
         devices=args.devices,
         merge=args.merge,
+        input_format=args.format,
         zeros=args.zeros,
         sep=args.sep,
         out_counts_only=args.counts_only,

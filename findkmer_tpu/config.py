@@ -92,6 +92,10 @@ class Config:
     sep: str = "\t"
     out_counts_only: bool = False    # emit COUNT without the KMER column
 
+    # --- input ---
+    input_format: str = "auto"       # auto | fasta | fastq (gzip is
+                                     # detected by magic bytes either way)
+
     # --- runtime ---
     use_native_encode: bool = True   # prefer the C encoder when built
     packed_h2d: bool = True
@@ -113,6 +117,8 @@ class Config:
             raise ValueError(
                 f"chunk_len ({self.chunk_len}) must be >= k ({self.k})"
             )
+        if self.input_format not in ("auto", "fasta", "fastq"):
+            raise ValueError(f"bad input_format {self.input_format!r}")
 
     # ------------------------------------------------------------------
     @property

@@ -21,11 +21,36 @@ is memory-bandwidth-class, not per-byte Python.
 
 from __future__ import annotations
 
+import gzip
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
 
 import numpy as np
+
+
+def open_maybe_gzip(path_or_file):
+    """Open a path as a binary stream, transparently gunzipping.
+
+    Detection is by magic bytes (1f 8b), not extension, so renamed files
+    work; already-open file objects pass through (gzip-wrapped when they
+    are seekable and carry the magic).  Returns (stream, owns_handle).
+    """
+    if isinstance(path_or_file, (str, os.PathLike)):
+        f = open(path_or_file, "rb")
+        own = True
+    else:
+        f = path_or_file
+        own = False
+    try:
+        if f.seekable():
+            head = f.read(2)
+            f.seek(-len(head), 1)
+            if head == b"\x1f\x8b":
+                return gzip.GzipFile(fileobj=f), own
+    except (OSError, ValueError):
+        pass
+    return f, own
 
 # ASCII whitespace stripped from sequence data (space, tab, CR, LF, VT, FF)
 _WS_TABLE = np.zeros(256, dtype=bool)
@@ -63,8 +88,7 @@ class FastaReader:
 
     def __init__(self, path_or_file, block_size: int = 1 << 22,
                  strip_ws: bool = True):
-        self._own = isinstance(path_or_file, (str, os.PathLike))
-        self._f = open(path_or_file, "rb") if self._own else path_or_file
+        self._f, self._own = open_maybe_gzip(path_or_file)
         self.block_size = int(block_size)
         # strip_ws=False leaves whitespace in chunk data for consumers
         # with a fused strip+encode path (io/native.fk_encode_compact)

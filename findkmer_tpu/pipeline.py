@@ -201,7 +201,26 @@ def batches_from_file(
     path, cfg: Config, *, stats: Optional[StreamStats] = None
 ) -> Iterator[np.ndarray]:
     from findkmer_tpu.io import native as native_mod
+    from findkmer_tpu.io.fastq import FastqReader, sniff_format
 
+    fmt = cfg.input_format
+    if fmt == "auto":
+        fmt = sniff_format(path)
+    if fmt == "fastq":
+        # per-read records; quality lines skipped by the reader (no
+        # whitespace left in chunk data, so the plain encoder applies)
+        with FastqReader(path) as reader:
+            yield from batches_from_codes(
+                code_stream(
+                    reader,
+                    prefer_native=cfg.use_native_encode,
+                    fused=False,
+                    stats=stats,
+                ),
+                cfg,
+                stats=stats,
+            )
+        return
     fused = cfg.use_native_encode and native_mod.available()
     with FastaReader(path, strip_ws=not fused) as reader:
         yield from batches_from_codes(
