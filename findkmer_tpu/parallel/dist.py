@@ -296,6 +296,13 @@ class DistributedCounter:
         already inside the sharded step)."""
         return state
 
+    # batches between host checks of the route-overflow flag: a skewed
+    # input (genomic prefixes are not uniform) must fail FAST, not at
+    # finalize after the whole run's work is lost.  The check is one
+    # scalar D2H every N batches — negligible, and it never blocks the
+    # async dispatch pipeline for long since the flag is N batches stale.
+    overflow_check_every = 64
+
     def step(self, state, rows):
         if isinstance(rows, np.ndarray) or (
             isinstance(rows, tuple) and isinstance(rows[0], np.ndarray)
@@ -306,6 +313,15 @@ class DistributedCounter:
         if self.merge == "all_to_all":
             shards, overflow = state
             shards, overflow = self._step(shards, overflow, rows)
+            self._steps_since_check = getattr(self, "_steps_since_check", 0) + 1
+            if self._steps_since_check >= self.overflow_check_every:
+                self._steps_since_check = 0
+                if bool(overflow):
+                    raise RuntimeError(
+                        "all_to_all route bucket overflowed "
+                        f"(capacity {self._route_cap}); raise "
+                        "Config.route_capacity_factor (skewed input)"
+                    )
             return (shards, overflow)
         hi, lo, cnt, overflow = state
         hi, lo, cnt, overflow = self._step(hi, lo, cnt, overflow, rows)

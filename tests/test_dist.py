@@ -123,3 +123,22 @@ def test_make_counter_devices(rng):
     dc0 = make_counter(Config(k=4, devices=0))
     assert isinstance(dc0, DistributedCounter)
     assert dc0.n_dev == 8
+
+
+def test_route_overflow_fails_fast(rng):
+    """Skewed input must error within overflow_check_every batches, not
+    at finalize (round-2 advisor finding)."""
+    text = ">r\n" + "A" * 40000 + "\n"
+    cfg = Config(k=8, chunk_len=64, batch_rows=8, merge="all_to_all",
+                 route_capacity_factor=0.01)
+    mesh = make_mesh(8)
+    dc = DistributedCounter(cfg, mesh)
+    dc.overflow_check_every = 2
+    state = dc.init_state()
+    reader = FastaReader(io.BytesIO(text.encode()))
+    with pytest.raises(RuntimeError, match="overflow"):
+        for i, rows in enumerate(pipeline.batches_from_codes(
+            pipeline.code_stream(reader), cfg
+        )):
+            state = dc.step(state, rows)
+            assert i < 10, "overflow not raised fast"
