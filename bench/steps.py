@@ -76,16 +76,19 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
     return bases / dt, dt
 
 
-def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=32,
-                      capacity=1 << 27, canonical=False):
-    """bases/s of the sparse (LSM sorted-run) path for big k.
+def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=64,
+                      capacity=1 << 28, compact_entries=1 << 24,
+                      canonical=False):
+    """bases/s of the sparse (log-structured) path for big k.
 
-    Geometry is chosen so the two-level store behaves as in production:
-    flushes (2M entries) merge into the young store, and young compacts
-    into main every ~4 flushes.  Warmup covers two young cycles plus a
-    compaction so every jit shape (fill ladders included) is compiled
-    before timing; anything less leaves a multi-minute remote compile
-    inside the timed region.
+    Honest accounting: the timed window covers `steps` ingest steps PLUS
+    the compactions they trigger PLUS one final compaction, i.e. every
+    device-side cost of producing the exact spectrum except D2H/output.
+    compact_entries is set so the window includes store-carrying
+    compactions (the expensive kind), not just raw appends.  Warmup runs
+    one full cycle of the same shapes (incl. a first and a store-carrying
+    compaction) so no multi-minute tunnel compile lands in the timed
+    region.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -93,11 +96,10 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=32,
     from findkmer_tpu.config import Config
     from findkmer_tpu.models.counter import KmerCounter
 
-    # production defaults: flush at 8.4M entries into a 33M young store,
-    # compaction every ~4 young merges
     cfg = Config(
         k=k, batch_rows=batch_rows, chunk_len=chunk_len,
         sparse_capacity=capacity, canonical=canonical,
+        sparse_compact_entries=compact_entries,
     )
     counter = KmerCounter(cfg)
     rng = np.random.default_rng(0)
@@ -106,20 +108,19 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=32,
 
     state = counter.init_state()
     windows_per_batch = batch_rows * chunk_len
-    young_cycle = max(
-        1, min(cfg.sparse_young_capacity, capacity) // windows_per_batch
-    )
-    warm = 2 * young_cycle + 2  # two young cycles incl. >=1 compaction
+    # warm one full timed cycle: enough steps to trigger the same
+    # compaction shapes (first raw-only + store-carrying ones)
+    warm = max(steps, 2 * (compact_entries // windows_per_batch) + 2)
     for _ in range(warm):
         state = counter.step(state, rows)
-    state = counter.flush(state)
-    _sync(state.table.cnt)
+    state = counter.compact(state)
+    _sync(state.store[-1])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state = counter.step(state, rows)
-    state = counter.flush(state)
-    _sync(state.table.cnt)
+    state = counter.compact(state)
+    _sync(state.store[-1])
     dt = time.perf_counter() - t0
     return batch_rows * chunk_len * steps / dt, dt
 

@@ -43,31 +43,23 @@ class Config:
 
     # --- table ---
     table_mode: str = AUTO           # direct | sparse | auto
-    direct_k_max: int = 12           # largest k for a dense 4^k table per chip
+    direct_k_max: int = 10           # largest k for a dense 4^k table in
+    # auto mode.  Measured (bench/RESULTS.md round 2): the Pallas MXU
+    # histogram covers k <= 10 at ~1.4 Gbase/s; above that, XLA
+    # scatter-add (69-142 Melem/s) loses to the sparse sort path
+    # (unstable sort at 360-520 Melem/s), so auto routes k >= 11 sparse.
     count_dtype: str = "int32"       # count dtype; overflow policy = saturate-free
                                      # exact (int32 overflows only past 2^31 obs)
-    sparse_capacity: int = 1 << 22   # max distinct k-mers in the sparse store
-    sparse_merge_every: int = 64     # max batches buffered between store
-                                     # merges (amortizes the big sort)
-    sparse_flush_entries: int = 1 << 23
-    # flush when buffered window entries exceed this.  The sparse path is
-    # log-structured: raw codes accumulate and one sort dedups them.  The
-    # size is a measured sweet spot (bench/RESULTS.md): TPU XLA sort is
-    # bitonic O(N log^2 N), so giant flushes lose (84M entries sort at
-    # ~93 Melem/s vs 217 at 4M), while tiny ones pay ~6 ms/call overhead.
-    sparse_young_capacity: int = 1 << 25
-    # two-level (LSM) store: pending raw codes merge into a bounded
-    # "young" sorted store (fast, small sorts); young compacts into the
-    # big "main" store only when it would overflow.  Keeps every routine
-    # sort in the fast few-tens-of-M range regardless of total distinct
-    # count (chr-scale stores hit HBM pressure and large-sort decay when
-    # every flush sorted the full store; bench/RESULTS.md).
-    sparse_compact_batches: bool = False
-    # False: buffer raw window codes and let the flush's single big sort
-    # dedup everything — no per-batch sort at all.  TPU sort has ~5-7 ms
-    # fixed overhead per call (bench/RESULTS.md), so many small sorts lose
-    # to one big one.  True: RLE-compact each batch before buffering
-    # (wins only for highly repetitive input where batches collapse).
+    sparse_capacity: int = 1 << 22   # max DISTINCT k-mers in the sparse
+                                     # store (overflow-checked at compaction)
+    sparse_compact_entries: int = 1 << 27
+    # Compaction trigger: buffered raw window codes are sorted + RLE'd
+    # into the store once this many accumulate.  Ingest between
+    # compactions is append-only (measured: any earlier sorting is
+    # wasted work because merging sorted runs = re-sorting the concat;
+    # bench/RESULTS.md round-2 probes).  128M entries ~= 1-1.6 GB of
+    # raw codes + like-sized sort workspace — sized for 16 GiB HBM
+    # alongside a chr-scale store.
 
     # --- batching / streaming (pipeline.py) ---
     batch_rows: int = 256            # B: rows per device batch

@@ -10,22 +10,39 @@ intermediates (window codes, validity) out of HBM where it can.
 Replaces, end to end, the reference's scan loop + count insert
 (SURVEY.md §3.1 E2/E3).
 
-Sparse-mode batching: merging the whole store every batch costs
-O(cap log cap) per batch.  Instead each batch is reduced to its own sorted
-runs (O(N log N), N = windows/batch) and Config.sparse_merge_every runs are
-buffered before one store merge — an LSM-style amortization that cuts the
-per-base merge cost by ~merge_every when cap >> N.
+Sparse mode (k > direct_k_max) is a log-structured sorted store, designed
+from the round-2 device probes (bench/RESULTS.md):
+
+  * step: extract window codes, append them RAW to a growing device
+    buffer (dynamic_update_slice into a donated buffer — no sort, no
+    merge, no host sync).  Measured truth: merging sorted runs on TPU is
+    best done by re-sorting the concatenation (unstable lax.sort runs
+    360-520 Melem/s at any size while hand-built merge networks run at
+    70), so any sorting before the final one is wasted work.
+  * compaction (rare: raw buffer reaches sparse_compact_entries, or
+    checkpoint/finalize): one unstable sort of [store-live + raw] + an
+    RLE of pure scans (no gathers) -> sorted (code, count) store.  The
+    store stays 'hole-laden' (duplicates keep their code with count 0)
+    so it can re-enter the next sort unchanged; holes are squeezed out
+    with one extra sort only when they exceed the live size.
+  * finalize: the same chain once, then D2H + host-side hole strip.
+
+All shapes come from a {1, 1.5} x 2^i ladder so only a handful of
+programs ever compile (each new shape costs minutes through the axon
+tunnel).  No device->host sync on the step path; compactions read the
+PREVIOUS compaction's distinct-count scalar (long since resolved).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from findkmer_tpu.config import Config
 from findkmer_tpu.ops import histogram as hist_ops
@@ -73,135 +90,131 @@ def _pallas_dense_step(
     return table + delta.astype(table.dtype)
 
 
-def _window_codes_any(rows, k, canonical):
-    """(hi, lo, valid) uint32 codes for any k (narrow k packs into lo)."""
-    if k <= 15:
-        codes, valid = window_ops.window_codes(rows, k, canonical)
-        return jnp.zeros_like(codes, jnp.uint32), codes.astype(jnp.uint32), valid
-    return window_ops.window_codes_wide(rows, k, canonical)
-
-
-@partial(jax.jit, static_argnames=("k", "canonical", "R"))
-def _batch_runs(batch, k: int, canonical: bool, R: int):
-    """One batch -> its own sorted distinct (hi, lo, cnt) runs."""
-    rows = window_ops.rows_from_batch(batch, R)
-    whi, wlo, valid = _window_codes_any(rows, k, canonical)
-    return sparse_ops.batch_to_runs(whi, wlo, valid)
+SENT32 = np.uint32(sparse_ops.SENTINEL)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "R"))
 def _batch_codes(batch, k: int, canonical: bool, R: int):
-    """One batch -> raw (hi, lo, cnt) window codes, invalid masked to
-    sentinel.  No sort: merge_runs re-sorts its whole input anyway, so the
-    flush's single big sort subsumes per-batch compaction."""
+    """One batch -> flat raw window-code arrays, invalid as sentinel.
+
+    k <= 15: (lo,) single uint32 codes (1-key sorts downstream);
+    k > 15:  (hi, lo) uint32 pair.  No sorting, no counts — raw codes
+    accumulate and one compaction sort does everything."""
     rows = window_ops.rows_from_batch(batch, R)
-    whi, wlo, valid = _window_codes_any(rows, k, canonical)
     sent = jnp.uint32(sparse_ops.SENTINEL)
-    hi = jnp.where(valid, whi, sent).reshape(-1)
-    lo = jnp.where(valid, wlo, sent).reshape(-1)
-    cnt = valid.reshape(-1).astype(jnp.int32)
-    return hi, lo, cnt
-
-
-@partial(jax.jit, static_argnames=("cap",))
-def _merge_pending(
-    hi: jnp.ndarray,        # (fill_cap,) live prefix of the store
-    lo: jnp.ndarray,
-    cnt: jnp.ndarray,
-    overflow: jnp.ndarray,
-    pend_hi: jnp.ndarray,   # (P, N) stacked pending runs
-    pend_lo: jnp.ndarray,
-    pend_cnt: jnp.ndarray,
-    cap: int,               # full store capacity (overflow bound)
-):
-    """Merge P buffered batch-runs into a store's live prefix.
-
-    The store is sorted with sentinels at the end, so slicing it to a
-    power-of-four prefix covering all live entries (fill tracking in
-    KmerCounter.flush) makes the merge sort scale with CONTENTS, not
-    capacity.  Output length fill_cap + P*N; the caller re-pads.
-    Overflow = any real entry beyond cap.
-    """
-    chi = jnp.concatenate([hi, pend_hi.reshape(-1)])
-    clo = jnp.concatenate([lo, pend_lo.reshape(-1)])
-    ccnt = jnp.concatenate([cnt, pend_cnt.reshape(-1)])
-    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
-    chi, clo, ccnt = sparse_ops._rle_sorted(chi, clo, ccnt)
-    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
-    if chi.shape[0] > cap:
-        ovf = jnp.any(chi[cap:] != sparse_ops.SENTINEL)
-    else:
-        ovf = jnp.zeros((), bool)
-    distinct = jnp.count_nonzero(ccnt)
-    return chi, clo, ccnt, overflow | ovf, distinct
-
-
-@partial(jax.jit, static_argnames=("cap",))
-def _compact_merge(
-    mhi, mlo, mcnt,          # (main_fill_cap,) live prefix of main
-    overflow,
-    yhi, ylo, ycnt,          # (young_fill_cap,) live prefix of young
-    pend_hi, pend_lo, pend_cnt,  # (P, N) pending runs (may be sentinels)
-    cap: int,                # main capacity (overflow bound)
-):
-    """LSM compaction: fold young + pending into main in one sort."""
-    chi = jnp.concatenate([mhi, yhi, pend_hi.reshape(-1)])
-    clo = jnp.concatenate([mlo, ylo, pend_lo.reshape(-1)])
-    ccnt = jnp.concatenate([mcnt, ycnt, pend_cnt.reshape(-1)])
-    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
-    chi, clo, ccnt = sparse_ops._rle_sorted(chi, clo, ccnt)
-    chi, clo, ccnt = sparse_ops._sort3(chi, clo, ccnt)
-    if chi.shape[0] > cap:
-        ovf = jnp.any(chi[cap:] != sparse_ops.SENTINEL)
-    else:
-        ovf = jnp.zeros((), bool)
-    distinct = jnp.count_nonzero(ccnt)
-    return chi, clo, ccnt, overflow | ovf, distinct
-
-
-def _fill_ladder(fill_val: int, cap: int) -> int:
-    """Smallest power-of-4 prefix (>= 1M) covering fill, clamped to cap.
-
-    Powers of 4 bound the number of distinct merge shapes that ever
-    compile (each new shape costs minutes through the remote tunnel)."""
-    c = 1 << 20
-    while c < fill_val:
-        c *= 4
-    return min(c, cap)
-
-
-def _pad_to(hi, lo, cnt, cap: int):
-    """Truncate or sentinel-pad merged arrays to exactly cap entries."""
-    m = hi.shape[0]
-    if m >= cap:
-        return hi[:cap], lo[:cap], cnt[:cap]
-    pad = cap - m
+    if k <= 15:
+        codes, valid = window_ops.window_codes(rows, k, canonical)
+        return (
+            jnp.where(valid, codes.astype(jnp.uint32), sent).reshape(-1),
+        )
+    whi, wlo, valid = window_ops.window_codes_wide(rows, k, canonical)
     return (
-        jnp.concatenate([hi, jnp.full((pad,), sparse_ops.SENTINEL,
-                                      jnp.uint32)]),
-        jnp.concatenate([lo, jnp.full((pad,), sparse_ops.SENTINEL,
-                                      jnp.uint32)]),
-        jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)]),
+        jnp.where(valid, whi, sent).reshape(-1),
+        jnp.where(valid, wlo, sent).reshape(-1),
     )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append(bufs, parts, offset):
+    """Write a batch's raw codes into the (donated) raw buffers."""
+    return tuple(
+        lax.dynamic_update_slice(b, p, (offset,))
+        for b, p in zip(bufs, parts)
+    )
+
+
+@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
+def _grow(bufs, new_cap: int):
+    return tuple(
+        jnp.concatenate(
+            [b, jnp.full((new_cap - b.shape[0],), SENT32, b.dtype)]
+        )
+        for b in bufs
+    )
+
+
+@partial(jax.jit, static_argnames=("cap", "n"))
+def _fresh(cap: int, n: int):
+    return tuple(jnp.full((cap,), SENT32, jnp.uint32) for _ in range(n))
+
+
+@partial(jax.jit, static_argnames=("L",), donate_argnums=(0,))
+def _compact_raw_dev(bufs, L: int):
+    """First compaction (no store): sort raw codes + positional RLE."""
+    pad = L - bufs[0].shape[0]
+    padded = tuple(
+        jnp.concatenate([b, jnp.full((pad,), SENT32, b.dtype)])
+        if pad
+        else b
+        for b in bufs
+    )
+    if len(padded) == 1:
+        lo, cnt, distinct = sparse_ops.compact_raw_narrow(padded[0])
+        return (lo, cnt), distinct
+    hi, lo, cnt, distinct = sparse_ops.compact_raw(*padded)
+    return (hi, lo, cnt), distinct
+
+
+@partial(jax.jit, static_argnames=("L",), donate_argnums=(0, 1))
+def _compact_counted_dev(store, bufs, L: int):
+    """Store-carrying compaction: store entries keep their counts, raw
+    entries enter with count 1; one sort + value-RLE."""
+    n_raw = bufs[0].shape[0]
+    n_store = store[0].shape[0]
+    pad = L - n_store - n_raw
+    ones = jnp.ones((n_raw,), jnp.int32)
+    zpad = jnp.zeros((max(pad, 0),), jnp.int32)
+    if len(bufs) == 1:
+        lo = jnp.concatenate(
+            [store[0], bufs[0]]
+            + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+        )
+        cnt = jnp.concatenate([store[1], ones, zpad])
+        lo, cnt, distinct = sparse_ops.compact_counted_narrow(lo, cnt)
+        return (lo, cnt), distinct
+    hi = jnp.concatenate(
+        [store[0], bufs[0]]
+        + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+    )
+    lo = jnp.concatenate(
+        [store[1], bufs[1]]
+        + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+    )
+    cnt = jnp.concatenate([store[2], ones, zpad])
+    hi, lo, cnt, distinct = sparse_ops.compact_counted(hi, lo, cnt)
+    return (hi, lo, cnt), distinct
+
+
+@partial(jax.jit, static_argnames=("Ld",), donate_argnums=(0,))
+def _squeeze_slice_dev(store, Ld: int):
+    """Sort zero-count holes to the end, slice to the live ladder."""
+    if len(store) == 2:
+        lo, cnt = sparse_ops.squeeze_narrow(*store)
+        return lo[:Ld], cnt[:Ld]
+    hi, lo, cnt = sparse_ops.squeeze(*store)
+    return hi[:Ld], lo[:Ld], cnt[:Ld]
 
 
 @dataclass
 class SparseState:
-    """Two-level (LSM) sparse counting state.
+    """Log-structured sparse counting state.
 
-    pending: raw batch code runs, not yet sorted at all.
-    young:   bounded sorted store absorbing flushes with SMALL sorts.
-    table:   the main store; young compacts into it only when young
-             would overflow (and at checkpoint/finalize), so routine
-             sorts never scale with total distinct count.
-    fill values may be ints or lazy device scalars from a prior merge.
+    raw:   SENT-initialized growing code buffers ((lo,) or (hi, lo));
+           fill is host-tracked (batch sizes are static), so the step
+           path never syncs with the device.
+    store: sorted hole-laden (code, count) arrays from the last
+           compaction (None before the first), padded with sentinels to
+           store_len (a ladder size).
+    distinct: device scalar from the last compaction (or int); read
+           with int() only at the NEXT compaction, when it has long
+           since resolved — never stalls the pipeline.
     """
 
-    table: table_mod.SparseTable
-    pending: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
-    young: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] = None
-    fill: object = 0         # live entries in table (main)
-    young_fill: object = 0   # live entries in young
+    raw: Tuple[jnp.ndarray, ...]
+    fill: int = 0
+    store: Optional[Tuple[jnp.ndarray, ...]] = None
+    store_len: int = 0
+    distinct: object = 0
 
 
 def make_counter(cfg: Config):
@@ -259,16 +272,28 @@ class KmerCounter:
         with DistributedCounter.put_batch)."""
         return jax.device_put(rows, jax.devices()[0])
 
+    @property
+    def _n_bufs(self) -> int:
+        return 1 if self.cfg.k <= 15 else 2
+
+    def _raw_cap0(self) -> int:
+        """Initial raw-buffer capacity: a couple of batches' worth."""
+        per_batch = self.cfg.batch_rows * self.cfg.window_len
+        return sparse_ops.ladder(
+            min(2 * per_batch, self._target_cap()), floor=4096
+        )
+
+    def _target_cap(self) -> int:
+        return sparse_ops.ladder(
+            max(self.cfg.sparse_compact_entries,
+                self.cfg.batch_rows * self.cfg.window_len),
+            floor=4096,
+        )
+
     def init_state(self):
         if self.mode == "direct":
             return table_mod.make_table(self.cfg)
-        ycap = min(self.cfg.sparse_young_capacity,
-                   self.cfg.sparse_capacity)
-        return SparseState(
-            table=table_mod.SparseTable.empty(self.cfg),
-            pending=[],
-            young=sparse_ops.empty_store(ycap),
-        )
+        return SparseState(raw=_fresh(self._raw_cap0(), self._n_bufs))
 
     def step(self, state, batch):
         """One batch update.
@@ -295,109 +320,88 @@ class KmerCounter:
             )
             return table_mod.DenseTable(counts=counts, k=cfg.k)
 
-        batch_fn = (
-            _batch_runs if cfg.sparse_compact_batches else _batch_codes
+        parts = _batch_codes(batch, cfg.k, cfg.canonical, cfg.row_len)
+        n = parts[0].shape[0]
+        raw, fill = state.raw, state.fill
+        store, store_len, distinct = (
+            state.store, state.store_len, state.distinct
         )
-        runs = batch_fn(batch, cfg.k, cfg.canonical, cfg.row_len)
-        state = SparseState(
-            table=state.table, pending=state.pending + [runs],
-            young=state.young, fill=state.fill,
-            young_fill=state.young_fill,
+        cap = raw[0].shape[0]
+        target = self._target_cap()
+        if fill + n > cap:
+            if fill + n > target:
+                state = self.compact(state)
+                raw, fill = state.raw, 0
+                store, store_len, distinct = (
+                    state.store, state.store_len, state.distinct
+                )
+                cap = raw[0].shape[0]
+            while fill + n > cap:
+                cap = sparse_ops.ladder(
+                    max(fill + n, 2 * cap), floor=4096
+                )
+                raw = _grow(raw, cap)
+        raw = _append(raw, parts, fill)
+        return SparseState(
+            raw=raw, fill=fill + n, store=store, store_len=store_len,
+            distinct=distinct,
         )
-        entries = sum(p[0].shape[0] for p in state.pending)
-        if (
-            len(state.pending) >= max(1, cfg.sparse_merge_every)
-            or entries >= cfg.sparse_flush_entries
-        ):
-            state = self.flush(state)
-        return state
 
     # ------------------------------------------------------------------
+    def compact(self, state):
+        """Fold the raw code buffer into the sorted store (one unstable
+        sort + scan-RLE; bench/probe_sort*.py).  No-op for dense or when
+        nothing is buffered."""
+        if self.mode == "direct":
+            return state
+        if state.fill == 0 and state.store is not None:
+            return state
+        cfg = self.cfg
+        cap = state.raw[0].shape[0]
+        if state.store is None:
+            L = sparse_ops.ladder(cap, floor=4096)
+            store, distinct = _compact_raw_dev(state.raw, L)
+        else:
+            # previous compaction's scalar: long since resolved
+            d = int(state.distinct)
+            self._check_capacity(d)
+            store, store_len = state.store, state.store_len
+            Ld = sparse_ops.ladder(d, floor=4096)
+            if store_len > 2 * Ld:
+                # hole fraction > 1/2: squeeze before re-sorting
+                store = _squeeze_slice_dev(store, Ld)
+                store_len = Ld
+            L = sparse_ops.ladder(store_len + cap, floor=4096)
+            store, distinct = _compact_counted_dev(store, state.raw, L)
+        return SparseState(
+            raw=_fresh(cap, self._n_bufs), fill=0,
+            store=store, store_len=L, distinct=distinct,
+        )
+
     def flush(self, state):
-        """Merge buffered runs into the young store (no-op for dense).
+        """Back-compat alias: force a compaction (checkpoint/bench)."""
+        return self.compact(state)
 
-        Two-level LSM: routine flushes sort at most
-        young_prefix + pending entries.  When young would overflow, young
-        + pending compact into the main store instead (rare: once per
-        young-capacity's worth of distinct k-mers).
-        """
-        if self.mode == "direct" or not getattr(state, "pending", None):
-            return state
-        pending = list(state.pending)
-        pending_entries = sum(p[0].shape[0] for p in pending)
-        # pad to the next power of two so only O(log merge_every) distinct
-        # merge shapes ever compile (compiles are expensive on this tunnel)
-        P = 1
-        while P < len(pending):
-            P *= 2
-        if len(pending) < P:
-            shape = pending[0][0].shape
-            sent_hi = jnp.full(shape, sparse_ops.SENTINEL, jnp.uint32)
-            sent_cnt = jnp.zeros(shape, jnp.int32)
-            pending += [(sent_hi, sent_hi, sent_cnt)] * (P - len(pending))
-        phi = jnp.stack([p[0] for p in pending])
-        plo = jnp.stack([p[1] for p in pending])
-        pcnt = jnp.stack([p[2] for p in pending])
+    def _check_capacity(self, distinct: int):
+        if distinct > self.cfg.sparse_capacity:
+            raise RuntimeError(
+                f"sparse store exceeded sparse_capacity "
+                f"({distinct} > {self.cfg.sparse_capacity} distinct "
+                "k-mers); raise Config.sparse_capacity"
+            )
 
-        yhi, ylo, ycnt = state.young
-        ycap = yhi.shape[0]
-        # fill values may be the PREVIOUS merge's device scalar — long
-        # since computed, so int() does not stall the pipeline
-        yfill = int(state.young_fill)
+    def _store_to_host(self, store):
+        """Hole-laden sorted store -> host (codes uint64, counts).
 
-        if yfill + pending_entries > ycap:
-            return self._compact(state, phi, plo, pcnt, yfill)
-
-        ypref = _fill_ladder(yfill, ycap)
-        hi, lo, cnt, _ovf, distinct = _merge_pending(
-            yhi[:ypref], ylo[:ypref], ycnt[:ypref],
-            jnp.zeros((), bool), phi, plo, pcnt, ycap,
-        )
-        # bound check above guarantees distinct <= ycap (no young loss)
-        hi, lo, cnt = _pad_to(hi, lo, cnt, ycap)
-        return SparseState(
-            table=state.table, pending=[], young=(hi, lo, cnt),
-            fill=state.fill, young_fill=distinct,
-        )
-
-    def _compact(self, state, phi, plo, pcnt, yfill):
-        """Fold young + pending into the main store (the rare big sort)."""
-        t = state.table
-        cap = t.hi.shape[0]
-        yhi, ylo, ycnt = state.young
-        ycap = yhi.shape[0]
-        mpref = _fill_ladder(int(state.fill), cap)
-        ypref = _fill_ladder(yfill, ycap)
-        hi, lo, cnt, ovf, distinct = _compact_merge(
-            t.hi[:mpref], t.lo[:mpref], t.cnt[:mpref], t.overflow,
-            yhi[:ypref], ylo[:ypref], ycnt[:ypref],
-            phi, plo, pcnt, cap,
-        )
-        hi, lo, cnt = _pad_to(hi, lo, cnt, cap)
-        return SparseState(
-            table=table_mod.SparseTable(
-                hi=hi, lo=lo, cnt=cnt, overflow=ovf, k=t.k
-            ),
-            pending=[],
-            young=sparse_ops.empty_store(ycap),
-            fill=distinct,      # device scalar; materialized by next use
-            young_fill=0,
-        )
-
-    _SENT_RUN_N = 8
-
-    def _compact_all(self, state):
-        """Flush pending, then fold young into main (for checkpoint or
-        finalize).  No-op when both are already empty."""
-        state = self.flush(state)
-        if int(state.young_fill) == 0:
-            return state
-        sent_hi = jnp.full((1, self._SENT_RUN_N), sparse_ops.SENTINEL,
-                           jnp.uint32)
-        sent_cnt = jnp.zeros((1, self._SENT_RUN_N), jnp.int32)
-        return self._compact(
-            state, sent_hi, sent_hi, sent_cnt, int(state.young_fill)
-        )
+        Stripping cnt==0 holes preserves order, so the result is the
+        sorted distinct spectrum."""
+        if len(store) == 2:
+            lo, cnt = store
+            lo = np.asarray(lo)
+            cnt = np.asarray(cnt)
+            mask = cnt > 0
+            return lo[mask].astype(np.uint64), cnt[mask]
+        return sparse_ops.store_to_host(*store)
 
     def finalize(self, state):
         """Materialize the spectrum on host.
@@ -406,27 +410,54 @@ class KmerCounter:
         """
         if self.mode == "direct":
             return state.to_host()
-        state = self._compact_all(state)
-        return state.table.to_host()
+        state = self.compact(state)
+        self._check_capacity(int(state.distinct))
+        return self._store_to_host(state.store)
 
     # ------------------------------------------------------------------
     def table_state(self, state):
-        """The checkpointable table (flushing pending sparse runs first)."""
+        """The checkpointable table (compacting buffered codes first)."""
         if self.mode == "direct":
             return state, state
-        state = self._compact_all(state)
-        return state, state.table
+        state = self.compact(state)
+        d = int(state.distinct)
+        self._check_capacity(d)
+        Ld = sparse_ops.ladder(d, floor=4096)
+        if state.store_len > Ld:
+            store = _squeeze_slice_dev(state.store, Ld)
+        else:
+            store = state.store
+        state = SparseState(
+            raw=state.raw, fill=state.fill, store=store, store_len=Ld,
+            distinct=d,
+        )
+        if len(store) == 2:
+            lo, cnt = store
+            hi = jnp.where(cnt > 0, jnp.uint32(0),
+                           jnp.uint32(sparse_ops.SENTINEL))
+        else:
+            hi, lo, cnt = store
+        table = table_mod.SparseTable(
+            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool),
+            k=self.cfg.k,
+        )
+        return state, table
 
     def restore_state(self, table):
         """Rebuild step state from a checkpointed table."""
         if self.mode == "direct":
             return table
-        fill = int(np.count_nonzero(np.asarray(table.cnt)))
-        ycap = min(self.cfg.sparse_young_capacity,
-                   self.cfg.sparse_capacity)
+        cnt = jnp.asarray(table.cnt)
+        lo = jnp.asarray(table.lo)
+        if self._n_bufs == 1:
+            store = (jnp.where(cnt > 0, lo,
+                               jnp.uint32(sparse_ops.SENTINEL)), cnt)
+        else:
+            store = (jnp.asarray(table.hi), lo, cnt)
         return SparseState(
-            table=table, pending=[],
-            young=sparse_ops.empty_store(ycap), fill=fill,
+            raw=_fresh(self._raw_cap0(), self._n_bufs), fill=0,
+            store=store, store_len=int(cnt.shape[0]),
+            distinct=int(np.count_nonzero(np.asarray(table.cnt))),
         )
 
     # ------------------------------------------------------------------
@@ -448,11 +479,9 @@ class KmerCounter:
 
             return fn, (table, rows)
 
-        hi, lo, cnt = sparse_ops.empty_store(cfg.sparse_capacity)
+        def fn(rows):
+            parts = _batch_codes(rows, cfg.k, cfg.canonical, cfg.row_len)
+            L = sparse_ops.ladder(parts[0].shape[0], floor=4096)
+            return _compact_raw_dev(parts, L)
 
-        def fn(hi, lo, cnt, rows):
-            rhi, rlo, rcnt = _batch_runs(rows, cfg.k, cfg.canonical,
-                                         cfg.row_len)
-            return sparse_ops.merge_runs(hi, lo, cnt, rhi, rlo, rcnt)
-
-        return fn, (hi, lo, cnt, rows)
+        return fn, (rows,)

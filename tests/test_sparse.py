@@ -88,9 +88,9 @@ def test_merge_exact_at_capacity(rng):
     assert len(codes) == 16
 
 
-def test_lsm_young_compaction_matches_oracle(rng):
-    """Tiny young capacity forces repeated young->main compactions; the
-    spectrum must stay bit-exact (two-level LSM path)."""
+def test_log_store_repeated_compactions_match_oracle(rng):
+    """A tiny compaction threshold forces many store-carrying
+    compactions (sort3 + value-RLE + squeeze); spectrum stays exact."""
     from conftest import random_dna
     from findkmer_tpu.config import Config
     from test_vs_oracle import check
@@ -98,13 +98,13 @@ def test_lsm_young_compaction_matches_oracle(rng):
     seq = random_dna(rng, 4000, n_prob=0.03)
     cfg = Config(
         k=17, chunk_len=64, batch_rows=2, sparse_capacity=16384,
-        sparse_young_capacity=512, sparse_merge_every=2,
+        sparse_compact_entries=512,
     )
     check(">r\n" + seq + "\n", cfg)
 
 
-def test_lsm_checkpoint_compacts(rng, tmp_path):
-    """Checkpoints fold young into main; resume stays bit-identical."""
+def test_log_store_checkpoint_compacts(rng, tmp_path):
+    """Checkpoints force compaction + squeeze; resume bit-identical."""
     import numpy as np
     from conftest import random_dna
     from findkmer_tpu.config import Config
@@ -115,7 +115,7 @@ def test_lsm_checkpoint_compacts(rng, tmp_path):
     p.write_text(">r\n" + seq + "\n")
     cfg = Config(
         k=18, chunk_len=128, batch_rows=2, sparse_capacity=16384,
-        sparse_young_capacity=1024, sparse_merge_every=2,
+        sparse_compact_entries=1024,
     )
     ck = str(tmp_path / "ck")
     a = streaming.stream_count([str(p)], cfg, checkpoint_dir=ck,
@@ -123,6 +123,35 @@ def test_lsm_checkpoint_compacts(rng, tmp_path):
     b = pipeline.count_file(str(p), cfg)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_rle_pos_and_val_match_dict(rng):
+    """New scan-RLE primitives vs dict on sorted inputs with dups."""
+    from findkmer_tpu.ops import sparse as so
+
+    lo = np.sort(rng.integers(0, 50, 300).astype(np.uint32))
+    hi = np.zeros(300, np.uint32)
+    cnt = so.rle_pos(jnp.asarray(hi), jnp.asarray(lo))
+    got = {}
+    for code, c in zip(lo, np.asarray(cnt)):
+        if c:
+            got[int(code)] = got.get(int(code), 0) + int(c)
+    want = {}
+    for code in lo:
+        want[int(code)] = want.get(int(code), 0) + 1
+    assert got == want
+
+    cvals = rng.integers(1, 9, 300).astype(np.int32)
+    cnt2 = so.rle_val(jnp.asarray(hi), jnp.asarray(lo),
+                      jnp.asarray(cvals))
+    got2 = {}
+    for code, c in zip(lo, np.asarray(cnt2)):
+        if c:
+            got2[int(code)] = got2.get(int(code), 0) + int(c)
+    want2 = {}
+    for code, c in zip(lo, cvals):
+        want2[int(code)] = want2.get(int(code), 0) + int(c)
+    assert got2 == want2
 
 
 def test_rle_exact_past_2e31_observations():
