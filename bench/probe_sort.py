@@ -224,13 +224,13 @@ def main():
     print("# bitonic merge correct", file=sys.stderr)
 
     # ---------------- RLE scan ----------------
-    from findkmer_tpu.ops.sparse import _rle_sorted
+    from findkmer_tpu.ops.sparse import rle_val
 
-    rle = jax.jit(_rle_sorted)
+    rle = jax.jit(rle_val)
     sh = jax.device_put(jnp.asarray(np.sort(hi_np)))
     sl = jax.device_put(jnp.asarray(np.sort(lo_np)))
-    report("rle scan (3arr)",
-           _time(rle, (sh, sl, cnt), reps, lambda o: o[2][:1]))
+    report("rle_val scan (cumsum+cummax+gather)",
+           _time(rle, (sh, sl, cnt), reps, lambda o: o[:1]))
 
     # ---------------- scatter / gather ----------------
     for tbl_bits, upd in ((16, N), (20, N), (24, N), (30, N)):

@@ -76,19 +76,17 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
     return bases / dt, dt
 
 
-def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=64,
-                      capacity=1 << 28, compact_entries=1 << 24,
-                      canonical=False):
+def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=24,
+                      capacity=1 << 28, canonical=False):
     """bases/s of the sparse (log-structured) path for big k.
 
-    Honest accounting: the timed window covers `steps` ingest steps PLUS
-    the compactions they trigger PLUS one final compaction, i.e. every
-    device-side cost of producing the exact spectrum except D2H/output.
-    compact_entries is set so the window includes store-carrying
-    compactions (the expensive kind), not just raw appends.  Warmup runs
-    one full cycle of the same shapes (incl. a first and a store-carrying
-    compaction) so no multi-minute tunnel compile lands in the timed
-    region.
+    Honest accounting: the timed window covers everything the device does
+    to produce the exact spectrum for `steps` batches — raw-code ingest
+    PLUS the final compaction (sort + RLE) — excluding only D2H/output.
+    With production defaults a chr1-scale run performs exactly one
+    compaction, so this window (≈50 Mbase -> one compaction) matches the
+    production amortization profile.  Warmup runs one identical cycle so
+    no tunnel compile lands in the timed region.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -96,33 +94,29 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=64,
     from findkmer_tpu.config import Config
     from findkmer_tpu.models.counter import KmerCounter
 
+    bases = batch_rows * chunk_len * steps
     cfg = Config(
         k=k, batch_rows=batch_rows, chunk_len=chunk_len,
         sparse_capacity=capacity, canonical=canonical,
-        sparse_compact_entries=compact_entries,
+        sparse_expected_entries=bases,
     )
     counter = KmerCounter(cfg)
     rng = np.random.default_rng(0)
     host_rows = rng.integers(0, 4, (batch_rows, cfg.row_len), dtype=np.uint8)
     rows = jax.device_put(jnp.asarray(host_rows))
 
-    state = counter.init_state()
-    windows_per_batch = batch_rows * chunk_len
-    # warm one full timed cycle: enough steps to trigger the same
-    # compaction shapes (first raw-only + store-carrying ones)
-    warm = max(steps, 2 * (compact_entries // windows_per_batch) + 2)
-    for _ in range(warm):
-        state = counter.step(state, rows)
-    state = counter.compact(state)
-    _sync(state.store[-1])
+    def run_once():
+        state = counter.init_state()
+        for _ in range(steps):
+            state = counter.step(state, rows)
+        state = counter.compact(state)
+        _sync(state.store[-1])
 
+    run_once()  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state = counter.step(state, rows)
-    state = counter.compact(state)
-    _sync(state.store[-1])
+    run_once()
     dt = time.perf_counter() - t0
-    return batch_rows * chunk_len * steps / dt, dt
+    return bases / dt, dt
 
 
 def bench_end_to_end(jax, path, k=8, hist="auto"):

@@ -119,6 +119,12 @@ def _cfg_from_args(args):
             cap <<= 1
         if cap != cfg.sparse_capacity:
             cfg = cfg.replace(sparse_capacity=cap)
+    # Pre-size the raw code buffer from input size: total windows are
+    # bounded by input bytes, so the engine allocates once instead of
+    # growing through the shape ladder (each growth step is a fresh
+    # multi-minute compile through the axon tunnel).
+    if cfg.resolved_table_mode == "sparse" and total_bytes > 0:
+        cfg = cfg.replace(sparse_expected_entries=total_bytes)
     return cfg
 
 

@@ -52,14 +52,22 @@ class Config:
                                      # exact (int32 overflows only past 2^31 obs)
     sparse_capacity: int = 1 << 22   # max DISTINCT k-mers in the sparse
                                      # store (overflow-checked at compaction)
-    sparse_compact_entries: int = 1 << 27
+    sparse_compact_entries: int = 1 << 28
     # Compaction trigger: buffered raw window codes are sorted + RLE'd
     # into the store once this many accumulate.  Ingest between
     # compactions is append-only (measured: any earlier sorting is
     # wasted work because merging sorted runs = re-sorting the concat;
-    # bench/RESULTS.md round-2 probes).  128M entries ~= 1-1.6 GB of
-    # raw codes + like-sized sort workspace — sized for 16 GiB HBM
-    # alongside a chr-scale store.
+    # bench/RESULTS.md round-2 probes).  268M entries ~= 2.1 GB of raw
+    # codes + like-sized sort workspace — sized for 16 GiB HBM, and
+    # large enough that a human-chr1 run (248M windows) finishes in a
+    # SINGLE raw-only compaction (the fast sort2+rle_pos chain), never
+    # touching the slower store-carrying path.
+    sparse_expected_entries: int = 0
+    # Optional hint: expected total windows (~input bases).  When set
+    # (the CLI sets it from input file sizes) the raw buffer is
+    # pre-sized once instead of growing through the ladder — each
+    # growth step is a new compiled shape, and compiles through the
+    # axon tunnel cost minutes.  0 = unknown, grow by doubling.
 
     # --- batching / streaming (pipeline.py) ---
     batch_rows: int = 256            # B: rows per device batch

@@ -277,10 +277,16 @@ class KmerCounter:
         return 1 if self.cfg.k <= 15 else 2
 
     def _raw_cap0(self) -> int:
-        """Initial raw-buffer capacity: a couple of batches' worth."""
+        """Initial raw-buffer capacity: the expected-size hint when the
+        caller knows it (one shape compiles), else a couple of batches'
+        worth with doubling growth."""
         per_batch = self.cfg.batch_rows * self.cfg.window_len
+        if self.cfg.sparse_expected_entries:
+            want = max(self.cfg.sparse_expected_entries, 2 * per_batch)
+        else:
+            want = 2 * per_batch
         return sparse_ops.ladder(
-            min(2 * per_batch, self._target_cap()), floor=4096
+            min(want, self._target_cap()), floor=4096
         )
 
     def _target_cap(self) -> int:

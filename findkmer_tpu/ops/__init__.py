@@ -1,12 +1,12 @@
 from findkmer_tpu.ops.window import window_codes, window_codes_wide
 from findkmer_tpu.ops.histogram import dense_counts
-from findkmer_tpu.ops.sparse import batch_to_runs, merge_runs, SENTINEL
+from findkmer_tpu.ops.sparse import SENTINEL, compact_raw, compact_counted
 
 __all__ = [
     "window_codes",
     "window_codes_wide",
     "dense_counts",
-    "batch_to_runs",
-    "merge_runs",
     "SENTINEL",
+    "compact_raw",
+    "compact_counted",
 ]

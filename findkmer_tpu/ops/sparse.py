@@ -32,9 +32,6 @@ k <= 31) and marks empty/invalid slots.
 Everything is static-shaped; callers pad concatenations to a small ladder
 of sizes so only a handful of shapes ever compile (compiles through the
 axon tunnel cost minutes).
-
-batch_to_runs / merge_runs are the round-1 per-batch API, still used by
-the distributed dp_sparse path.
 """
 
 from __future__ import annotations
@@ -49,104 +46,6 @@ from jax import lax
 import numpy as np
 
 SENTINEL = np.uint32(0xFFFFFFFF)
-
-
-def _rle_sorted(hi, lo, cnt):
-    """Collapse duplicates in sorted (hi, lo) runs by summing their counts.
-
-    Input arrays are sorted by (hi, lo) with sentinel entries (cnt == 0
-    allowed) at the end.  Returns same-length arrays where the first
-    occurrence of each distinct code carries the summed count and the
-    remaining duplicates are turned into sentinels with count 0 — NOT yet
-    re-sorted (callers re-sort to push freed slots to the end).
-    """
-    n = hi.shape[0]
-    sent1 = jnp.full((1,), SENTINEL, jnp.uint32)
-    prev_hi = jnp.concatenate([sent1, hi[:-1]])
-    prev_lo = jnp.concatenate([sent1, lo[:-1]])
-    is_start = (hi != prev_hi) | (lo != prev_lo)
-    next_hi = jnp.concatenate([hi[1:], sent1])
-    next_lo = jnp.concatenate([lo[1:], sent1])
-    is_end = (hi != next_hi) | (lo != next_lo)
-    # Scan-only run sums (no scatter — XLA scatter serializes on TPU at
-    # ~ns/element and dominated this whole path):
-    #   C[i]    = inclusive prefix sum of cnt, in uint32 so overflow is
-    #             well-defined wraparound (differences stay exact mod 2^32)
-    #   base[i] = prefix sum just before the start of i's run.  Propagated
-    #             BY POSITION (cummax over run-start indices, which are
-    #             monotone by construction), then gathered — propagating
-    #             the prefix-sum VALUE by cummax silently breaks once
-    #             cumulative observations wrap past 2^31 (a stale pre-wrap
-    #             base wins the max and corrupts every later run total).
-    #   total at run END = C - base, exact mod 2^32; true run totals are
-    #   bounded by the int32 count dtype so no aliasing occurs.
-    # The run's total is emitted at its END position (any one position
-    # per run works; callers re-sort by code, where end vs start of equal
-    # codes is indistinguishable).
-    cu = cnt.astype(jnp.uint32)
-    C = jnp.cumsum(cu)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start_pos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
-    base = jnp.take(C - cu, start_pos)
-    is_sent = hi == SENTINEL
-    keep = is_end & ~is_sent
-    out_hi = jnp.where(keep, hi, SENTINEL)
-    out_lo = jnp.where(keep, lo, SENTINEL)
-    out_cnt = jnp.where(keep, C - base, 0).astype(cnt.dtype)
-    return out_hi, out_lo, out_cnt
-
-
-def _sort3(hi, lo, cnt):
-    """Sort (hi, lo, cnt) lexicographically by (hi, lo)."""
-    hi, lo, cnt = lax.sort((hi, lo, cnt), num_keys=2)
-    return hi, lo, cnt
-
-
-@jax.jit
-def batch_to_runs(
-    hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Window codes (any shape) -> sorted distinct (hi, lo, count) runs.
-
-    Output length = number of input windows (static); unused slots hold
-    sentinels with count 0.
-    """
-    hi = jnp.where(valid, hi, SENTINEL).reshape(-1)
-    lo = jnp.where(valid, lo, SENTINEL).reshape(-1)
-    cnt = valid.reshape(-1).astype(jnp.int32)
-    hi, lo, cnt = _sort3(hi, lo, cnt)
-    hi, lo, cnt = _rle_sorted(hi, lo, cnt)
-    return _sort3(hi, lo, cnt)
-
-
-@jax.jit
-def merge_runs(
-    store_hi: jnp.ndarray,
-    store_lo: jnp.ndarray,
-    store_cnt: jnp.ndarray,
-    run_hi: jnp.ndarray,
-    run_lo: jnp.ndarray,
-    run_cnt: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Merge sorted runs into a sorted store of static capacity.
-
-    Returns (hi, lo, cnt, overflowed).  overflowed is a bool scalar: True
-    when the merged distinct count exceeded the store capacity and counts
-    were lost — callers must surface this as an error (grow
-    Config.sparse_capacity).
-    """
-    cap = store_hi.shape[0]
-    hi = jnp.concatenate([store_hi, run_hi])
-    lo = jnp.concatenate([store_lo, run_lo])
-    cnt = jnp.concatenate([store_cnt, run_cnt])
-    hi, lo, cnt = _sort3(hi, lo, cnt)
-    hi, lo, cnt = _rle_sorted(hi, lo, cnt)
-    hi, lo, cnt = _sort3(hi, lo, cnt)
-    overflowed = hi[cap:] != SENTINEL if hi.shape[0] > cap else jnp.zeros(
-        (0,), bool
-    )
-    overflow = jnp.any(overflowed)
-    return hi[:cap], lo[:cap], cnt[:cap], overflow
 
 
 # ----------------------------------------------------------------------
@@ -187,20 +86,20 @@ def rle_val(hi, lo, cnt):
     total(run) = C_end - C_before_start with C = cumsum(cnt) in uint32
     (wraps are benign: differences stay exact mod 2^32, and true totals
     are bounded by the count dtype).  The run base C_before_start is
-    propagated by a segmented associative_scan with a (value, seen-start)
-    last-wins combiner — exact regardless of cumulative wrap, no gather.
-    Returns cnt' at run ENDS, 0 elsewhere/sentinels."""
+    propagated BY POSITION — cummax over run-start indices (monotone,
+    wrap-immune) + one gather.  The gather costs ~8 ns/elem (probe) but
+    this path only runs on store-carrying compactions; the common raw
+    path uses rle_pos.  (A gather-free segmented associative_scan would
+    be faster, but lax.associative_scan with a custom combiner does not
+    compile on the axon remote backend — a 4K-element instance hung the
+    compiler for 9+ minutes.)  Returns cnt' at run ENDS, 0 elsewhere."""
+    n = hi.shape[0]
     is_start, is_end = _adj_flags(hi, lo)
     cu = cnt.astype(jnp.uint32)
     C = jnp.cumsum(cu)
-
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    base0 = jnp.where(is_start, C - cu, 0)
-    base, _ = lax.associative_scan(comb, (base0, is_start))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
+    base = jnp.take(C - cu, spos)
     is_sent = lo == SENTINEL
     return jnp.where(is_end & ~is_sent, C - base, 0).astype(cnt.dtype)
 
@@ -262,6 +161,80 @@ def squeeze_narrow(lo, cnt):
     return lo, cnt
 
 
+# --- 2D (row-wise) variants: one independent store per device row.
+# Sorting along dimension=1 of a (n_dev, N) array whose rows are sharded
+# over the mesh is embarrassingly parallel — XLA partitions it with zero
+# communication, and batched row sorts measure FASTER than one flat sort
+# (494 vs 359 Melem/s; bench/RESULTS.md).  These power the distributed
+# dp_sparse path.
+
+def _adj_flags_2d(hi, lo):
+    G = hi.shape[0]
+    sh = jnp.full((G, 1), SENTINEL, hi.dtype)
+    sl = jnp.full((G, 1), SENTINEL, jnp.uint32)
+    is_start = (hi != jnp.concatenate([sh, hi[:, :-1]], axis=1)) | (
+        lo != jnp.concatenate([sl, lo[:, :-1]], axis=1)
+    )
+    is_end = (hi != jnp.concatenate([hi[:, 1:], sh], axis=1)) | (
+        lo != jnp.concatenate([lo[:, 1:], sl], axis=1)
+    )
+    return is_start, is_end
+
+
+def rle_pos_2d(hi, lo):
+    is_start, is_end = _adj_flags_2d(hi, lo)
+    idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    return jnp.where(is_end & (lo != SENTINEL), idx - spos + 1, 0)
+
+
+def rle_val_2d(hi, lo, cnt):
+    """Row-wise rle_val (same position-gather scheme; see rle_val)."""
+    is_start, is_end = _adj_flags_2d(hi, lo)
+    cu = cnt.astype(jnp.uint32)
+    C = jnp.cumsum(cu, axis=1)
+    idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    base = jnp.take_along_axis(C - cu, spos, axis=1)
+    return jnp.where(is_end & (lo != SENTINEL), C - base, 0).astype(
+        cnt.dtype
+    )
+
+
+@jax.jit
+def compact_raw_2d(hi, lo):
+    hi, lo = lax.sort((hi, lo), dimension=1, num_keys=2, is_stable=False)
+    cnt = rle_pos_2d(hi, lo)
+    return hi, lo, cnt, jnp.count_nonzero(cnt, axis=1)
+
+
+@jax.jit
+def compact_raw_narrow_2d(lo):
+    (lo,) = lax.sort((lo,), dimension=1, num_keys=1, is_stable=False)
+    hi = jnp.zeros_like(lo)
+    cnt = rle_pos_2d(hi, lo)
+    return lo, cnt, jnp.count_nonzero(cnt, axis=1)
+
+
+@jax.jit
+def compact_counted_2d(hi, lo, cnt):
+    hi, lo, cnt = lax.sort(
+        (hi, lo, cnt), dimension=1, num_keys=2, is_stable=False
+    )
+    cnt = rle_val_2d(hi, lo, cnt)
+    return hi, lo, cnt, jnp.count_nonzero(cnt, axis=1)
+
+
+@jax.jit
+def compact_counted_narrow_2d(lo, cnt):
+    (lo, cnt) = lax.sort(
+        (lo, cnt), dimension=1, num_keys=1, is_stable=False
+    )
+    hi = jnp.zeros_like(lo)
+    cnt = rle_val_2d(hi, lo, cnt)
+    return lo, cnt, jnp.count_nonzero(cnt, axis=1)
+
+
 def ladder(n: int, floor: int = 1 << 20) -> int:
     """Smallest padded size >= n from the {1, 1.5} x 2^i ladder.
 
@@ -275,14 +248,6 @@ def ladder(n: int, floor: int = 1 << 20) -> int:
         if n <= c + c // 2:
             return c + c // 2
         c *= 2
-
-
-def empty_store(capacity: int):
-    """Fresh sentinel-filled store arrays."""
-    hi = jnp.full((capacity,), SENTINEL, jnp.uint32)
-    lo = jnp.full((capacity,), SENTINEL, jnp.uint32)
-    cnt = jnp.zeros((capacity,), jnp.int32)
-    return hi, lo, cnt
 
 
 def store_to_host(hi, lo, cnt):

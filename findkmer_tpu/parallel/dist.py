@@ -28,6 +28,7 @@ shard_map program with no host round-trips.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
 
@@ -47,6 +48,121 @@ from findkmer_tpu.parallel.mesh import AXIS, make_mesh
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_SENT = np.uint32(sparse_ops.SENTINEL)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append2d(bufs, parts, offset):
+    return tuple(
+        lax.dynamic_update_slice(b, p, (0, offset))
+        for b, p in zip(bufs, parts)
+    )
+
+
+@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
+def _grow2d(bufs, new_cap: int):
+    return tuple(
+        jnp.concatenate(
+            [b, jnp.full((b.shape[0], new_cap - b.shape[1]), _SENT,
+                         b.dtype)],
+            axis=1,
+        )
+        for b in bufs
+    )
+
+
+@partial(jax.jit, static_argnames=("L",), donate_argnums=(0,))
+def _compact_raw_dev2(bufs, L: int):
+    G = bufs[0].shape[0]
+    pad = L - bufs[0].shape[1]
+    padded = tuple(
+        jnp.concatenate([b, jnp.full((G, pad), _SENT, b.dtype)], axis=1)
+        if pad
+        else b
+        for b in bufs
+    )
+    if len(padded) == 1:
+        lo, cnt, d = sparse_ops.compact_raw_narrow_2d(padded[0])
+        return (lo, cnt), d
+    hi, lo, cnt, d = sparse_ops.compact_raw_2d(*padded)
+    return (hi, lo, cnt), d
+
+
+@partial(jax.jit, static_argnames=("L",), donate_argnums=(0, 1))
+def _compact_counted_dev2(store, bufs, L: int):
+    G = bufs[0].shape[0]
+    n_raw = bufs[0].shape[1]
+    n_store = store[0].shape[1]
+    pad = L - n_store - n_raw
+    ones = jnp.ones((G, n_raw), jnp.int32)
+    zpad = jnp.zeros((G, max(pad, 0)), jnp.int32)
+
+    def cat(s, b):
+        parts = [s, b]
+        if pad:
+            parts.append(jnp.full((G, pad), _SENT, b.dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    if len(bufs) == 1:
+        lo = cat(store[0], bufs[0])
+        cnt = jnp.concatenate([store[1], ones, zpad], axis=1)
+        lo, cnt, d = sparse_ops.compact_counted_narrow_2d(lo, cnt)
+        return (lo, cnt), d
+    hi = cat(store[0], bufs[0])
+    lo = cat(store[1], bufs[1])
+    cnt = jnp.concatenate([store[2], ones, zpad], axis=1)
+    hi, lo, cnt, d = sparse_ops.compact_counted_2d(hi, lo, cnt)
+    return (hi, lo, cnt), d
+
+
+@partial(jax.jit, static_argnames=("Ld",), donate_argnums=(0,))
+def _squeeze_slice_dev2(store, Ld: int):
+    if len(store) == 2:
+        lo, cnt = store
+        klo = jnp.where(cnt > 0, lo, _SENT)
+        lo, cnt = lax.sort(
+            (klo, cnt), dimension=1, num_keys=1, is_stable=False
+        )
+        return lo[:, :Ld], cnt[:, :Ld]
+    hi, lo, cnt = store
+    live = cnt > 0
+    khi = jnp.where(live, hi, _SENT)
+    klo = jnp.where(live, lo, _SENT)
+    hi, lo, cnt = lax.sort(
+        (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
+    )
+    return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
+
+
+@jax.jit
+def _merge_stores_dev(store):
+    """Device-side collective merge of per-device stores: flatten the
+    sharded (n_dev, L) store and run ONE counted compaction — XLA
+    inserts the gather/collectives (SURVEY.md §2.2 comm-backend row;
+    BASELINE metric 2).  Returns a single sorted hole-laden store."""
+    if len(store) == 2:
+        lo, cnt = store
+        return sparse_ops.compact_counted_narrow(
+            lo.reshape(-1), cnt.reshape(-1)
+        )[:2]
+    hi, lo, cnt = store
+    out = sparse_ops.compact_counted(
+        hi.reshape(-1), lo.reshape(-1), cnt.reshape(-1)
+    )
+    return out[:3]
+
+
+@dataclass
+class DpSparseState:
+    """Per-device log-structured sparse state (row i = device i)."""
+
+    raw: Tuple[jnp.ndarray, ...]          # (n_dev, cap) SENT-filled
+    fill: int = 0                         # host-tracked, same per device
+    store: Optional[Tuple[jnp.ndarray, ...]] = None  # (n_dev, L)
+    store_len: int = 0
+    distinct: object = None               # (n_dev,) device array or None
 
 
 class DistributedCounter:
@@ -222,40 +338,42 @@ class DistributedCounter:
             self._finalize = jax.jit(finalize)
 
         elif self.merge == "dp_sparse":
-            capacity = cfg.sparse_capacity
+            # Log-structured per-device stores (mirrors the single-chip
+            # engine, models/counter.py): the step only EXTRACTS codes
+            # per shard; raw codes append to (n_dev, cap) row-sharded
+            # buffers, and compaction is the same sort+scan-RLE chain
+            # applied along dimension=1 — embarrassingly parallel, zero
+            # collectives until the finalize merge.
+            narrow = k <= 15
+            self._narrow = narrow
+            self._nb = 1 if narrow else 2
+            self._w_local = (cfg.batch_rows // n_dev) * cfg.window_len
 
-            def step(hi, lo, cnt, overflow, rows):
-                # all leading dims (1, ...) local slices
+            def extract(rows):
                 urows = unpack(rows, R)
-                if k <= 15:
+                sent = jnp.uint32(sparse_ops.SENTINEL)
+                if narrow:
                     codes, valid = window_ops.window_codes(
                         urows, k, canonical
                     )
-                    whi = jnp.zeros_like(codes, jnp.uint32)
-                    wlo = codes.astype(jnp.uint32)
-                else:
-                    whi, wlo, valid = window_ops.window_codes_wide(
-                        urows, k, canonical
+                    return (
+                        jnp.where(
+                            valid, codes.astype(jnp.uint32), sent
+                        ).reshape(1, -1),
                     )
-                rhi, rlo, rcnt = sparse_ops.batch_to_runs(whi, wlo, valid)
-                nhi, nlo, ncnt, ovf = sparse_ops.merge_runs(
-                    hi[0], lo[0], cnt[0], rhi, rlo, rcnt
+                whi, wlo, valid = window_ops.window_codes_wide(
+                    urows, k, canonical
                 )
                 return (
-                    nhi[None], nlo[None], ncnt[None],
-                    overflow | (lax.psum(ovf, AXIS) > 0),
+                    jnp.where(valid, whi, sent).reshape(1, -1),
+                    jnp.where(valid, wlo, sent).reshape(1, -1),
                 )
 
-            self._step = jax.jit(
+            self._extract = jax.jit(
                 shard_map(
-                    step,
-                    mesh=mesh,
-                    in_specs=(
-                        state_spec, state_spec, state_spec, P(), rows_spec,
-                    ),
-                    out_specs=(state_spec, state_spec, state_spec, P()),
-                ),
-                donate_argnums=(0, 1, 2),
+                    extract, mesh=mesh, in_specs=(rows_spec,),
+                    out_specs=tuple([state_spec] * self._nb),
+                )
             )
         else:
             raise ValueError(f"unknown merge strategy {self.merge!r}")
@@ -275,25 +393,77 @@ class DistributedCounter:
                 self._state_sharding,
             )
             return (shards, jnp.zeros((), bool))
-        cap = cfg.sparse_capacity
-        hi = jnp.full((n_dev, cap), sparse_ops.SENTINEL, jnp.uint32)
-        lo = jnp.full((n_dev, cap), sparse_ops.SENTINEL, jnp.uint32)
-        cnt = jnp.zeros((n_dev, cap), jnp.int32)
-        sh = self._state_sharding
-        return (
-            jax.device_put(hi, sh),
-            jax.device_put(lo, sh),
-            jax.device_put(cnt, sh),
-            jnp.zeros((), bool),
+        return DpSparseState(raw=self._fresh_raw(self._raw_cap0()))
+
+    # --- dp_sparse helpers (mirror models/counter.py single-chip) -----
+    def _raw_cap0(self) -> int:
+        if self.cfg.sparse_expected_entries:
+            want = max(
+                self.cfg.sparse_expected_entries // self.n_dev,
+                2 * self._w_local,
+            )
+        else:
+            want = 2 * self._w_local
+        return sparse_ops.ladder(
+            min(want, self._target_cap()), floor=4096
         )
+
+    def _target_cap(self) -> int:
+        # per-device compaction threshold: the configured TOTAL raw
+        # entries split across devices
+        per_dev = max(
+            self.cfg.sparse_compact_entries // self.n_dev, self._w_local
+        )
+        return sparse_ops.ladder(per_dev, floor=4096)
+
+    def _fresh_raw(self, cap: int):
+        arrs = tuple(
+            jnp.full((self.n_dev, cap), sparse_ops.SENTINEL, jnp.uint32)
+            for _ in range(self._nb)
+        )
+        return tuple(
+            jax.device_put(a, self._state_sharding) for a in arrs
+        )
+
+    def _compact_sparse(self, st: DpSparseState) -> DpSparseState:
+        if st.fill == 0 and st.store is not None:
+            return st
+        cap = st.raw[0].shape[1]
+        if st.store is None:
+            L = sparse_ops.ladder(cap, floor=4096)
+            store, distinct = _compact_raw_dev2(st.raw, L)
+        else:
+            d = int(jnp.max(st.distinct))  # previous compaction's scalar
+            self._check_capacity(d)
+            store, store_len = st.store, st.store_len
+            Ld = sparse_ops.ladder(d, floor=4096)
+            if store_len > 2 * Ld:
+                store = _squeeze_slice_dev2(store, Ld)
+                store_len = Ld
+            L = sparse_ops.ladder(store_len + cap, floor=4096)
+            store, distinct = _compact_counted_dev2(store, st.raw, L)
+        return DpSparseState(
+            raw=self._fresh_raw(cap), fill=0, store=store, store_len=L,
+            distinct=distinct,
+        )
+
+    def _check_capacity(self, distinct: int):
+        if distinct > self.cfg.sparse_capacity:
+            raise RuntimeError(
+                f"sparse store exceeded sparse_capacity "
+                f"({distinct} > {self.cfg.sparse_capacity} distinct "
+                "k-mers on one device); raise Config.sparse_capacity"
+            )
 
     def put_batch(self, rows):
         """Host batch (rows or (packed, validbits)) -> sharded device."""
         return jax.device_put(rows, self._rows_sharding)
 
     def flush(self, state):
-        """Interface parity with KmerCounter (per-batch merges are
-        already inside the sharded step)."""
+        """Force a sparse compaction (no-op for dense merges, whose
+        per-batch accumulation is already inside the sharded step)."""
+        if self.merge == "dp_sparse":
+            return self._compact_sparse(state)
         return state
 
     # batches between host checks of the route-overflow flag: a skewed
@@ -323,9 +493,26 @@ class DistributedCounter:
                         "Config.route_capacity_factor (skewed input)"
                     )
             return (shards, overflow)
-        hi, lo, cnt, overflow = state
-        hi, lo, cnt, overflow = self._step(hi, lo, cnt, overflow, rows)
-        return (hi, lo, cnt, overflow)
+        # dp_sparse: extract per-device codes, append to raw buffers
+        parts = self._extract(rows)
+        st = state
+        n = self._w_local
+        cap = st.raw[0].shape[1]
+        target = self._target_cap()
+        raw, fill = st.raw, st.fill
+        if fill + n > cap:
+            if fill + n > target:
+                st = self._compact_sparse(st)
+                raw, fill = st.raw, 0
+                cap = raw[0].shape[1]
+            while fill + n > cap:
+                cap = sparse_ops.ladder(max(fill + n, 2 * cap), floor=4096)
+                raw = _grow2d(raw, cap)
+        raw = _append2d(raw, parts, fill)
+        return DpSparseState(
+            raw=raw, fill=fill + n, store=st.store,
+            store_len=st.store_len, distinct=st.distinct,
+        )
 
     # ------------------------------------------------------------------
     def finalize(self, state):
@@ -344,36 +531,16 @@ class DistributedCounter:
                     "Config.route_capacity_factor (skewed input)"
                 )
             return np.asarray(self._finalize(shards))
-        hi, lo, cnt, overflow = state
-        if bool(overflow):
-            raise RuntimeError(
-                "sparse count store overflowed; raise Config.sparse_capacity"
-            )
-        # host merge of per-device sorted stores (SURVEY.md §4.2: merge is
-        # a pure function on partial tables)
-        return _host_merge_sparse(
-            np.asarray(hi), np.asarray(lo), np.asarray(cnt)
-        )
+        st = self._compact_sparse(state)
+        self._check_capacity(int(jnp.max(st.distinct)))
+        # device-side collective merge of the per-device stores, then
+        # one host pull + hole strip (order-preserving, so the result
+        # is the sorted distinct spectrum)
+        merged = _merge_stores_dev(st.store)
+        if len(merged) == 2:
+            lo, cnt = np.asarray(merged[0]), np.asarray(merged[1])
+            mask = cnt > 0
+            return lo[mask].astype(np.uint64), cnt[mask]
+        return sparse_ops.store_to_host(*merged)
 
 
-def _host_merge_sparse(
-    hi: np.ndarray, lo: np.ndarray, cnt: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Merge (n_dev, cap) per-device stores into one sorted spectrum."""
-    mask = cnt > 0
-    codes = (hi[mask].astype(np.uint64) << np.uint64(32)) | lo[mask].astype(
-        np.uint64
-    )
-    counts = cnt[mask].astype(np.int64)
-    order = np.argsort(codes, kind="stable")
-    codes, counts = codes[order], counts[order]
-    if codes.size == 0:
-        return codes, counts
-    uniq_mask = np.empty(codes.shape, bool)
-    uniq_mask[0] = True
-    np.not_equal(codes[1:], codes[:-1], out=uniq_mask[1:])
-    idx = np.cumsum(uniq_mask) - 1
-    out_codes = codes[uniq_mask]
-    out_counts = np.zeros(out_codes.shape, np.int64)
-    np.add.at(out_counts, idx, counts)
-    return out_codes, out_counts

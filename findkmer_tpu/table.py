@@ -33,8 +33,8 @@ class DenseTable:
 
     @classmethod
     def zeros(cls, cfg: Config) -> "DenseTable":
-        if cfg.k > 16:
-            raise ValueError(f"dense table needs k <= 16, got {cfg.k}")
+        if cfg.k > 15:
+            raise ValueError(f"dense table needs k <= 15, got {cfg.k}")
         dtype = jnp.dtype(cfg.count_dtype)
         return cls(counts=jnp.zeros((4 ** cfg.k,), dtype), k=cfg.k)
 
@@ -53,13 +53,6 @@ class SparseTable:
     overflow: jnp.ndarray  # () bool — sticky overflow flag
     k: int
 
-    @classmethod
-    def empty(cls, cfg: Config) -> "SparseTable":
-        hi, lo, cnt = sparse_ops.empty_store(cfg.sparse_capacity)
-        return cls(
-            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool), k=cfg.k
-        )
-
     def to_host(self) -> Tuple[np.ndarray, np.ndarray]:
         """(codes uint64 sorted ascending, counts) with sentinels stripped."""
         if bool(self.overflow):
@@ -73,7 +66,8 @@ class SparseTable:
         return int(self.cnt.sum())
 
 
-def make_table(cfg: Config):
-    if cfg.resolved_table_mode == "direct":
-        return DenseTable.zeros(cfg)
-    return SparseTable.empty(cfg)
+def make_table(cfg: Config) -> DenseTable:
+    """Dense-mode table factory (sparse state is built by the engine's
+    log-structured store in models/counter.py, not pre-allocated)."""
+    assert cfg.resolved_table_mode == "direct", cfg.table_mode
+    return DenseTable.zeros(cfg)

@@ -142,3 +142,29 @@ def test_route_overflow_fails_fast(rng):
         )):
             state = dc.step(state, rows)
             assert i < 10, "overflow not raised fast"
+
+
+@pytest.mark.parametrize("k", [12, 21])
+def test_sparse_dist_repeated_compactions(rng, k):
+    """Tiny per-device compaction threshold forces store-carrying
+    row-wise compactions + squeezes on the mesh; spectrum stays exact
+    (VERDICT item 2: LSM/log-store parity for dp_sparse)."""
+    seq = random_dna(rng, 6000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=64, batch_rows=8, table_mode="sparse",
+        sparse_capacity=65536, sparse_compact_entries=2048,
+    )
+    spectrum = _count_dist(text, cfg, 8)
+    assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
+
+
+def test_sparse_dist_capacity_error(rng):
+    seq = random_dna(rng, 4000)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=21, chunk_len=64, batch_rows=8, sparse_capacity=16,
+        sparse_compact_entries=256,
+    )
+    with pytest.raises(RuntimeError, match="sparse_capacity"):
+        _count_dist(text, cfg, 8)

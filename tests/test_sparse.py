@@ -1,30 +1,35 @@
-"""Sparse (sorted-run) store tests vs a Python dict (SURVEY.md §7 M5)."""
+"""Sparse (log-structured sorted store) tests vs a Python dict
+(SURVEY.md §7 M5; round-2 architecture in ops/sparse.py)."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from findkmer_tpu.ops.sparse import (
-    batch_to_runs,
-    empty_store,
-    merge_runs,
+    SENTINEL,
+    compact_counted,
+    compact_counted_narrow,
+    compact_raw,
+    compact_raw_narrow,
+    ladder,
+    rle_pos,
+    rle_val,
+    squeeze,
     store_to_host,
 )
 
 SENT = np.uint32(0xFFFFFFFF)
 
 
-def _dict_counts(hi, lo, valid):
+def _dict_counts(hi, lo):
     d = {}
-    for h, l, v in zip(
-        np.asarray(hi).ravel(), np.asarray(lo).ravel(), np.asarray(valid).ravel()
-    ):
-        if v:
+    for h, l in zip(np.asarray(hi).ravel(), np.asarray(lo).ravel()):
+        if l != SENT:
             key = (int(h) << 32) | int(l)
             d[key] = d.get(key, 0) + 1
     return d
 
 
-def _runs_to_dict(hi, lo, cnt):
+def _store_to_dict(hi, lo, cnt):
     hi, lo, cnt = map(np.asarray, (hi, lo, cnt))
     d = {}
     for h, l, c in zip(hi, lo, cnt):
@@ -33,59 +38,118 @@ def _runs_to_dict(hi, lo, cnt):
     return d
 
 
-def test_batch_to_runs(rng):
-    hi = jnp.asarray(rng.integers(0, 4, (2, 50)).astype(np.uint32))
-    lo = jnp.asarray(rng.integers(0, 8, (2, 50)).astype(np.uint32))
-    valid = jnp.asarray(rng.random((2, 50)) < 0.7)
-    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
-    assert _runs_to_dict(rhi, rlo, rcnt) == _dict_counts(hi, lo, valid)
-    # sorted ascending with sentinels at the end
-    rh, rl = np.asarray(rhi), np.asarray(rlo)
-    key = rh.astype(np.uint64) << np.uint64(32) | rl.astype(np.uint64)
-    assert (np.diff(key.astype(object)) >= 0).all()
+def test_compact_raw_matches_dict(rng):
+    hi = rng.integers(0, 4, 500).astype(np.uint32)
+    lo = rng.integers(0, 40, 500).astype(np.uint32)
+    invalid = rng.random(500) < 0.2
+    hi[invalid] = SENT
+    lo[invalid] = SENT
+    chi, clo, cnt, distinct = compact_raw(jnp.asarray(hi), jnp.asarray(lo))
+    want = _dict_counts(hi, lo)
+    assert _store_to_dict(chi, clo, cnt) == want
+    assert int(distinct) == len(want)
+    # sorted by code (holes keep their code; sentinels last)
+    key = (
+        np.asarray(chi).astype(object) * (1 << 32)
+        + np.asarray(clo).astype(object)
+    )
+    assert (np.diff(key) >= 0).all()
 
 
-def test_merge_runs_matches_dict(rng):
-    cap = 128
-    shi, slo, scnt = empty_store(cap)
+def test_compact_raw_narrow_matches_dict(rng):
+    lo = rng.integers(0, 60, 400).astype(np.uint32)
+    lo[rng.random(400) < 0.15] = SENT
+    clo, cnt, distinct = compact_raw_narrow(jnp.asarray(lo))
+    want = _dict_counts(np.zeros_like(lo), lo)
+    assert _store_to_dict(np.zeros_like(np.asarray(clo)), clo, cnt) == want
+    assert int(distinct) == len(want)
+
+
+def test_compact_counted_accumulates(rng):
+    """Repeated store-carrying compactions (store + raw-as-cnt-1) match
+    a dict accumulated over the same stream."""
     expect = {}
+    store = None
     for _ in range(5):
-        hi = jnp.asarray(rng.integers(0, 3, (60,)).astype(np.uint32))
-        lo = jnp.asarray(rng.integers(0, 10, (60,)).astype(np.uint32))
-        valid = jnp.asarray(rng.random((60,)) < 0.8)
-        for k_, v in _dict_counts(hi, lo, valid).items():
+        hi = rng.integers(0, 3, 100).astype(np.uint32)
+        lo = rng.integers(0, 25, 100).astype(np.uint32)
+        for k_, v in _dict_counts(hi, lo).items():
             expect[k_] = expect.get(k_, 0) + v
-        rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
-        shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
-        assert not bool(ovf)
-    assert _runs_to_dict(shi, slo, scnt) == expect
+        if store is None:
+            store = compact_raw(jnp.asarray(hi), jnp.asarray(lo))[:3]
+        else:
+            chi = jnp.concatenate([store[0], jnp.asarray(hi)])
+            clo = jnp.concatenate([store[1], jnp.asarray(lo)])
+            ccnt = jnp.concatenate(
+                [store[2], jnp.ones((100,), jnp.int32)]
+            )
+            store = compact_counted(chi, clo, ccnt)[:3]
+    assert _store_to_dict(*store) == expect
+    # squeeze pushes holes out; live prefix = sorted distinct
+    shi, slo, scnt = squeeze(*store)
     codes, counts = store_to_host(shi, slo, scnt)
     assert {int(c): int(n) for c, n in zip(codes, counts)} == expect
-    assert (np.diff(codes.astype(object)) > 0).all()  # sorted distinct
+    assert (np.diff(codes.astype(object)) > 0).all()
 
 
-def test_merge_overflow_detected(rng):
-    cap = 8
-    shi, slo, scnt = empty_store(cap)
-    hi = jnp.zeros((32,), jnp.uint32)
-    lo = jnp.arange(32, dtype=jnp.uint32)  # 32 distinct > cap
-    valid = jnp.ones((32,), bool)
-    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
-    shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
-    assert bool(ovf)
+def test_rle_pos_and_val_match_dict(rng):
+    lo = np.sort(rng.integers(0, 50, 300).astype(np.uint32))
+    hi = np.zeros(300, np.uint32)
+    cnt = rle_pos(jnp.asarray(hi), jnp.asarray(lo))
+    got = {}
+    for code, c in zip(lo, np.asarray(cnt)):
+        if c:
+            got[int(code)] = got.get(int(code), 0) + int(c)
+    want = {}
+    for code in lo:
+        want[int(code)] = want.get(int(code), 0) + 1
+    assert got == want
+
+    cvals = rng.integers(1, 9, 300).astype(np.int32)
+    cnt2 = rle_val(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cvals))
+    got2 = {}
+    for code, c in zip(lo, np.asarray(cnt2)):
+        if c:
+            got2[int(code)] = got2.get(int(code), 0) + int(c)
+    want2 = {}
+    for code, c in zip(lo, cvals):
+        want2[int(code)] = want2.get(int(code), 0) + int(c)
+    assert got2 == want2
 
 
-def test_merge_exact_at_capacity(rng):
-    cap = 16
-    shi, slo, scnt = empty_store(cap)
-    hi = jnp.zeros((16,), jnp.uint32)
-    lo = jnp.arange(16, dtype=jnp.uint32)
-    valid = jnp.ones((16,), bool)
-    rhi, rlo, rcnt = batch_to_runs(hi, lo, valid)
-    shi, slo, scnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
-    assert not bool(ovf)
-    codes, counts = store_to_host(shi, slo, scnt)
-    assert len(codes) == 16
+def test_rle_val_exact_past_2e31_observations():
+    """Regression (round-2 advisor finding): run totals stay exact when
+    cumulative observations exceed 2^31 — value-propagating cummax
+    wrapped negative and corrupted later runs."""
+    lo = jnp.asarray(np.array([1, 2, 3, 3], np.uint32))
+    hi = jnp.zeros((4,), jnp.uint32)
+    cnt = jnp.asarray(
+        np.array([1_600_000_000, 1_600_000_000, 5, 1], np.int32)
+    )
+    out = rle_val(hi, lo, cnt)
+    d = _store_to_dict(np.zeros(4, np.uint32), lo, out)
+    assert d[3] == 6
+    assert d[1] == 1_600_000_000
+    assert d[2] == 1_600_000_000
+
+
+def test_capacity_error_single_chip(rng):
+    import pytest
+    from conftest import random_dna
+    from findkmer_tpu import api
+
+    seq = random_dna(rng, 2000)
+    with pytest.raises(RuntimeError, match="sparse_capacity"):
+        api.count_text(">r\n" + seq + "\n", 21, chunk_len=64,
+                       batch_rows=2, sparse_capacity=16)
+
+
+def test_ladder():
+    assert ladder(1, floor=1024) == 1024
+    assert ladder(1025, floor=1024) == 1536
+    assert ladder(1537, floor=1024) == 2048
+    assert ladder(5000, floor=1024) == 6144
+    assert ladder(1 << 23, floor=1024) == 1 << 23
 
 
 def test_log_store_repeated_compactions_match_oracle(rng):
@@ -123,51 +187,3 @@ def test_log_store_checkpoint_compacts(rng, tmp_path):
     b = pipeline.count_file(str(p), cfg)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
-
-
-def test_rle_pos_and_val_match_dict(rng):
-    """New scan-RLE primitives vs dict on sorted inputs with dups."""
-    from findkmer_tpu.ops import sparse as so
-
-    lo = np.sort(rng.integers(0, 50, 300).astype(np.uint32))
-    hi = np.zeros(300, np.uint32)
-    cnt = so.rle_pos(jnp.asarray(hi), jnp.asarray(lo))
-    got = {}
-    for code, c in zip(lo, np.asarray(cnt)):
-        if c:
-            got[int(code)] = got.get(int(code), 0) + int(c)
-    want = {}
-    for code in lo:
-        want[int(code)] = want.get(int(code), 0) + 1
-    assert got == want
-
-    cvals = rng.integers(1, 9, 300).astype(np.int32)
-    cnt2 = so.rle_val(jnp.asarray(hi), jnp.asarray(lo),
-                      jnp.asarray(cvals))
-    got2 = {}
-    for code, c in zip(lo, np.asarray(cnt2)):
-        if c:
-            got2[int(code)] = got2.get(int(code), 0) + int(c)
-    want2 = {}
-    for code, c in zip(lo, cvals):
-        want2[int(code)] = want2.get(int(code), 0) + int(c)
-    assert got2 == want2
-
-
-def test_rle_exact_past_2e31_observations():
-    """Regression (round-2 advisor finding): run totals must stay exact
-    when cumulative observations in one merge input exceed 2^31 — the old
-    value-propagating cummax wrapped negative and corrupted later runs."""
-    shi = jnp.asarray(np.array([0, 0, 0, SENT], np.uint32))
-    slo = jnp.asarray(np.array([1, 2, 3, SENT], np.uint32))
-    scnt = jnp.asarray(np.array([1_600_000_000, 1_600_000_000, 5, 0],
-                                np.int32))
-    rhi = jnp.asarray(np.array([0, SENT, SENT, SENT], np.uint32))
-    rlo = jnp.asarray(np.array([3, SENT, SENT, SENT], np.uint32))
-    rcnt = jnp.asarray(np.array([1, 0, 0, 0], np.int32))
-    nhi, nlo, ncnt, ovf = merge_runs(shi, slo, scnt, rhi, rlo, rcnt)
-    out = _runs_to_dict(nhi, nlo, ncnt)
-    assert out[3] == 6
-    assert out[1] == 1_600_000_000
-    assert out[2] == 1_600_000_000
-    assert not bool(ovf)
