@@ -141,11 +141,18 @@ class FastaReader:
                     at_line_start = True
                 else:
                     # sequence region: up to the next header start "\n>"
-                    # (also "\r>" for lone-CR line endings)
-                    nxt = buf.find(b"\n>", pos)
-                    nxt_cr = buf.find(b"\r>", pos)
-                    if nxt < 0 or (0 <= nxt_cr < nxt):
-                        nxt = nxt_cr
+                    # (also "\r>" for lone-CR line endings).  Fast path:
+                    # one memchr for '>' — blocks inside a big record
+                    # contain none, and the old unconditional find pair
+                    # scanned every block twice (profiled at 35% of the
+                    # whole host pipeline).
+                    nxt = -1
+                    g = buf.find(b">", pos + 1)
+                    while g > 0:
+                        if buf[g - 1] in (0x0A, 0x0D):
+                            nxt = g - 1
+                            break
+                        g = buf.find(b">", g + 1)
                     end = n if nxt < 0 else nxt + 1
                     raw = buf[pos:end]
                     data = _strip_ws(raw) if self.strip_ws else raw

@@ -37,7 +37,7 @@ def build(quiet: bool = True) -> bool:
     out = _lib_path()
     cc = os.environ.get("CC", "cc")
     cmd = [
-        cc, "-O3", "-march=native", "-std=c17", "-fPIC", "-shared",
+        cc, "-O3", "-march=native", "-std=c17", "-fPIC", "-fopenmp", "-shared",
         "-o", str(out), str(src),
     ]
     try:
@@ -75,6 +75,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fk_encode_packed.restype = None
         lib.fk_count_valid.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
         lib.fk_count_valid.restype = ctypes.c_size_t
+        lib.fk_count_acgt.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        lib.fk_count_acgt.restype = ctypes.c_size_t
         lib.fk_encode_compact.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ]
@@ -146,6 +148,36 @@ def encode_compact(buf) -> np.ndarray:
         buf.size,
     )
     return out[: int(m)]
+
+
+def encode_compact_into(buf: np.ndarray, out: np.ndarray,
+                        offset: int) -> int:
+    """Strip+encode raw sequence bytes DIRECTLY into out[offset:] (the
+    pipeline's work buffer) — no intermediate codes array, no extra copy.
+    Returns the number of codes written (<= buf.size)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert buf.dtype == np.uint8 and buf.flags["C_CONTIGUOUS"]
+    assert out.dtype == np.uint8
+    assert offset + buf.size <= out.size
+    return int(
+        lib.fk_encode_compact(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_void_p(out.ctypes.data + offset),
+            buf.size,
+        )
+    )
+
+
+def count_acgt(codes: np.ndarray, offset: int, m: int) -> int:
+    """Valid (code < 4) count over codes[offset:offset+m], no numpy pass."""
+    lib = _load()
+    assert lib is not None
+    return int(
+        lib.fk_count_acgt(
+            ctypes.c_void_p(codes.ctypes.data + offset), m
+        )
+    )
 
 
 def pack_rows(work: np.ndarray, B: int, L: int, R: int):

@@ -87,54 +87,50 @@ def code_stream(
             yield sep
 
 
-def batches_from_codes(
-    codes: Iterator[np.ndarray],
-    cfg: Config,
-    *,
-    stats: Optional[StreamStats] = None,
-) -> Iterator[np.ndarray]:
-    """Cut a virtual code stream into (B, L+k-1) uint8 row batches.
+class _BatchEmitter:
+    """The shared work buffer + batch materializer.
 
-    Row i of a batch covers L owned stream positions plus the k-1 halo
-    codes that precede them (INVALID-filled at stream start).  The final
-    batch is INVALID-padded to full shape (static shapes for jit,
-    SURVEY.md §7 hard part 3).
-
-    Hot-path memory discipline: one persistent `work` buffer holds the
-    flat stream window; each batch is a single strided copy out of it.
-    The output array is freshly allocated per batch (it may alias into a
+    One persistent `work` buffer holds the flat stream window; each batch
+    is a single strided copy (or fused C pack) out of it.  The output
+    array is freshly allocated per batch (it may alias into a
     still-in-flight device_put, so reuse would race the H2D DMA) but
     utils.malloc_tuning keeps glibc from munmapping freed big buffers, so
     the pages stay warm — this VM faults fresh pages at ~0.02 GB/s
     (bench/RESULTS.md) and per-batch mmap churn dominated the host
     pipeline before this.
     """
-    k, L, B = cfg.k, cfg.chunk_len, cfg.batch_rows
-    R = L + k - 1
-    need = B * L  # owned codes per batch
-    halo = k - 1
-    work = np.full(halo + need, INVALID, dtype=np.uint8)
-    filled = 0  # owned codes currently in work[halo:]
 
-    pack = cfg.packed_h2d
-    if pack:
-        from findkmer_tpu.io import native as native_mod
+    def __init__(self, cfg: Config, stats: Optional[StreamStats]):
+        k, L, B = cfg.k, cfg.chunk_len, cfg.batch_rows
+        self.R = L + k - 1
+        self.L, self.B = L, B
+        self.need = B * L  # owned codes per batch
+        self.halo = k - 1
+        self.work = np.full(self.halo + self.need, INVALID, dtype=np.uint8)
+        self.filled = 0  # owned codes currently in work[halo:]
+        self.stats = stats
+        self.pack = cfg.packed_h2d
+        if self.pack:
+            from findkmer_tpu.io import native as native_mod
 
-        native_pack = native_mod.available()
-        R8 = (R + 7) // 8 * 8
+            self._native_pack = native_mod.available()
+            self._native_mod = native_mod
+            self.R8 = (self.R + 7) // 8 * 8
 
-    def _emit():
-        nonlocal filled
+    def emit(self):
+        work, B, L, R = self.work, self.B, self.L, self.R
+        need, halo, stats = self.need, self.halo, self.stats
+        self.filled = 0
         if stats is not None:
             stats.batches += 1
             stats.rows += B
-        if pack:
+        if self.pack:
             # 2-bit + validity-bit device format: 0.375 B/base on the
             # wire (H2D bandwidth bounds e2e throughput here)
-            if native_pack:
-                packed, validbits = native_mod.pack_rows(work, B, L, R)
+            if self._native_pack:
+                packed, validbits = self._native_mod.pack_rows(work, B, L, R)
             else:
-                packed, validbits = _numpy_pack_rows(work, B, L, R, R8)
+                packed, validbits = _numpy_pack_rows(work, B, L, R, self.R8)
             if halo:
                 work[:halo] = work[need : need + halo]
             if stats is not None:
@@ -150,29 +146,96 @@ def batches_from_codes(
             out[:, :halo] = np.lib.stride_tricks.as_strided(
                 work, shape=(B, halo), strides=(L, 1)
             )
-        if halo:
             work[:halo] = work[need : need + halo]  # next batch's halo
         if stats is not None:
             stats.h2d_bytes += out.nbytes
         return out
 
+    def finish(self):
+        """Flush the partial tail batch (if any)."""
+        if self.filled:
+            self.work[self.halo + self.filled :] = INVALID
+            return [self.emit()]
+        return []
+
+
+def batches_from_codes(
+    codes: Iterator[np.ndarray],
+    cfg: Config,
+    *,
+    stats: Optional[StreamStats] = None,
+) -> Iterator[np.ndarray]:
+    """Cut a virtual code stream into (B, L+k-1) uint8 row batches.
+
+    Row i of a batch covers L owned stream positions plus the k-1 halo
+    codes that precede them (INVALID-filled at stream start).  The final
+    batch is INVALID-padded to full shape (static shapes for jit,
+    SURVEY.md §7 hard part 3).
+    """
+    em = _BatchEmitter(cfg, stats)
+    halo, need = em.halo, em.need
     for arr in codes:
         pos = 0
         n = arr.size
-        while n - pos >= need - filled:
-            take = need - filled
-            work[halo + filled : halo + need] = arr[pos : pos + take]
+        while n - pos >= need - em.filled:
+            take = need - em.filled
+            em.work[halo + em.filled : halo + need] = arr[pos : pos + take]
             pos += take
-            filled = 0
-            yield _emit()
+            yield em.emit()
         rem = n - pos
         if rem:
-            work[halo + filled : halo + filled + rem] = arr[pos:]
-            filled += rem
-    if filled:
-        work[halo + filled :] = INVALID
-        filled = 0
-        yield _emit()
+            em.work[halo + em.filled : halo + em.filled + rem] = arr[pos:]
+            em.filled += rem
+    yield from em.finish()
+
+
+def _batches_fused(
+    reader, cfg: Config, *, stats: Optional[StreamStats] = None
+) -> Iterator[np.ndarray]:
+    """Fused reader->work-buffer batching: the C strip+encode pass writes
+    DIRECTLY into the batch work buffer (no intermediate codes array, no
+    second copy).  Requires the native encoder; reader chunks must carry
+    raw bytes (FastaReader strip_ws=False, or FASTQ lines).
+
+    Output is identical to batches_from_codes(code_stream(...)) — the
+    oracle CLI tests cover both paths.
+    """
+    from findkmer_tpu.io import native as native_mod
+
+    em = _BatchEmitter(cfg, stats)
+    halo, need = em.halo, em.need
+    for chunk in reader.chunks():
+        data = chunk.data
+        if data:
+            buf = np.frombuffer(data, dtype=np.uint8)
+            pos = 0
+            n = buf.size
+            while pos < n:
+                space = need - em.filled
+                take = min(n - pos, space)
+                m = native_mod.encode_compact_into(
+                    buf[pos : pos + take], em.work, halo + em.filled
+                )
+                if stats is not None:
+                    stats.bases += m
+                    stats.valid_bases += native_mod.count_acgt(
+                        em.work, halo + em.filled, m
+                    )
+                em.filled += m
+                pos += take
+                if em.filled >= need:
+                    yield em.emit()
+        if chunk.final:
+            if stats is not None:
+                stats.records += 1
+            # one INVALID separator isolates records (windows spanning
+            # it are masked out); filled < need holds here because the
+            # data loop emits whenever the buffer fills
+            em.work[halo + em.filled] = INVALID
+            em.filled += 1
+            if em.filled >= need:
+                yield em.emit()
+    yield from em.finish()
 
 
 def _numpy_pack_rows(work, B, L, R, R8):
@@ -206,10 +269,27 @@ def batches_from_file(
     fmt = cfg.input_format
     if fmt == "auto":
         fmt = sniff_format(path)
+    fused = cfg.use_native_encode and native_mod.available()
     if fmt == "fastq":
         # per-read records; quality lines skipped by the reader (no
-        # whitespace left in chunk data, so the plain encoder applies)
+        # whitespace left in chunk data)
         with FastqReader(path) as reader:
+            if fused:
+                yield from _batches_fused(reader, cfg, stats=stats)
+            else:
+                yield from batches_from_codes(
+                    code_stream(
+                        reader, prefer_native=False, fused=False,
+                        stats=stats,
+                    ),
+                    cfg,
+                    stats=stats,
+                )
+        return
+    with FastaReader(path, strip_ws=not fused) as reader:
+        if fused:
+            yield from _batches_fused(reader, cfg, stats=stats)
+        else:
             yield from batches_from_codes(
                 code_stream(
                     reader,
@@ -220,19 +300,6 @@ def batches_from_file(
                 cfg,
                 stats=stats,
             )
-        return
-    fused = cfg.use_native_encode and native_mod.available()
-    with FastaReader(path, strip_ws=not fused) as reader:
-        yield from batches_from_codes(
-            code_stream(
-                reader,
-                prefer_native=cfg.use_native_encode,
-                fused=fused,
-                stats=stats,
-            ),
-            cfg,
-            stats=stats,
-        )
 
 
 def prefetch_to_device(

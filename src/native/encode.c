@@ -17,7 +17,17 @@
 #include <stdint.h>
 #include <string.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #define FK_INVALID 4u
+
+/* Multi-threading note: every parallel loop below uses STATIC
+ * partitioning with disjoint output ranges, so results are bit-identical
+ * for any thread count (OMP_NUM_THREADS; default = cores).  Small inputs
+ * take the serial path — thread fork/join costs ~10 us. */
+#define FK_MT_MIN (1u << 20)
 
 static uint8_t LUT[256];
 
@@ -51,10 +61,11 @@ void fk_encode(const uint8_t *restrict in, uint8_t *restrict out, size_t n) {
  * the byte; invalid bases pack as 0) + validity bitmask (1 bit/base,
  * little-endian).  n need not be a multiple of 4/8; tails are
  * zero-padded.  packed must hold ceil(n/4) bytes, validmask ceil(n/8). */
-void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
-                      uint8_t *restrict validmask, size_t n) {
-  size_t nb4 = n / 4, i;
-  for (i = 0; i < nb4; ++i) {
+static void fk_encode_packed_range(const uint8_t *restrict in,
+                                   uint8_t *restrict packed,
+                                   uint8_t *restrict validmask, size_t i0,
+                                   size_t i1) {
+  for (size_t i = i0; i < i1; ++i) {
     uint8_t c0 = LUT[in[4 * i + 0]];
     uint8_t c1 = LUT[in[4 * i + 1]];
     uint8_t c2 = LUT[in[4 * i + 2]];
@@ -67,6 +78,28 @@ void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
       validmask[i / 2] |= (uint8_t)(nib << 4);
     else
       validmask[i / 2] = nib;
+  }
+}
+
+void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
+                      uint8_t *restrict validmask, size_t n) {
+  size_t nb4 = n / 4;
+#ifdef _OPENMP
+  if (n >= FK_MT_MIN) {
+    /* segment boundaries at even packed-byte indices (8-base aligned)
+     * so no two threads touch the same validmask byte */
+    size_t nb8 = nb4 / 2;
+#pragma omp parallel
+    {
+      int t = omp_get_thread_num(), T = omp_get_num_threads();
+      size_t lo = 2 * (nb8 * t / T), hi = 2 * (nb8 * (t + 1) / T);
+      fk_encode_packed_range(in, packed, validmask, lo, hi);
+    }
+    fk_encode_packed_range(in, packed, validmask, 2 * nb8, nb4);
+  } else
+#endif
+  {
+    fk_encode_packed_range(in, packed, validmask, 0, nb4);
   }
   if (n % 4) {
     uint8_t pb = 0, vb = 0;
@@ -100,15 +133,75 @@ __attribute__((constructor)) static void fk_init_ws_lut(void) {
   LUT_WS['\n'] = 255; LUT_WS['\v'] = 255; LUT_WS['\f'] = 255;
 }
 
-size_t fk_encode_compact(const uint8_t *restrict in, uint8_t *restrict out,
-                         size_t n) {
+static size_t fk_compact_range(const uint8_t *restrict in,
+                               uint8_t *restrict out, size_t i0, size_t i1) {
+  /* Branchless write-then-advance: whitespace writes a transient byte
+   * at out[m] that the next survivor overwrites.  At the very end one
+   * garbage byte may remain at out[count]; single-threaded that slot is
+   * either re-written by the caller's next region or past the returned
+   * length, multi-threaded the caller repairs it (see below). */
   size_t m = 0;
-  for (size_t i = 0; i < n; ++i) {
+  for (size_t i = i0; i < i1; ++i) {
     uint8_t c = LUT_WS[in[i]];
     out[m] = c;
     m += (c != 255);
   }
   return m;
+}
+
+/* Count ACGT codes among the first m compacted output codes — runs on
+ * the already-compacted buffer (sequential, OMP) so stats need no numpy
+ * pass. */
+size_t fk_count_acgt(const uint8_t *restrict codes, size_t n) {
+  size_t c = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : c) schedule(static) \
+    if (n >= FK_MT_MIN)
+#endif
+  for (size_t i = 0; i < n; ++i) c += (codes[i] < 4);
+  return c;
+}
+
+size_t fk_encode_compact(const uint8_t *restrict in, uint8_t *restrict out,
+                         size_t n) {
+#ifdef _OPENMP
+  if (n >= FK_MT_MIN) {
+    /* Three-phase: count survivors per segment (parallel), prefix the
+     * output offsets (serial, T entries), compact each segment to its
+     * offset (parallel).  Thread t's branchless pass may leave one
+     * transient byte at out[offs[t+1]] — the next thread's FIRST
+     * output byte — so after a barrier each thread rewrites its first
+     * survivor.  Output is byte-identical to the serial pass. */
+    int T;
+    size_t counts[256], offs[257];
+    uint8_t firsts[256];
+#pragma omp parallel
+    {
+#pragma omp single
+      T = omp_get_num_threads();
+      int t = omp_get_thread_num();
+      size_t lo = n * (size_t)t / (size_t)T;
+      size_t hi = n * (size_t)(t + 1) / (size_t)T;
+      size_t i = lo;
+      while (i < hi && LUT_WS[in[i]] == 255) ++i;
+      firsts[t] = (i < hi) ? LUT_WS[in[i]] : 255;
+      size_t c = 0;
+      for (; i < hi; ++i) c += (LUT_WS[in[i]] != 255);
+      counts[t] = c;
+#pragma omp barrier
+#pragma omp single
+      {
+        offs[0] = 0;
+        for (int j = 0; j < T; ++j) offs[j + 1] = offs[j] + counts[j];
+      }
+      fk_compact_range(in, out + offs[t], lo, hi);
+#pragma omp barrier
+      if (counts[t]) out[offs[t]] = firsts[t];
+    }
+    return offs[T];
+  }
+#endif
+  return fk_compact_range(in, out, 0, n);
 }
 
 /* Pack batch rows straight out of the pipeline's flat work buffer into
@@ -121,6 +214,9 @@ void fk_pack_rows(const uint8_t *restrict work, size_t B, size_t L,
                   size_t R, size_t R8, uint8_t *restrict packed,
                   uint8_t *restrict validbits) {
   size_t pp = R8 / 4, vp = R8 / 8;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (B * R >= FK_MT_MIN)
+#endif
   for (size_t i = 0; i < B; ++i) {
     const uint8_t *row = work + i * L;
     uint8_t *prow = packed + i * pp;
@@ -152,12 +248,21 @@ void fk_pack_rows(const uint8_t *restrict work, size_t B, size_t L,
  * memory bandwidth).  codes are 2k-bit k-mer codes (A=0..T=3, most
  * significant base first); out must hold n*(k+22) bytes.  Returns bytes
  * written. */
-size_t fk_format_spectrum(const uint64_t *restrict codes,
-                          const long long *restrict counts, size_t n,
-                          uint32_t k, uint8_t sep, uint8_t *restrict out) {
+static inline int fk_digits(unsigned long long v) {
+  int d = 1;
+  while (v >= 10) {
+    v /= 10;
+    ++d;
+  }
+  return d;
+}
+
+static uint8_t *fk_format_range(const uint64_t *restrict codes,
+                                const long long *restrict counts, size_t i0,
+                                size_t i1, uint32_t k, uint8_t sep,
+                                uint8_t *restrict p) {
   static const char BASES[4] = {'A', 'C', 'G', 'T'};
-  uint8_t *p = out;
-  for (size_t i = 0; i < n; ++i) {
+  for (size_t i = i0; i < i1; ++i) {
     uint64_t c = codes[i];
     for (uint32_t j = 0; j < k; ++j)
       p[j] = (uint8_t)BASES[(c >> (2 * (k - 1 - j))) & 3u];
@@ -173,7 +278,43 @@ size_t fk_format_spectrum(const uint64_t *restrict codes,
     while (t) *p++ = (uint8_t)tmp[--t];
     *p++ = '\n';
   }
-  return (size_t)(p - out);
+  return p;
+}
+
+size_t fk_format_spectrum(const uint64_t *restrict codes,
+                          const long long *restrict counts, size_t n,
+                          uint32_t k, uint8_t sep, uint8_t *restrict out) {
+#ifdef _OPENMP
+  if (n >= (1u << 16)) {
+    /* two-phase: per-segment output sizes from digit counts (parallel),
+     * serial prefix over T offsets, parallel fill at exact offsets —
+     * byte-identical to the serial pass for any thread count. */
+    int T;
+    size_t sizes[256], offs[257];
+#pragma omp parallel
+    {
+#pragma omp single
+      T = omp_get_num_threads();
+      int t = omp_get_thread_num();
+      size_t lo = n * (size_t)t / (size_t)T;
+      size_t hi = n * (size_t)(t + 1) / (size_t)T;
+      size_t s = 0;
+      for (size_t i = lo; i < hi; ++i)
+        s += k + 2 +
+             (size_t)fk_digits((unsigned long long)counts[i]);
+      sizes[t] = s;
+#pragma omp barrier
+#pragma omp single
+      {
+        offs[0] = 0;
+        for (int j = 0; j < T; ++j) offs[j + 1] = offs[j] + sizes[j];
+      }
+      fk_format_range(codes, counts, lo, hi, k, sep, out + offs[t]);
+    }
+    return offs[T];
+  }
+#endif
+  return (size_t)(fk_format_range(codes, counts, 0, n, k, sep, out) - out);
 }
 
 /* Count valid (ACGT) bytes — used for stats without a second pass in
