@@ -56,6 +56,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-rows", type=int, default=256)
     p.add_argument("--chunk-len", type=int, default=65536)
     p.add_argument("--sparse-capacity", type=int, default=1 << 22)
+    p.add_argument("--count-dtype", choices=["int32", "int64"],
+                   default="int32",
+                   help="count dtype (int64 for >2^31 observations of a "
+                        "single k-mer; enables 64-bit mode)")
     p.add_argument("--devices", type=int, default=1,
                    help="devices in the counting mesh (1 = single-device "
                         "engine, 0 = all available, N = first N)")
@@ -83,6 +87,7 @@ def _cfg_from_args(args):
         batch_rows=args.batch_rows,
         chunk_len=max(args.chunk_len, args.k),
         sparse_capacity=args.sparse_capacity,
+        count_dtype=args.count_dtype,
         devices=args.devices,
         merge=args.merge,
         input_format=args.format,

@@ -119,6 +119,11 @@ class Config:
             )
         if self.input_format not in ("auto", "fasta", "fastq"):
             raise ValueError(f"bad input_format {self.input_format!r}")
+        if self.count_dtype not in ("int32", "int64"):
+            raise ValueError(
+                f"count_dtype must be int32 or int64, got "
+                f"{self.count_dtype!r}"
+            )
 
     # ------------------------------------------------------------------
     @property

@@ -138,8 +138,8 @@ def _fresh(cap: int, n: int):
     return tuple(jnp.full((cap,), SENT32, jnp.uint32) for _ in range(n))
 
 
-@partial(jax.jit, static_argnames=("L",), donate_argnums=(0,))
-def _compact_raw_dev(bufs, L: int):
+@partial(jax.jit, static_argnames=("L", "cdtype"), donate_argnums=(0,))
+def _compact_raw_dev(bufs, L: int, cdtype=jnp.int32):
     """First compaction (no store): sort raw codes + positional RLE."""
     pad = L - bufs[0].shape[0]
     padded = tuple(
@@ -149,9 +149,11 @@ def _compact_raw_dev(bufs, L: int):
         for b in bufs
     )
     if len(padded) == 1:
-        lo, cnt, distinct = sparse_ops.compact_raw_narrow(padded[0])
+        lo, cnt, distinct = sparse_ops.compact_raw_narrow(
+            padded[0], cdtype=cdtype
+        )
         return (lo, cnt), distinct
-    hi, lo, cnt, distinct = sparse_ops.compact_raw(*padded)
+    hi, lo, cnt, distinct = sparse_ops.compact_raw(*padded, cdtype=cdtype)
     return (hi, lo, cnt), distinct
 
 
@@ -162,8 +164,9 @@ def _compact_counted_dev(store, bufs, L: int):
     n_raw = bufs[0].shape[0]
     n_store = store[0].shape[0]
     pad = L - n_store - n_raw
-    ones = jnp.ones((n_raw,), jnp.int32)
-    zpad = jnp.zeros((max(pad, 0),), jnp.int32)
+    cdt = store[-1].dtype  # count dtype follows the store
+    ones = jnp.ones((n_raw,), cdt)
+    zpad = jnp.zeros((max(pad, 0),), cdt)
     if len(bufs) == 1:
         lo = jnp.concatenate(
             [store[0], bufs[0]]
@@ -238,6 +241,11 @@ class KmerCounter:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.mode = cfg.resolved_table_mode
+        if cfg.count_dtype == "int64" and not jax.config.jax_enable_x64:
+            # int64 counts need 64-bit mode; enabling it here is safe as
+            # long as no 32-bit traces were cached yet (the CLI
+            # constructs the counter before any device work)
+            jax.config.update("jax_enable_x64", True)
         if self.mode == "direct":
             m = cfg.hist
             if m == "pallas":
@@ -366,7 +374,9 @@ class KmerCounter:
         cap = state.raw[0].shape[0]
         if state.store is None:
             L = sparse_ops.ladder(cap, floor=4096)
-            store, distinct = _compact_raw_dev(state.raw, L)
+            store, distinct = _compact_raw_dev(
+                state.raw, L, cdtype=jnp.dtype(cfg.count_dtype)
+            )
         else:
             # previous compaction's scalar: long since resolved
             d = int(state.distinct)

@@ -19,9 +19,9 @@ Round-2 architecture (log-structured, measured in bench/probe_sort*.py):
       sort (unstable, keys only)  ->  RLE by scans  ->  [squeeze]
 
   with run totals computed positionally (cummax over iota — monotone,
-  so exact; 697 Melem/s) for raw input, or by segmented value
-  propagation (associative_scan, wrap-safe) when a count-carrying store
-  re-enters the sort.  No gathers anywhere on the hot path (124 Melem/s).
+  so exact; 697 Melem/s) for raw input, or by wrap-safe positional value
+  propagation (rle_val) when a count-carrying store re-enters the sort.
+  No gathers on the common raw path (124 Melem/s).
 
 Codes are (hi, lo) uint32 pairs (2k-bit code split at bit 32) so no 64-bit
 integers are needed on device (SURVEY.md §7 hard part 4).  k <= 15 fits a
@@ -36,6 +36,7 @@ axon tunnel cost minutes).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -83,19 +84,21 @@ def rle_pos(hi, lo):
 def rle_val(hi, lo, cnt):
     """Run totals of sorted codes carrying explicit counts.
 
-    total(run) = C_end - C_before_start with C = cumsum(cnt) in uint32
-    (wraps are benign: differences stay exact mod 2^32, and true totals
-    are bounded by the count dtype).  The run base C_before_start is
-    propagated BY POSITION — cummax over run-start indices (monotone,
-    wrap-immune) + one gather.  The gather costs ~8 ns/elem (probe) but
-    this path only runs on store-carrying compactions; the common raw
-    path uses rle_pos.  (A gather-free segmented associative_scan would
-    be faster, but lax.associative_scan with a custom combiner does not
-    compile on the axon remote backend — a 4K-element instance hung the
-    compiler for 9+ minutes.)  Returns cnt' at run ENDS, 0 elsewhere."""
+    total(run) = C_end - C_before_start with C = cumsum(cnt) in the
+    unsigned image of the count dtype (wraps are benign: differences
+    stay exact modulo the dtype, and true totals are bounded by it).
+    The run base C_before_start is propagated BY POSITION — cummax over
+    run-start indices (monotone, wrap-immune) + one gather.  The gather
+    costs ~8 ns/elem (probe) but this path only runs on store-carrying
+    compactions; the common raw path uses rle_pos.  (A gather-free
+    segmented associative_scan would be faster, but lax.associative_scan
+    with a custom combiner does not compile on the axon remote backend —
+    a 4K-element instance hung the compiler for 9+ minutes.)
+    Returns cnt' at run ENDS, 0 elsewhere."""
     n = hi.shape[0]
     is_start, is_end = _adj_flags(hi, lo)
-    cu = cnt.astype(jnp.uint32)
+    udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
+    cu = cnt.astype(udt)
     C = jnp.cumsum(cu)
     idx = jnp.arange(n, dtype=jnp.int32)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
@@ -104,8 +107,8 @@ def rle_val(hi, lo, cnt):
     return jnp.where(is_end & ~is_sent, C - base, 0).astype(cnt.dtype)
 
 
-@jax.jit
-def compact_raw(hi, lo):
+@partial(jax.jit, static_argnames=("cdtype",))
+def compact_raw(hi, lo, cdtype=jnp.int32):
     """Raw (SENT-masked) codes -> sorted codes + run-total counts.
 
     Output is 'hole-laden': duplicate positions carry cnt 0 but keep
@@ -113,16 +116,16 @@ def compact_raw(hi, lo):
     re-enter a later count-carrying sort unchanged.  distinct = number
     of nonzero counts."""
     hi, lo = lax.sort((hi, lo), num_keys=2, is_stable=False)
-    cnt = rle_pos(hi, lo)
+    cnt = rle_pos(hi, lo).astype(cdtype)
     return hi, lo, cnt, jnp.count_nonzero(cnt)
 
 
-@jax.jit
-def compact_raw_narrow(lo):
+@partial(jax.jit, static_argnames=("cdtype",))
+def compact_raw_narrow(lo, cdtype=jnp.int32):
     """k <= 15 variant: single-uint32 codes, 1-key sort (522 Melem/s)."""
     (lo,) = lax.sort((lo,), num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_pos(hi, lo)
+    cnt = rle_pos(hi, lo).astype(cdtype)
     return lo, cnt, jnp.count_nonzero(cnt)
 
 
@@ -191,7 +194,8 @@ def rle_pos_2d(hi, lo):
 def rle_val_2d(hi, lo, cnt):
     """Row-wise rle_val (same position-gather scheme; see rle_val)."""
     is_start, is_end = _adj_flags_2d(hi, lo)
-    cu = cnt.astype(jnp.uint32)
+    udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
+    cu = cnt.astype(udt)
     C = jnp.cumsum(cu, axis=1)
     idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
@@ -201,18 +205,18 @@ def rle_val_2d(hi, lo, cnt):
     )
 
 
-@jax.jit
-def compact_raw_2d(hi, lo):
+@partial(jax.jit, static_argnames=("cdtype",))
+def compact_raw_2d(hi, lo, cdtype=jnp.int32):
     hi, lo = lax.sort((hi, lo), dimension=1, num_keys=2, is_stable=False)
-    cnt = rle_pos_2d(hi, lo)
+    cnt = rle_pos_2d(hi, lo).astype(cdtype)
     return hi, lo, cnt, jnp.count_nonzero(cnt, axis=1)
 
 
-@jax.jit
-def compact_raw_narrow_2d(lo):
+@partial(jax.jit, static_argnames=("cdtype",))
+def compact_raw_narrow_2d(lo, cdtype=jnp.int32):
     (lo,) = lax.sort((lo,), dimension=1, num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_pos_2d(hi, lo)
+    cnt = rle_pos_2d(hi, lo).astype(cdtype)
     return lo, cnt, jnp.count_nonzero(cnt, axis=1)
 
 

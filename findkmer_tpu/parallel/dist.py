@@ -73,8 +73,8 @@ def _grow2d(bufs, new_cap: int):
     )
 
 
-@partial(jax.jit, static_argnames=("L",), donate_argnums=(0,))
-def _compact_raw_dev2(bufs, L: int):
+@partial(jax.jit, static_argnames=("L", "cdtype"), donate_argnums=(0,))
+def _compact_raw_dev2(bufs, L: int, cdtype=jnp.int32):
     G = bufs[0].shape[0]
     pad = L - bufs[0].shape[1]
     padded = tuple(
@@ -84,9 +84,10 @@ def _compact_raw_dev2(bufs, L: int):
         for b in bufs
     )
     if len(padded) == 1:
-        lo, cnt, d = sparse_ops.compact_raw_narrow_2d(padded[0])
+        lo, cnt, d = sparse_ops.compact_raw_narrow_2d(padded[0],
+                                                      cdtype=cdtype)
         return (lo, cnt), d
-    hi, lo, cnt, d = sparse_ops.compact_raw_2d(*padded)
+    hi, lo, cnt, d = sparse_ops.compact_raw_2d(*padded, cdtype=cdtype)
     return (hi, lo, cnt), d
 
 
@@ -96,8 +97,9 @@ def _compact_counted_dev2(store, bufs, L: int):
     n_raw = bufs[0].shape[1]
     n_store = store[0].shape[1]
     pad = L - n_store - n_raw
-    ones = jnp.ones((G, n_raw), jnp.int32)
-    zpad = jnp.zeros((G, max(pad, 0)), jnp.int32)
+    cdt = store[-1].dtype  # count dtype follows the store
+    ones = jnp.ones((G, n_raw), cdt)
+    zpad = jnp.zeros((G, max(pad, 0)), cdt)
 
     def cat(s, b):
         parts = [s, b]
@@ -170,6 +172,8 @@ class DistributedCounter:
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
         self.cfg = cfg
+        if cfg.count_dtype == "int64" and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
         self.mode = cfg.resolved_table_mode
@@ -431,7 +435,9 @@ class DistributedCounter:
         cap = st.raw[0].shape[1]
         if st.store is None:
             L = sparse_ops.ladder(cap, floor=4096)
-            store, distinct = _compact_raw_dev2(st.raw, L)
+            store, distinct = _compact_raw_dev2(
+                st.raw, L, cdtype=jnp.dtype(self.cfg.count_dtype)
+            )
         else:
             d = int(jnp.max(st.distinct))  # previous compaction's scalar
             self._check_capacity(d)

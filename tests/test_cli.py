@@ -107,3 +107,15 @@ def test_cli_devices_mesh_matches_oracle(tmp_path, fixtures_dir):
     rs = run_cli(args + ["--devices", "8", "--merge", "psum_scatter"],
                  tmp_path)
     assert rs == single
+
+
+@pytest.mark.parametrize("k", [6, 18])
+def test_count_dtype_int64(fixtures_dir, tmp_path, k):
+    """--count-dtype int64 (x64 mode) matches int32 output exactly —
+    run in subprocesses since x64 is process-global (ROADMAP item 8)."""
+    path = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    args = ["count", "-i", path, "-k", str(k), "--chunk-len", "512",
+            "--batch-rows", "2"]
+    a = run_cli(args, tmp_path)
+    b = run_cli(args + ["--count-dtype", "int64"], tmp_path)
+    assert a == b
