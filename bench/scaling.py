@@ -38,20 +38,32 @@ def run_scaling(n_devices_list, merge="psum", k=8, batch_rows=64,
         cfg = Config(
             k=k, batch_rows=batch_rows * n, chunk_len=chunk_len, merge=merge,
             packed_h2d=False,  # synthetic raw rows
+            table_mode="sparse" if merge == "dp_sparse" else "auto",
         )
         mesh = make_mesh(n)
         dc = DistributedCounter(cfg, mesh)
         rows = rng.integers(
             0, 4, (cfg.batch_rows, cfg.row_len), dtype=np.uint8
         )
+
+        def _sync(st):
+            leaf = st.raw[0] if hasattr(st, "raw") else (
+                jax.tree_util.tree_leaves(st)[0]
+            )
+            jax.block_until_ready(leaf)
+
         state = dc.init_state()
         state = dc.step(state, rows)  # compile
-        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        state = dc.flush(state)       # compile sparse compaction too
+        _sync(state)
+        state = dc.init_state()
         t0 = time.perf_counter()
         for _ in range(steps):
             state = dc.step(state, rows)
-        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        state = dc.flush(state)
+        _sync(state)
         dt = time.perf_counter() - t0
+        dc.finalize(state)  # compile the merge program
         t0m = time.perf_counter()
         dc.finalize(state)
         merge_dt = time.perf_counter() - t0m
@@ -77,7 +89,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--merge", default="psum",
-                    choices=["psum", "all_to_all", "auto"])
+                    choices=["psum", "psum_scatter", "all_to_all",
+                             "dp_sparse", "auto"])
     ap.add_argument("-k", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)
     args = ap.parse_args(argv)

@@ -278,7 +278,10 @@ class KmerCounter:
     def put_batch(self, rows):
         """Host batch -> this engine's device (counter-uniform interface
         with DistributedCounter.put_batch)."""
-        return jax.device_put(rows, jax.devices()[0])
+        # local_devices: under a multi-process jax.distributed group,
+        # jax.devices() lists GLOBAL devices and [0] may not be
+        # addressable from this host
+        return jax.device_put(rows, jax.local_devices()[0])
 
     @property
     def _n_bufs(self) -> int:

@@ -138,22 +138,49 @@ def _squeeze_slice_dev2(store, Ld: int):
     return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
 
 
-@jax.jit
-def _merge_stores_dev(store):
-    """Device-side collective merge of per-device stores: flatten the
-    sharded (n_dev, L) store and run ONE counted compaction — XLA
-    inserts the gather/collectives (SURVEY.md §2.2 comm-backend row;
-    BASELINE metric 2).  Returns a single sorted hole-laden store."""
+def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge per-device (n_dev, L) stores on the host.
+
+    One D2H pull + a numpy mergesort of already-sorted rows.  Measured
+    preferable to a device-side global sort across shards: XLA
+    partitions a sort over a sharded dimension into a pathological
+    program (131 s for 8 x 1M rows on the CPU mesh vs <1 s here).
+    Multi-HOST merging is a separate path (parallel/multihost.py
+    allgather_spectrum — one DCN collective)."""
     if len(store) == 2:
         lo, cnt = store
-        return sparse_ops.compact_counted_narrow(
-            lo.reshape(-1), cnt.reshape(-1)
-        )[:2]
-    hi, lo, cnt = store
-    out = sparse_ops.compact_counted(
-        hi.reshape(-1), lo.reshape(-1), cnt.reshape(-1)
-    )
-    return out[:3]
+        lo = np.asarray(lo)
+        cnt = np.asarray(cnt)
+        mask = cnt > 0
+        codes = lo[mask].astype(np.uint64)
+        counts = cnt[mask]
+    else:
+        hi, lo, cnt = store
+        hi, lo, cnt = np.asarray(hi), np.asarray(lo), np.asarray(cnt)
+        mask = cnt > 0
+        codes = (hi[mask].astype(np.uint64) << np.uint64(32)) | lo[
+            mask
+        ].astype(np.uint64)
+        counts = cnt[mask]
+    return merge_sorted_spectra(codes, counts)
+
+
+def merge_sorted_spectra(
+    codes: np.ndarray, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sum counts of duplicate codes; return sorted distinct arrays."""
+    order = np.argsort(codes, kind="stable")
+    codes, counts = codes[order], counts[order]
+    if codes.size == 0:
+        return codes, counts.astype(np.int64)
+    uniq = np.empty(codes.shape, bool)
+    uniq[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=uniq[1:])
+    idx = np.cumsum(uniq) - 1
+    out_codes = codes[uniq]
+    out_counts = np.zeros(out_codes.shape, np.int64)
+    np.add.at(out_counts, idx, counts.astype(np.int64))
+    return out_codes, out_counts
 
 
 @dataclass
@@ -539,14 +566,6 @@ class DistributedCounter:
             return np.asarray(self._finalize(shards))
         st = self._compact_sparse(state)
         self._check_capacity(int(jnp.max(st.distinct)))
-        # device-side collective merge of the per-device stores, then
-        # one host pull + hole strip (order-preserving, so the result
-        # is the sorted distinct spectrum)
-        merged = _merge_stores_dev(st.store)
-        if len(merged) == 2:
-            lo, cnt = np.asarray(merged[0]), np.asarray(merged[1])
-            mask = cnt > 0
-            return lo[mask].astype(np.uint64), cnt[mask]
-        return sparse_ops.store_to_host(*merged)
+        return _host_merge_stores(st.store)
 
 

@@ -78,3 +78,61 @@ def process_batch_count(total_batches: int, num_processes: int,
                         process_id: int) -> int:
     """How many batches the given host processes out of `total_batches`."""
     return (total_batches - process_id + num_processes - 1) // num_processes
+
+
+def group_active() -> bool:
+    """True when a jax.distributed process group with >1 host is up."""
+    import jax
+
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
+def allgather_spectrum(spectrum):
+    """Collective finalize across a jax.distributed group: every host
+    contributes its PARTIAL spectrum, every host returns with the FULL
+    merged one.  One allgather over DCN replaces the per-host-TSV +
+    `findkmer merge` tail (round-1 verdict item 4; BASELINE metric 2).
+
+    Dense partials (np (4^k,) arrays) sum; sparse partials
+    ((codes uint64, counts)) are sentinel-padded to the group max
+    length, gathered, and merged on the host (inputs are sorted, the
+    merge is one numpy mergesort).
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if not group_active():
+        return spectrum
+
+    if not isinstance(spectrum, tuple):  # dense partial table
+        total = multihost_utils.process_allgather(
+            np.asarray(spectrum), tiled=False
+        )
+        return np.asarray(total).sum(axis=0)
+
+    codes, counts = spectrum
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n_local = np.array([codes.size], dtype=np.int32)
+    lengths = np.asarray(multihost_utils.process_allgather(n_local))
+    L = int(lengths.max())
+    pad = L - codes.size
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, np.uint64)])
+        counts = np.concatenate([counts, np.zeros(pad, np.int64)])
+    # 64-bit values must cross the collective as uint32 pairs: without
+    # x64 enabled jax silently truncates u64/i64 arrays to 32 bits
+    def _gather64(a: np.ndarray) -> np.ndarray:
+        pairs = a.view(np.uint32).reshape(-1, 2)
+        out = np.asarray(multihost_utils.process_allgather(pairs))
+        return out.reshape(-1, 2).copy().view(np.uint64).reshape(-1)
+
+    all_codes = _gather64(codes)
+    all_counts = _gather64(counts.view(np.uint64)).view(np.int64)
+    mask = all_counts > 0
+    from findkmer_tpu.parallel.dist import merge_sorted_spectra
+
+    return merge_sorted_spectra(all_codes[mask], all_counts[mask])

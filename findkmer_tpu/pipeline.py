@@ -319,7 +319,7 @@ def prefetch_to_device(
 
     if put is None:
         if device is None:
-            device = jax.devices()[0]
+            device = jax.local_devices()[0]
         put = lambda b: jax.device_put(b, device)  # noqa: E731
     depth = max(1, depth)
 

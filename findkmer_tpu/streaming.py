@@ -107,7 +107,16 @@ def stream_count(
             state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
     if checkpoint_dir is not None and batch_index > start_batch:
         state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
-    return counter.finalize(state)
+    spectrum = counter.finalize(state)
+    # with a live jax.distributed group the run ends in ONE collective
+    # merge of the per-host partials (no TSV tail); every host returns
+    # the full spectrum
+    from findkmer_tpu.parallel import multihost
+
+    if num_processes > 1 and multihost.group_active():
+        log.info("collective merge of %d per-host partials", num_processes)
+        spectrum = multihost.allgather_spectrum(spectrum)
+    return spectrum
 
 
 def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
@@ -152,12 +161,19 @@ def run_stream(args) -> int:
         process_id=process_id,
     )
     wall = time.time() - t0
-    f, close = _open_out(args.output)
-    try:
-        output_mod.write_spectrum(f, spectrum, cfg)
-    finally:
-        if close:
-            f.close()
+    from findkmer_tpu.parallel import multihost
+
+    if num_processes > 1 and multihost.group_active() and process_id != 0:
+        # collective merge already ran; only host 0 emits the (full)
+        # spectrum so the output file is written exactly once
+        log.info("process %d: spectrum emitted by process 0", process_id)
+    else:
+        f, close = _open_out(args.output)
+        try:
+            output_mod.write_spectrum(f, spectrum, cfg)
+        finally:
+            if close:
+                f.close()
     if args.stats == "json":
         d = stats.as_dict()
         d["wall_s"] = wall

@@ -48,3 +48,51 @@ def test_host_resume_composes_with_sharding(tmp_path, fixtures_dir):
     b = _cli(["stream", "-i", src, *common, "--num-processes", "2",
               "--process-id", "1", "--checkpoint", "ck"], tmp_path)
     assert a == b
+
+
+import pytest
+
+
+@pytest.mark.parametrize("k", ["6", "18"])  # dense-sum and sparse merge
+def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
+    """REAL 2-process jax.distributed group on CPU: `stream
+    --coordinator` ends in one collective allgather merge — host 0
+    writes the FULL spectrum, host 1 writes nothing (round-1 verdict
+    item 4)."""
+    import socket
+
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    common = ["stream", "-i", src, "-k", k, "--chunk-len", "1024",
+              "--batch-rows", "4", "--coordinator", coord,
+              "--num-processes", "2"]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "findkmer_tpu.cli", *common,
+             "--process-id", str(i), "-o", f"h{i}.tsv"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err
+
+    # host 0 wrote the FULL spectrum; host 1 wrote nothing
+    full = _cli(["count", "-i", src, "-k", k, "--chunk-len", "1024",
+                 "--batch-rows", "4"], tmp_path)
+    h0 = (tmp_path / "h0.tsv").read_text()
+    assert h0 == full
+    assert not (tmp_path / "h1.tsv").exists()
