@@ -102,8 +102,22 @@ def bench_sparse_step(jax, k=21, batch_rows=128, chunk_len=16384, steps=24,
     )
     counter = KmerCounter(cfg)
     rng = np.random.default_rng(0)
-    host_rows = rng.integers(0, 4, (batch_rows, cfg.row_len), dtype=np.uint8)
-    rows = jax.device_put(jnp.asarray(host_rows))
+    # production wire format: 2-bit packed + validity bits (the engine
+    # extracts window codes straight from the packed words)
+    from findkmer_tpu.pipeline import _numpy_pack_rows
+
+    R = cfg.row_len
+    R8 = (R + 7) // 8 * 8
+    work = rng.integers(
+        0, 4, (batch_rows - 1) * chunk_len + R, dtype=np.uint8
+    )
+    packed, validbits = _numpy_pack_rows(
+        work, batch_rows, chunk_len, R, R8
+    )
+    rows = (
+        jax.device_put(jnp.asarray(packed)),
+        jax.device_put(jnp.asarray(validbits)),
+    )
 
     def run_once():
         state = counter.init_state()

@@ -109,11 +109,12 @@ def pack_2bit(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
     if pad4:
         safe = np.concatenate([safe, np.zeros(pad4, np.uint8)])
     q = safe.reshape(-1, 4)
+    # MSB-first: the wire is one big-endian 2-bit stream (encode.c)
     packed = (
-        q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+        (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
     ).astype(np.uint8)
 
-    validmask = np.packbits(valid, bitorder="little")
+    validmask = np.packbits(valid, bitorder="big")
     return packed, validmask, n
 
 
@@ -123,10 +124,10 @@ def unpack_2bit(
     """Inverse of pack_2bit: back to uint8 codes with INVALID sentinels."""
     packed = np.asarray(packed, dtype=np.uint8)
     b = packed.reshape(-1, 1)
-    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    shifts = np.array([6, 4, 2, 0], dtype=np.uint8)
     codes = ((b >> shifts) & 3).reshape(-1)[:n].astype(np.uint8)
     valid = np.unpackbits(
-        np.asarray(validmask, dtype=np.uint8), bitorder="little"
+        np.asarray(validmask, dtype=np.uint8), bitorder="big"
     )[:n].astype(bool)
     codes[~valid] = INVALID
     return codes

@@ -99,8 +99,17 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
 
     k <= 15: (lo,) single uint32 codes (1-key sorts downstream);
     k > 15:  (hi, lo) uint32 pair.  No sorting, no counts — raw codes
-    accumulate and one compaction sort does everything."""
-    rows = window_ops.rows_from_batch(batch, R)
+    accumulate and one compaction sort does everything.
+
+    Packed batches skip the byte unpack entirely: window_codes_packed
+    extracts codes straight from the 2-bit wire words (~1 op/window vs
+    ~4k for the slice-OR chain); its residue-interleaved order is fine
+    here because the sparse store sorts everything anyway."""
+    if isinstance(batch, (tuple, list)):
+        return window_ops.window_codes_packed(
+            batch[0], batch[1], k, canonical
+        )
+    rows = batch
     sent = jnp.uint32(sparse_ops.SENTINEL)
     if k <= 15:
         codes, valid = window_ops.window_codes(rows, k, canonical)

@@ -125,23 +125,144 @@ def unpack_rows(
 ) -> jnp.ndarray:
     """Device-side unpack of 2-bit-packed rows back to uint8 code rows.
 
-    packed:    (B, R8/4) uint8, 4 bases/byte little-endian within byte.
-    validbits: (B, R8/8) uint8, 1 bit/base little-endian.
+    packed:    (B, R8/4) uint8, 4 bases/byte MSB-first within byte.
+    validbits: (B, R8/8) uint8, 1 bit/base MSB-first (the wire is one
+    big-endian bitstream; see src/native/encode.c).
     Returns (B, R) uint8 codes with INVALID (4) at invalid positions.
     Pure VPU shifts; XLA fuses this into the window extraction, so the
     packed H2D format costs no extra memory pass.
     """
     B = packed.shape[0]
-    shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    shifts2 = jnp.arange(6, -1, -2, dtype=jnp.uint8)
     codes = (
         (packed[:, :, None] >> shifts2[None, None, :]) & jnp.uint8(3)
     ).reshape(B, -1)
-    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    shifts1 = jnp.arange(7, -1, -1, dtype=jnp.uint8)
     bits = (
         (validbits[:, :, None] >> shifts1[None, None, :]) & jnp.uint8(1)
     ).reshape(B, -1)
     rows = jnp.where(bits == 1, codes, jnp.uint8(4))
     return rows[:, :R]
+
+
+def _be_words32(b: jnp.ndarray, pad_words: int) -> jnp.ndarray:
+    """(B, NB) uint8 -> (B, NW+pad) big-endian uint32 words."""
+    B, NB = b.shape
+    padb = (-NB) % 4 + 4 * pad_words
+    if padb:
+        b = jnp.concatenate(
+            [b, jnp.zeros((B, padb), jnp.uint8)], axis=1
+        )
+    w = b.astype(jnp.uint32)
+    return (
+        (w[:, 0::4] << 24) | (w[:, 1::4] << 16) | (w[:, 2::4] << 8)
+        | w[:, 3::4]
+    )
+
+
+def _be_half16(v: jnp.ndarray, pad_halves: int) -> jnp.ndarray:
+    """(B, NV) uint8 validmask -> (B, NH+pad) 16-bit halfwords (uint32)."""
+    B, NV = v.shape
+    padb = (-NV) % 2 + 2 * pad_halves
+    if padb:
+        v = jnp.concatenate(
+            [v, jnp.zeros((B, padb), jnp.uint8)], axis=1
+        )
+    h = v.astype(jnp.uint32)
+    return (h[:, 0::2] << 8) | h[:, 1::2]
+
+
+def _rev32_2bit(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit groups of each uint32."""
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    return (
+        ((x & jnp.uint32(0xFF)) << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def window_codes_packed(
+    packed: jnp.ndarray, validbits: jnp.ndarray, k: int,
+    canonical: bool = False,
+):
+    """Window codes straight from the packed 2-bit wire format.
+
+    The wire is a big-endian 2-bit stream (src/native/encode.c), so a
+    32-bit word holds 16 bases and the code of the window starting at
+    base p = 16w + r is two shifted combines of words w, w+1, w+2 at a
+    CONSTANT shift 2r — 16 residue streams replace the k-slice OR chain
+    of window_codes (~1 op/window vs ~4k; decisive for the sparse path,
+    bench/RESULTS.md round 2).  Validity rides the same scheme on
+    16-bit halfwords of the validity bitstream.
+
+    Returns FLAT SENT-masked arrays in residue-interleaved order —
+    callers must be order-invariant (the sparse sort path is; counting
+    is a multiset operation).  k <= 15 -> (lo,); k >= 16 -> (hi, lo).
+    Slots beyond the last complete window come out SENT via the zero
+    validity padding, so no explicit bounds masking is needed.
+    """
+    assert 1 <= k <= 31
+    SENT = jnp.uint32(0xFFFFFFFF)
+    W32 = _be_words32(packed, 2)          # (B, NW+2)
+    V16 = _be_half16(validbits, 2)        # (B, NH+2)
+    NW = W32.shape[1] - 2
+    W0 = W32[:, :NW]
+    W1 = W32[:, 1 : NW + 1]
+    W2 = W32[:, 2 : NW + 2]
+    w_valid = (1 << k) - 1
+    outs = []
+    for r in range(16):
+        s = 2 * r
+        if s:
+            a = (W0 << s) | (W1 >> (32 - s))
+            b2 = (W1 << s) | (W2 >> (32 - s))
+        else:
+            a, b2 = W0, W1
+        # validity: top k bits of the bitstream starting at base 16w+r
+        C32 = (V16[:, :NW] << 16) | V16[:, 1 : NW + 1]
+        t = (C32 << r) | (V16[:, 2 : NW + 2] >> (16 - r)) if r else C32
+        valid = (t >> (32 - k)) == w_valid
+        if k <= 15:
+            lo = a >> (32 - 2 * k)
+            if canonical:
+                rc = _rev32_2bit(~lo) >> (32 - 2 * k)
+                lo = jnp.minimum(lo, rc)
+            outs.append((jnp.where(valid, lo, SENT),))
+        else:
+            if k == 16:
+                hi = jnp.zeros_like(a)
+                lo = a
+            else:
+                hi = a >> (64 - 2 * k)
+                lo = (a << (2 * k - 32)) | (b2 >> (64 - 2 * k))
+            if canonical:
+                himask = jnp.uint32((1 << (2 * k - 32)) - 1)
+                U = _rev32_2bit(~lo)          # high word of rev64
+                V = _rev32_2bit(~hi)          # low word of rev64
+                sh = 64 - 2 * k
+                if sh == 32:
+                    rc_hi = jnp.zeros_like(U)
+                    rc_lo = U
+                else:
+                    rc_hi = U >> sh
+                    rc_lo = (V >> sh) | (U << (32 - sh))
+                rc_hi = rc_hi & himask
+                take = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+                hi = jnp.where(take, rc_hi, hi)
+                lo = jnp.where(take, rc_lo, lo)
+            outs.append(
+                (jnp.where(valid, hi, SENT), jnp.where(valid, lo, SENT))
+            )
+    n_arr = len(outs[0])
+    return tuple(
+        jnp.stack([o[i] for o in outs]).reshape(-1) for i in range(n_arr)
+    )
 
 
 def rows_from_batch(batch, R: int) -> jnp.ndarray:

@@ -381,7 +381,13 @@ class DistributedCounter:
             self._w_local = (cfg.batch_rows // n_dev) * cfg.window_len
 
             def extract(rows):
-                urows = unpack(rows, R)
+                if isinstance(rows, (tuple, list)):
+                    # straight-from-wire extraction (see _batch_codes)
+                    parts = window_ops.window_codes_packed(
+                        rows[0], rows[1], k, canonical
+                    )
+                    return tuple(p.reshape(1, -1) for p in parts)
+                urows = rows
                 sent = jnp.uint32(sparse_ops.SENTINEL)
                 if narrow:
                     codes, valid = window_ops.window_codes(
@@ -529,7 +535,7 @@ class DistributedCounter:
         # dp_sparse: extract per-device codes, append to raw buffers
         parts = self._extract(rows)
         st = state
-        n = self._w_local
+        n = parts[0].shape[1]  # may exceed w_local (packed slot padding)
         cap = st.raw[0].shape[1]
         target = self._target_cap()
         raw, fill = st.raw, st.fill

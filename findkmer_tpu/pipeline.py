@@ -250,13 +250,14 @@ def _numpy_pack_rows(work, B, L, R, R8):
         )
     valid = rows < 4
     safe = np.where(valid, rows, 0).astype(np.uint8)
+    # MSB-first bit order (big-endian 2-bit stream; see encode.c)
     packed = (
-        safe[:, 0::4]
-        | (safe[:, 1::4] << 2)
-        | (safe[:, 2::4] << 4)
-        | (safe[:, 3::4] << 6)
+        (safe[:, 0::4] << 6)
+        | (safe[:, 1::4] << 4)
+        | (safe[:, 2::4] << 2)
+        | safe[:, 3::4]
     ).astype(np.uint8)
-    validbits = np.packbits(valid, axis=1, bitorder="little")
+    validbits = np.packbits(valid, axis=1, bitorder="big")
     return packed, validbits
 
 

@@ -61,6 +61,11 @@ void fk_encode(const uint8_t *restrict in, uint8_t *restrict out, size_t n) {
  * the byte; invalid bases pack as 0) + validity bitmask (1 bit/base,
  * little-endian).  n need not be a multiple of 4/8; tails are
  * zero-padded.  packed must hold ceil(n/4) bytes, validmask ceil(n/8). */
+/* Bit order is MSB-first (big-endian bitstream): base j of packed byte i
+ * sits at bits (6-2j), valid bit for base j of mask byte at bit (7-j).
+ * This makes the byte sequence one big-endian 2-bit stream, so the
+ * device extracts whole window codes with two shifted word combines
+ * instead of a k-slice OR chain (ops/window.py window_codes_packed). */
 static void fk_encode_packed_range(const uint8_t *restrict in,
                                    uint8_t *restrict packed,
                                    uint8_t *restrict validmask, size_t i0,
@@ -71,13 +76,13 @@ static void fk_encode_packed_range(const uint8_t *restrict in,
     uint8_t c2 = LUT[in[4 * i + 2]];
     uint8_t c3 = LUT[in[4 * i + 3]];
     uint8_t v0 = c0 < 4, v1 = c1 < 4, v2 = c2 < 4, v3 = c3 < 4;
-    packed[i] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) | ((c2 & 3) << 4) |
-                          ((c3 & 3) << 6));
-    uint8_t nib = (uint8_t)(v0 | (v1 << 1) | (v2 << 2) | (v3 << 3));
+    packed[i] = (uint8_t)(((c0 & 3) << 6) | ((c1 & 3) << 4) |
+                          ((c2 & 3) << 2) | (c3 & 3));
+    uint8_t nib = (uint8_t)((v0 << 3) | (v1 << 2) | (v2 << 1) | v3);
     if (i & 1)
-      validmask[i / 2] |= (uint8_t)(nib << 4);
+      validmask[i / 2] |= nib;
     else
-      validmask[i / 2] = nib;
+      validmask[i / 2] = (uint8_t)(nib << 4);
   }
 }
 
@@ -105,14 +110,14 @@ void fk_encode_packed(const uint8_t *restrict in, uint8_t *restrict packed,
     uint8_t pb = 0, vb = 0;
     for (size_t j = 0; j < n % 4; ++j) {
       uint8_t c = LUT[in[4 * nb4 + j]];
-      pb |= (uint8_t)((c & 3) << (2 * j));
-      vb |= (uint8_t)((c < 4) << j);
+      pb |= (uint8_t)((c & 3) << (6 - 2 * j));
+      vb |= (uint8_t)((c < 4) << (3 - j));
     }
     packed[nb4] = pb;
     if (nb4 & 1)
-      validmask[nb4 / 2] |= (uint8_t)(vb << 4);
+      validmask[nb4 / 2] |= vb;
     else
-      validmask[nb4 / 2] = vb;
+      validmask[nb4 / 2] = (uint8_t)(vb << 4);
   }
 }
 
@@ -230,10 +235,10 @@ void fk_pack_rows(const uint8_t *restrict work, size_t B, size_t L,
         uint8_t valid = c < 4;
         uint8_t code = (uint8_t)(c & 3u & (uint8_t)-valid);
         if (j < 4)
-          pb0 |= (uint8_t)(code << (2 * j));
+          pb0 |= (uint8_t)(code << (6 - 2 * j));
         else
-          pb1 |= (uint8_t)(code << (2 * (j - 4)));
-        vb |= (uint8_t)(valid << j);
+          pb1 |= (uint8_t)(code << (6 - 2 * (j - 4)));
+        vb |= (uint8_t)(valid << (7 - j));
       }
       prow[2 * b] = pb0;
       prow[2 * b + 1] = pb1;
