@@ -107,7 +107,7 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
     here because the sparse store sorts everything anyway."""
     if isinstance(batch, (tuple, list)):
         return window_ops.window_codes_packed(
-            batch[0], batch[1], k, canonical
+            batch[0], batch[1], k, canonical, R=R
         )
     rows = batch
     sent = jnp.uint32(sparse_ops.SENTINEL)

@@ -146,17 +146,27 @@ def unpack_rows(
 
 
 def _be_words32(b: jnp.ndarray, pad_words: int) -> jnp.ndarray:
-    """(B, NB) uint8 -> (B, NW+pad) big-endian uint32 words."""
+    """(B, NB) uint8 -> (B, NW+pad) big-endian uint32 words.
+
+    bitcast (little-endian) + elementwise byteswap: strided byte slices
+    (b[:, 0::4]) lower to relayouts on TPU and measured 2x slower than
+    this lane-aligned form."""
     B, NB = b.shape
     padb = (-NB) % 4 + 4 * pad_words
     if padb:
         b = jnp.concatenate(
             [b, jnp.zeros((B, padb), jnp.uint8)], axis=1
         )
-    w = b.astype(jnp.uint32)
+    le = lax.bitcast_convert_type(
+        b.reshape(B, -1, 4), jnp.uint32
+    )
+    m8 = jnp.uint32(0xFF)
+    m16 = jnp.uint32(0xFF00)
     return (
-        (w[:, 0::4] << 24) | (w[:, 1::4] << 16) | (w[:, 2::4] << 8)
-        | w[:, 3::4]
+        ((le & m8) << 24)
+        | ((le & m16) << 8)
+        | ((le >> 8) & m16)
+        | (le >> 24)
     )
 
 
@@ -168,8 +178,10 @@ def _be_half16(v: jnp.ndarray, pad_halves: int) -> jnp.ndarray:
         v = jnp.concatenate(
             [v, jnp.zeros((B, padb), jnp.uint8)], axis=1
         )
-    h = v.astype(jnp.uint32)
-    return (h[:, 0::2] << 8) | h[:, 1::2]
+    le = lax.bitcast_convert_type(
+        v.reshape(B, -1, 2), jnp.uint16
+    ).astype(jnp.uint32)
+    return ((le & jnp.uint32(0xFF)) << 8) | (le >> 8)
 
 
 def _rev32_2bit(x: jnp.ndarray) -> jnp.ndarray:
@@ -186,10 +198,10 @@ def _rev32_2bit(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
+@partial(jax.jit, static_argnames=("k", "canonical", "R"))
 def window_codes_packed(
     packed: jnp.ndarray, validbits: jnp.ndarray, k: int,
-    canonical: bool = False,
+    canonical: bool = False, R: int = 0,
 ):
     """Window codes straight from the packed 2-bit wire format.
 
@@ -206,12 +218,21 @@ def window_codes_packed(
     is a multiset operation).  k <= 15 -> (lo,); k >= 16 -> (hi, lo).
     Slots beyond the last complete window come out SENT via the zero
     validity padding, so no explicit bounds masking is needed.
+
+    R (static) is the true row length in bases; when given, the word
+    streams are truncated to ceil((R-k+1)/16) so the emitted slot count
+    matches the row's window count to within 15 — without it the byte
+    padding adds ~32 all-SENT slots/row, enough to push an exactly
+    pre-sized raw buffer over capacity and double the compaction sort
+    (measured 118 -> 171 Mbase/s at k=21; bench/RESULTS.md round 2).
     """
     assert 1 <= k <= 31
     SENT = jnp.uint32(0xFFFFFFFF)
     W32 = _be_words32(packed, 2)          # (B, NW+2)
     V16 = _be_half16(validbits, 2)        # (B, NH+2)
     NW = W32.shape[1] - 2
+    if R:
+        NW = min(NW, (max(R - k + 1, 0) + 15) // 16)
     W0 = W32[:, :NW]
     W1 = W32[:, 1 : NW + 1]
     W2 = W32[:, 2 : NW + 2]

@@ -384,7 +384,7 @@ class DistributedCounter:
                 if isinstance(rows, (tuple, list)):
                     # straight-from-wire extraction (see _batch_codes)
                     parts = window_ops.window_codes_packed(
-                        rows[0], rows[1], k, canonical
+                        rows[0], rows[1], k, canonical, R=cfg.row_len
                     )
                     return tuple(p.reshape(1, -1) for p in parts)
                 urows = rows
