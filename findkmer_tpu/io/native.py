@@ -92,6 +92,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
         ]
         lib.fk_format_spectrum.restype = ctypes.c_size_t
+        for name in ("fk_merge_runs64", "fk_merge_runs32"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            fn.restype = ctypes.c_size_t
         _lib = lib
     except OSError:
         _lib = None
@@ -218,6 +227,52 @@ def format_spectrum(codes: np.ndarray, counts: np.ndarray, k: int,
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out[: int(m)].tobytes()
+
+
+def merge_runs(runs):
+    """G-way merge of sorted (codes u64, counts) runs, summing counts of
+    equal codes -> (codes u64, counts i64) sorted distinct arrays.
+
+    `runs` is a list of (codes, counts) pairs, each sorted ascending by
+    code with no duplicates within a run.  One heap-merge C pass — the
+    host-side tail of the row-compacted sparse store (the device leaves
+    G independent sorted rows because row-wise sorts measure 1.2x the
+    flat sort; bench/RESULTS.md round 2)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    runs = [
+        (np.ascontiguousarray(c, dtype=np.uint64), np.ascontiguousarray(n))
+        for c, n in runs
+        if c.size
+    ]
+    G = len(runs)
+    if G == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    assert G <= 64, "fk_merge_runs supports up to 64 runs"
+    is64 = runs[0][1].dtype.itemsize == 8
+    cdt = np.int64 if is64 else np.int32
+    runs = [(c, n.astype(cdt, copy=False)) for c, n in runs]
+    code_ptrs = (ctypes.c_void_p * G)(
+        *[c.ctypes.data for c, _ in runs]
+    )
+    cnt_ptrs = (ctypes.c_void_p * G)(
+        *[n.ctypes.data for _, n in runs]
+    )
+    lens = np.array([c.size for c, _ in runs], dtype=np.uintp)
+    total = int(lens.sum())
+    out_codes = np.empty(total, np.uint64)
+    out_counts = np.empty(total, np.int64)
+    fn = lib.fk_merge_runs64 if is64 else lib.fk_merge_runs32
+    m = int(
+        fn(
+            code_ptrs, cnt_ptrs,
+            lens.ctypes.data_as(ctypes.c_void_p), G,
+            out_codes.ctypes.data_as(ctypes.c_void_p),
+            out_counts.ctypes.data_as(ctypes.c_void_p),
+        )
+    )
+    assert m != -1
+    return out_codes[:m], out_counts[:m]
 
 
 def count_valid(buf: np.ndarray) -> int:

@@ -132,6 +132,22 @@ def _append(bufs, parts, offset):
     )
 
 
+@partial(jax.jit, static_argnames=("k", "canonical", "R"), donate_argnums=(0,))
+def _ingest(bufs, batch, offset, k: int, canonical: bool, R: int):
+    """Fused extract + append: one launch per batch instead of two.
+
+    The step path is launch-overhead-bound on this environment (~2.4 ms
+    of per-launch overhead vs ~1.4 ms of extraction compute per 2 Mbase
+    batch; bench/RESULTS.md round 2), so the extraction writes straight
+    into the donated raw buffers.  `offset` is a device scalar so one
+    trace covers every fill position."""
+    parts = _batch_codes(batch, k, canonical, R)
+    return tuple(
+        lax.dynamic_update_slice(b, p, (offset,))
+        for b, p in zip(bufs, parts)
+    )
+
+
 @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
 def _grow(bufs, new_cap: int):
     return tuple(
@@ -346,8 +362,7 @@ class KmerCounter:
             )
             return table_mod.DenseTable(counts=counts, k=cfg.k)
 
-        parts = _batch_codes(batch, cfg.k, cfg.canonical, cfg.row_len)
-        n = parts[0].shape[0]
+        n = self._batch_slots(batch)
         raw, fill = state.raw, state.fill
         store, store_len, distinct = (
             state.store, state.store_len, state.distinct
@@ -367,11 +382,36 @@ class KmerCounter:
                     max(fill + n, 2 * cap), floor=4096
                 )
                 raw = _grow(raw, cap)
-        raw = _append(raw, parts, fill)
+        raw = _ingest(
+            raw, batch, jnp.int32(fill), cfg.k, cfg.canonical, cfg.row_len
+        )
         return SparseState(
             raw=raw, fill=fill + n, store=store, store_len=store_len,
             distinct=distinct,
         )
+
+    def _batch_slots(self, batch) -> int:
+        """Raw slots a batch emits — from shapes only (eval_shape; no
+        device work), cached per batch geometry."""
+        if isinstance(batch, (tuple, list)):
+            key = (tuple(batch[0].shape), tuple(batch[1].shape), True)
+        else:
+            key = (tuple(batch.shape), None, False)
+        cache = getattr(self, "_slots_cache", None)
+        if cache is None:
+            cache = self._slots_cache = {}
+        n = cache.get(key)
+        if n is None:
+            cfg = self.cfg
+            out = jax.eval_shape(
+                partial(
+                    _batch_codes, k=cfg.k, canonical=cfg.canonical,
+                    R=cfg.row_len,
+                ),
+                batch,
+            )
+            n = cache[key] = out[0].shape[0]
+        return n
 
     # ------------------------------------------------------------------
     def compact(self, state):

@@ -329,3 +329,89 @@ size_t fk_count_valid(const uint8_t *restrict in, size_t n) {
   for (size_t i = 0; i < n; ++i) cnt += LUT[in[i]] < 4;
   return cnt;
 }
+
+/* ------------------------------------------------------------------ */
+/* G-way merge of sorted (code, count) runs, summing counts of equal   */
+/* codes.  The device-side sparse store compacts into independent      */
+/* sorted rows (row-wise lax.sort measures 370 vs 307 Melem/s flat at  */
+/* 50M; bench/RESULTS.md round 2), so global order is restored here on */
+/* the host, fused into the D2H/output tail.  Runs are passed as       */
+/* per-run pointers — no concatenation copy (this VM faults fresh      */
+/* pages at ~0.02 GB/s, so every avoided buffer matters).  Output      */
+/* counts are int64 (sums of per-run totals).  Returns the merged      */
+/* distinct count.  Binary min-heap on (code, run); G <= 64.           */
+
+typedef struct {
+  uint64_t code;
+  uint32_t run;
+} fk_heap_ent;
+
+static inline void fk_heap_sift_down(fk_heap_ent *h, size_t n, size_t i) {
+  for (;;) {
+    size_t l = 2 * i + 1, r = l + 1, m = i;
+    if (l < n && h[l].code < h[m].code) m = l;
+    if (r < n && h[r].code < h[m].code) m = r;
+    if (m == i) return;
+    fk_heap_ent tmp = h[i];
+    h[i] = h[m];
+    h[m] = tmp;
+    i = m;
+  }
+}
+
+#define FK_MERGE_BODY                                                     \
+  if (G > 64) return (size_t)-1;                                          \
+  fk_heap_ent heap[64];                                                   \
+  size_t pos[64];                                                         \
+  size_t hn = 0;                                                          \
+  for (int g = 0; g < G; ++g) {                                           \
+    pos[g] = 0;                                                           \
+    if (lens[g]) {                                                        \
+      heap[hn].code = codes[g][0];                                        \
+      heap[hn].run = (uint32_t)g;                                         \
+      ++hn;                                                               \
+    }                                                                     \
+  }                                                                       \
+  for (size_t i = hn; i-- > 0;) fk_heap_sift_down(heap, hn, i);           \
+  size_t out_n = 0;                                                       \
+  uint64_t last = 0;                                                      \
+  int have_last = 0;                                                      \
+  while (hn) {                                                            \
+    uint64_t c = heap[0].code;                                            \
+    uint32_t g = heap[0].run;                                             \
+    long long v = (long long)counts[g][pos[g]];                           \
+    if (have_last && c == last) {                                         \
+      out_counts[out_n - 1] += v;                                         \
+    } else {                                                              \
+      out_codes[out_n] = c;                                               \
+      out_counts[out_n] = v;                                              \
+      ++out_n;                                                            \
+      last = c;                                                           \
+      have_last = 1;                                                      \
+    }                                                                     \
+    ++pos[g];                                                             \
+    if (pos[g] < lens[g]) {                                               \
+      heap[0].code = codes[g][pos[g]];                                    \
+      fk_heap_sift_down(heap, hn, 0);                                     \
+    } else {                                                              \
+      heap[0] = heap[--hn];                                               \
+      if (hn) fk_heap_sift_down(heap, hn, 0);                             \
+    }                                                                     \
+  }                                                                       \
+  return out_n;
+
+size_t fk_merge_runs64(const uint64_t *const *restrict codes,
+                       const long long *const *restrict counts,
+                       const size_t *restrict lens, int G,
+                       uint64_t *restrict out_codes,
+                       long long *restrict out_counts) {
+  FK_MERGE_BODY
+}
+
+size_t fk_merge_runs32(const uint64_t *const *restrict codes,
+                       const int32_t *const *restrict counts,
+                       const size_t *restrict lens, int G,
+                       uint64_t *restrict out_codes,
+                       long long *restrict out_counts) {
+  FK_MERGE_BODY
+}
