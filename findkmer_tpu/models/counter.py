@@ -163,64 +163,72 @@ def _fresh(cap: int, n: int):
     return tuple(jnp.full((cap,), SENT32, jnp.uint32) for _ in range(n))
 
 
-@partial(jax.jit, static_argnames=("L", "cdtype"), donate_argnums=(0,))
-def _compact_raw_dev(bufs, L: int, cdtype=jnp.int32):
-    """First compaction (no store): sort raw codes + positional RLE."""
-    pad = L - bufs[0].shape[0]
-    padded = tuple(
-        jnp.concatenate([b, jnp.full((pad,), SENT32, b.dtype)])
-        if pad
-        else b
-        for b in bufs
-    )
-    if len(padded) == 1:
-        lo, cnt, distinct = sparse_ops.compact_raw_narrow(
-            padded[0], cdtype=cdtype
+# Rows of the log-structured store.  The compaction sort runs row-wise:
+# 64 independent rows sort at 461 Melem/s vs 307 flat at 50M 2-key
+# (bench/probe_compact.py) because each bitonic stage shrinks with the
+# row length.  Rows are arbitrary partitions of the code multiset —
+# equal codes in different rows merge in the HOST output tail
+# (io/native.py merge_runs, one heap pass fused into D2H/format).
+# 64 == fk_merge_runs' G cap; every ladder size divides by it.
+STORE_ROWS = 64
+# column-count ladder floor: STORE_ROWS * COL_FLOOR == the flat ladder's
+# 4096 floor, so total store sizes stay on the same ladder as round 1
+COL_FLOOR = 64
+
+
+@partial(jax.jit, static_argnames=("G", "cdtype"), donate_argnums=(0,))
+def _compact_raw_dev(bufs, G: int, cdtype=jnp.int32):
+    """First compaction (no store): row-wise sort + positional RLE.
+
+    Returns a (G, cap/G) row store + per-row distinct counts."""
+    bufs2 = tuple(b.reshape(G, -1) for b in bufs)
+    if len(bufs2) == 1:
+        lo, cnt, drows = sparse_ops.compact_raw_narrow_2d(
+            bufs2[0], cdtype=cdtype
         )
-        return (lo, cnt), distinct
-    hi, lo, cnt, distinct = sparse_ops.compact_raw(*padded, cdtype=cdtype)
-    return (hi, lo, cnt), distinct
+        return (lo, cnt), drows
+    hi, lo, cnt, drows = sparse_ops.compact_raw_2d(*bufs2, cdtype=cdtype)
+    return (hi, lo, cnt), drows
 
 
-@partial(jax.jit, static_argnames=("L",), donate_argnums=(0, 1))
-def _compact_counted_dev(store, bufs, L: int):
-    """Store-carrying compaction: store entries keep their counts, raw
-    entries enter with count 1; one sort + value-RLE."""
-    n_raw = bufs[0].shape[0]
-    n_store = store[0].shape[0]
-    pad = L - n_store - n_raw
+@partial(jax.jit, static_argnames=("Lc", "G"), donate_argnums=(0, 1))
+def _compact_counted_dev(store, bufs, Lc: int, G: int):
+    """Store-carrying compaction: store rows keep their counts, raw
+    codes enter row-wise with count 1; one row sort + value-RLE.
+    Lc is the padded COLUMN count."""
+    rawG = bufs[0].shape[0] // G
+    Ls = store[0].shape[1]
+    pad = Lc - Ls - rawG
     cdt = store[-1].dtype  # count dtype follows the store
-    ones = jnp.ones((n_raw,), cdt)
-    zpad = jnp.zeros((max(pad, 0),), cdt)
+    ones = jnp.ones((G, rawG), cdt)
+    zpad = jnp.zeros((G, max(pad, 0)), cdt)
+    spad = [jnp.full((G, pad), SENT32, jnp.uint32)] if pad else []
     if len(bufs) == 1:
         lo = jnp.concatenate(
-            [store[0], bufs[0]]
-            + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+            [store[0], bufs[0].reshape(G, -1)] + spad, axis=1
         )
-        cnt = jnp.concatenate([store[1], ones, zpad])
-        lo, cnt, distinct = sparse_ops.compact_counted_narrow(lo, cnt)
-        return (lo, cnt), distinct
+        cnt = jnp.concatenate([store[1], ones, zpad], axis=1)
+        lo, cnt, drows = sparse_ops.compact_counted_narrow_2d(lo, cnt)
+        return (lo, cnt), drows
     hi = jnp.concatenate(
-        [store[0], bufs[0]]
-        + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+        [store[0], bufs[0].reshape(G, -1)] + spad, axis=1
     )
     lo = jnp.concatenate(
-        [store[1], bufs[1]]
-        + ([jnp.full((pad,), SENT32, jnp.uint32)] if pad else [])
+        [store[1], bufs[1].reshape(G, -1)] + spad, axis=1
     )
-    cnt = jnp.concatenate([store[2], ones, zpad])
-    hi, lo, cnt, distinct = sparse_ops.compact_counted(hi, lo, cnt)
-    return (hi, lo, cnt), distinct
+    cnt = jnp.concatenate([store[2], ones, zpad], axis=1)
+    hi, lo, cnt, drows = sparse_ops.compact_counted_2d(hi, lo, cnt)
+    return (hi, lo, cnt), drows
 
 
 @partial(jax.jit, static_argnames=("Ld",), donate_argnums=(0,))
 def _squeeze_slice_dev(store, Ld: int):
-    """Sort zero-count holes to the end, slice to the live ladder."""
+    """Row-wise: sort zero-count holes to row ends, slice to Ld cols."""
     if len(store) == 2:
-        lo, cnt = sparse_ops.squeeze_narrow(*store)
-        return lo[:Ld], cnt[:Ld]
-    hi, lo, cnt = sparse_ops.squeeze(*store)
-    return hi[:Ld], lo[:Ld], cnt[:Ld]
+        lo, cnt = sparse_ops.squeeze_narrow_2d(*store)
+        return lo[:, :Ld], cnt[:, :Ld]
+    hi, lo, cnt = sparse_ops.squeeze_2d(*store)
+    return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
 
 
 @dataclass
@@ -230,12 +238,13 @@ class SparseState:
     raw:   SENT-initialized growing code buffers ((lo,) or (hi, lo));
            fill is host-tracked (batch sizes are static), so the step
            path never syncs with the device.
-    store: sorted hole-laden (code, count) arrays from the last
-           compaction (None before the first), padded with sentinels to
-           store_len (a ladder size).
-    distinct: device scalar from the last compaction (or int); read
-           with int() only at the NEXT compaction, when it has long
-           since resolved — never stalls the pipeline.
+    store: (STORE_ROWS, store_len) hole-laden row store from the last
+           compaction (None before the first): each row independently
+           sorted + RLE'd, rows merged host-side at finalize.
+    distinct: per-row distinct vector ((G,) device array or np) from
+           the last compaction; read host-side only at the NEXT
+           compaction, when it has long since resolved — never stalls
+           the pipeline.
     """
 
     raw: Tuple[jnp.ndarray, ...]
@@ -415,35 +424,41 @@ class KmerCounter:
 
     # ------------------------------------------------------------------
     def compact(self, state):
-        """Fold the raw code buffer into the sorted store (one unstable
-        sort + scan-RLE; bench/probe_sort*.py).  No-op for dense or when
-        nothing is buffered."""
+        """Fold the raw code buffer into the sorted row store (one
+        unstable row-wise sort + scan-RLE; bench/probe_compact.py).
+        No-op for dense or when nothing is buffered.
+
+        store_len counts COLUMNS of the (STORE_ROWS, store_len) store;
+        distinct is the per-row distinct vector from the last
+        compaction's RLE (device (G,) array, read host-side one
+        compaction later when it has long since resolved)."""
         if self.mode == "direct":
             return state
         if state.fill == 0 and state.store is not None:
             return state
         cfg = self.cfg
+        G = STORE_ROWS
         cap = state.raw[0].shape[0]
         if state.store is None:
-            L = sparse_ops.ladder(cap, floor=4096)
-            store, distinct = _compact_raw_dev(
-                state.raw, L, cdtype=jnp.dtype(cfg.count_dtype)
+            store, drows = _compact_raw_dev(
+                state.raw, G, cdtype=jnp.dtype(cfg.count_dtype)
             )
+            Lc = cap // G
         else:
-            # previous compaction's scalar: long since resolved
-            d = int(state.distinct)
-            self._check_capacity(d)
-            store, store_len = state.store, state.store_len
-            Ld = sparse_ops.ladder(d, floor=4096)
-            if store_len > 2 * Ld:
-                # hole fraction > 1/2: squeeze before re-sorting
-                store = _squeeze_slice_dev(store, Ld)
-                store_len = Ld
-            L = sparse_ops.ladder(store_len + cap, floor=4096)
-            store, distinct = _compact_counted_dev(store, state.raw, L)
+            # previous compaction's per-row scalars: long since resolved
+            d = np.asarray(state.distinct)
+            self._check_capacity(int(d.sum()))
+            store, store_cols = state.store, state.store_len
+            Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
+            if store_cols > 2 * Ldc:
+                # hole fraction > 1/2: squeeze rows before re-sorting
+                store = _squeeze_slice_dev(store, Ldc)
+                store_cols = Ldc
+            Lc = sparse_ops.ladder(store_cols + cap // G, floor=COL_FLOOR)
+            store, drows = _compact_counted_dev(store, state.raw, Lc, G)
         return SparseState(
             raw=_fresh(cap, self._n_bufs), fill=0,
-            store=store, store_len=L, distinct=distinct,
+            store=store, store_len=Lc, distinct=drows,
         )
 
     def flush(self, state):
@@ -459,17 +474,15 @@ class KmerCounter:
             )
 
     def _store_to_host(self, store):
-        """Hole-laden sorted store -> host (codes uint64, counts).
+        """Row store -> host (codes uint64 sorted distinct, counts).
 
-        Stripping cnt==0 holes preserves order, so the result is the
-        sorted distinct spectrum."""
+        Rows are sorted/deduped hole-laden runs; the host strips holes
+        and heap-merges the G runs in one C pass (io/native.merge_runs),
+        fused into the D2H tail."""
         if len(store) == 2:
             lo, cnt = store
-            lo = np.asarray(lo)
-            cnt = np.asarray(cnt)
-            mask = cnt > 0
-            return lo[mask].astype(np.uint64), cnt[mask]
-        return sparse_ops.store_to_host(*store)
+            return sparse_ops.store_to_host_2d(None, lo, cnt)
+        return sparse_ops.store_to_host_2d(*store)
 
     def finalize(self, state):
         """Materialize the spectrum on host.
@@ -479,24 +492,29 @@ class KmerCounter:
         if self.mode == "direct":
             return state.to_host()
         state = self.compact(state)
-        self._check_capacity(int(state.distinct))
+        self._check_capacity(int(np.asarray(state.distinct).sum()))
         return self._store_to_host(state.store)
 
     # ------------------------------------------------------------------
     def table_state(self, state):
-        """The checkpointable table (compacting buffered codes first)."""
+        """The checkpointable table (compacting buffered codes first).
+
+        The SparseTable carries the (STORE_ROWS, cols) row store
+        directly; checkpoints round-trip it through npz unchanged."""
         if self.mode == "direct":
             return state, state
         state = self.compact(state)
-        d = int(state.distinct)
-        self._check_capacity(d)
-        Ld = sparse_ops.ladder(d, floor=4096)
-        if state.store_len > Ld:
-            store = _squeeze_slice_dev(state.store, Ld)
+        d = np.asarray(state.distinct)
+        self._check_capacity(int(d.sum()))
+        Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
+        if state.store_len > Ldc:
+            store = _squeeze_slice_dev(state.store, Ldc)
+            cols = Ldc
         else:
             store = state.store
+            cols = state.store_len
         state = SparseState(
-            raw=state.raw, fill=state.fill, store=store, store_len=Ld,
+            raw=state.raw, fill=state.fill, store=store, store_len=cols,
             distinct=d,
         )
         if len(store) == 2:
@@ -512,20 +530,47 @@ class KmerCounter:
         return state, table
 
     def restore_state(self, table):
-        """Rebuild step state from a checkpointed table."""
+        """Rebuild step state from a checkpointed table.
+
+        Accepts row-store (2-D) or legacy flat (1-D) tables: entries are
+        merged to one sorted distinct run on host, then laid out as G
+        contiguous row chunks — each row sorted with globally disjoint
+        code ranges, so finalize-without-recompaction stays exact."""
         if self.mode == "direct":
             return table
-        cnt = jnp.asarray(table.cnt)
-        lo = jnp.asarray(table.lo)
+        hi = np.asarray(table.hi)
+        lo = np.asarray(table.lo)
+        cnt = np.asarray(table.cnt)
+        if hi.ndim == 1:
+            hi, lo, cnt = hi[None], lo[None], cnt[None]
+        codes, counts = sparse_ops.store_to_host_2d(hi, lo, cnt)
+        G = STORE_ROWS
+        n = codes.size
+        Lc = sparse_ops.ladder(-(-n // G) if n else 1, floor=COL_FLOOR)
+        cdt = np.dtype(self.cfg.count_dtype)
+        lo2 = np.full((G * Lc,), SENT32, np.uint32)
+        cnt2 = np.zeros((G * Lc,), cdt)
+        lo2[:n] = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        cnt2[:n] = counts.astype(cdt)
+        drows = np.bincount(np.arange(n) // Lc, minlength=G).astype(
+            np.int64
+        )
         if self._n_bufs == 1:
-            store = (jnp.where(cnt > 0, lo,
-                               jnp.uint32(sparse_ops.SENTINEL)), cnt)
+            store = (
+                jnp.asarray(lo2.reshape(G, Lc)),
+                jnp.asarray(cnt2.reshape(G, Lc)),
+            )
         else:
-            store = (jnp.asarray(table.hi), lo, cnt)
+            hi2 = np.full((G * Lc,), SENT32, np.uint32)
+            hi2[:n] = (codes >> np.uint64(32)).astype(np.uint32)
+            store = (
+                jnp.asarray(hi2.reshape(G, Lc)),
+                jnp.asarray(lo2.reshape(G, Lc)),
+                jnp.asarray(cnt2.reshape(G, Lc)),
+            )
         return SparseState(
             raw=_fresh(self._raw_cap0(), self._n_bufs), fill=0,
-            store=store, store_len=int(cnt.shape[0]),
-            distinct=int(np.count_nonzero(np.asarray(table.cnt))),
+            store=store, store_len=Lc, distinct=drows,
         )
 
     # ------------------------------------------------------------------
@@ -550,6 +595,14 @@ class KmerCounter:
         def fn(rows):
             parts = _batch_codes(rows, cfg.k, cfg.canonical, cfg.row_len)
             L = sparse_ops.ladder(parts[0].shape[0], floor=4096)
-            return _compact_raw_dev(parts, L)
+            pad = L - parts[0].shape[0]
+            if pad:
+                parts = tuple(
+                    jnp.concatenate(
+                        [p, jnp.full((pad,), SENT32, p.dtype)]
+                    )
+                    for p in parts
+                )
+            return _compact_raw_dev(parts, STORE_ROWS)
 
         return fn, (rows,)

@@ -239,6 +239,26 @@ def compact_counted_narrow_2d(lo, cnt):
     return lo, cnt, jnp.count_nonzero(cnt, axis=1)
 
 
+@jax.jit
+def squeeze_2d(hi, lo, cnt):
+    """Row-wise squeeze: push zero-count holes to each row's end."""
+    live = cnt > 0
+    khi = jnp.where(live, hi, SENTINEL)
+    klo = jnp.where(live, lo, SENTINEL)
+    return lax.sort(
+        (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
+    )
+
+
+@jax.jit
+def squeeze_narrow_2d(lo, cnt):
+    klo = jnp.where(cnt > 0, lo, SENTINEL)
+    (lo, cnt) = lax.sort(
+        (klo, cnt), dimension=1, num_keys=1, is_stable=False
+    )
+    return lo, cnt
+
+
 def ladder(n: int, floor: int = 1 << 20) -> int:
     """Smallest padded size >= n from the {1, 1.5} x 2^i ladder.
 
@@ -267,3 +287,59 @@ def store_to_host(hi, lo, cnt):
     mask = cnt > 0
     codes = (hi[mask] << np.uint64(32)) | lo[mask]
     return codes, cnt[mask]
+
+
+def merge_host_runs(runs):
+    """G-way merge of sorted deduped (codes u64, counts) runs on host.
+
+    Sums counts of equal codes across runs -> globally sorted distinct
+    (codes u64, counts i64).  Uses the C heap merge (io/native.py
+    fk_merge_runs, one pass) when available; numpy sort fallback
+    otherwise."""
+    import numpy as np
+
+    runs = [(c, n) for c, n in runs if c.size]
+    if not runs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if len(runs) == 1:
+        c, n = runs[0]
+        return c.astype(np.uint64, copy=False), n.astype(np.int64,
+                                                         copy=False)
+    from findkmer_tpu.io import native
+
+    if native.available() and len(runs) <= 64:
+        return native.merge_runs(runs)
+    codes = np.concatenate([c for c, _ in runs]).astype(np.uint64,
+                                                        copy=False)
+    cnts = np.concatenate([n for _, n in runs]).astype(np.int64,
+                                                       copy=False)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    cnts = cnts[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes[1:] != codes[:-1]])
+    )
+    return codes[starts], np.add.reduceat(cnts, starts)
+
+
+def store_to_host_2d(hi, lo, cnt):
+    """Row store (G, C) -> host (codes u64 sorted distinct, counts i64).
+
+    Rows are independently sorted/deduped after compaction but may share
+    codes; strip each row's holes and heap-merge the G runs
+    (merge_host_runs).  `hi` may be None for narrow (k <= 15) stores."""
+    import numpy as np
+
+    lo = np.asarray(lo)
+    cnt = np.asarray(cnt)
+    hi = None if hi is None else np.asarray(hi, dtype=np.uint64)
+    runs = []
+    for g in range(lo.shape[0]):
+        m = cnt[g] > 0
+        if not m.any():
+            continue
+        codes = lo[g][m].astype(np.uint64)
+        if hi is not None:
+            codes |= hi[g][m] << np.uint64(32)
+        runs.append((codes, cnt[g][m]))
+    return merge_host_runs(runs)

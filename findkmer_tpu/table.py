@@ -54,12 +54,18 @@ class SparseTable:
     k: int
 
     def to_host(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(codes uint64 sorted ascending, counts) with sentinels stripped."""
+        """(codes uint64 sorted ascending, counts) with sentinels stripped.
+
+        Arrays may be flat sorted stores or (G, C) row stores (one
+        sorted run per row; models/counter.py STORE_ROWS) — row stores
+        are heap-merged on host."""
         if bool(self.overflow):
             raise RuntimeError(
                 "sparse count store overflowed: distinct k-mers exceeded "
                 "Config.sparse_capacity; rerun with a larger capacity"
             )
+        if np.asarray(self.cnt).ndim == 2:
+            return sparse_ops.store_to_host_2d(self.hi, self.lo, self.cnt)
         return sparse_ops.store_to_host(self.hi, self.lo, self.cnt)
 
     def total(self) -> int:
