@@ -94,6 +94,8 @@ def _cfg_from_args(args):
         zeros=args.zeros,
         sep=args.sep,
         out_counts_only=args.counts_only,
+        min_count=getattr(args, "min_count", 0),
+        max_count=getattr(args, "max_count", 0),
         use_native_encode=not args.no_native_encode,
     )
     # fail fast, before any counting happens
@@ -282,12 +284,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def _add_thresholds(sp):
+        sp.add_argument("--min-count", type=int, default=0, metavar="N",
+                        help="suppress output of k-mers with count < N "
+                             "(KMC -ci)")
+        sp.add_argument("--max-count", type=int, default=0, metavar="N",
+                        help="suppress output of k-mers with count > N "
+                             "(KMC -cx; 0 = off)")
+
     pc = sub.add_parser("count", help="count k-mers, emit spectrum")
     _add_common(pc)
+    _add_thresholds(pc)
     pc.set_defaults(fn=cmd_count)
 
     ps = sub.add_parser("stream", help="streaming count with checkpointing")
     _add_common(ps)
+    _add_thresholds(ps)
     ps.add_argument("--checkpoint", default=None,
                     help="checkpoint directory (enables resume)")
     ps.add_argument("--checkpoint-every", type=int, default=64,

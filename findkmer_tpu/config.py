@@ -91,6 +91,10 @@ class Config:
     zeros: bool = False              # emit zero-count k-mers (small k only)
     sep: str = "\t"
     out_counts_only: bool = False    # emit COUNT without the KMER column
+    min_count: int = 0               # suppress k-mers with count < min_count
+    max_count: int = 0               # ... and count > max_count (0 = off);
+    # the KMC/Jellyfish -ci/-cx output thresholds [LIT tool envelope] —
+    # an OUTPUT filter only, counting stays exact
 
     # --- input ---
     input_format: str = "auto"       # auto | fasta | fastq (gzip is

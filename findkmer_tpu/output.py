@@ -58,6 +58,28 @@ def _format_chunk(
     return b"\n".join(lines.tolist()) + b"\n"
 
 
+def _apply_count_thresholds(spectrum, cfg: Config):
+    """KMC-style -ci/-cx output filter (Config.min_count / max_count).
+
+    Sparse spectra drop filtered entries; dense spectra zero them (so
+    they fall out of the nonzero scan; with zeros=True they print as
+    any other zero-count k-mer).  Counting itself stays exact."""
+    lo, hi = cfg.min_count, cfg.max_count
+    if lo <= 1 and hi == 0:
+        return spectrum
+    if isinstance(spectrum, tuple):
+        codes, counts = spectrum
+        m = counts >= lo
+        if hi:
+            m &= counts <= hi
+        return codes[m], counts[m]
+    counts = np.asarray(spectrum)
+    m = counts >= lo
+    if hi:
+        m &= counts <= hi
+    return np.where(m, counts, 0)
+
+
 def spectrum_chunks(
     spectrum, cfg: Config, chunk: int = 1 << 20
 ) -> Iterator[bytes]:
@@ -67,6 +89,7 @@ def spectrum_chunks(
     """
     sep = cfg.sep.encode()
     k = cfg.k
+    spectrum = _apply_count_thresholds(spectrum, cfg)
     if isinstance(spectrum, tuple):
         codes, counts = spectrum
         if cfg.zeros:

@@ -119,3 +119,22 @@ def test_count_dtype_int64(fixtures_dir, tmp_path, k):
     a = run_cli(args, tmp_path)
     b = run_cli(args + ["--count-dtype", "int64"], tmp_path)
     assert a == b
+
+
+@pytest.mark.parametrize("k", [4, 21])
+def test_count_thresholds(fixtures_dir, tmp_path, k):
+    """--min-count/--max-count = KMC -ci/-cx output filter, dense and
+    sparse paths."""
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    out = run_cli(
+        ["count", "-i", path, "-k", str(k), "--chunk-len", "64",
+         "--batch-rows", "2", "--min-count", "2", "--max-count", "3"],
+        tmp_path,
+    )
+    spec = count_fasta_file(path, k)
+    want = [
+        line
+        for line in spectrum_lines(spec, k)
+        if 2 <= int(line.rsplit("\t", 1)[1]) <= 3
+    ]
+    assert out.splitlines() == want

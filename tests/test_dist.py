@@ -52,6 +52,22 @@ def test_sparse_dist_matches_oracle(rng, n_dev):
     assert spectrum_to_dict(spectrum, 21) == oracle_dict(text, 21)
 
 
+def test_all_to_all_k11_sharded_table(rng):
+    """Representative-k sharded-table route (VERDICT round 1): 4^11 = 4M
+    entries split 8 ways exercises shard-size/route arithmetic that the
+    k=8 cases (table < route width) cannot."""
+    seq = random_dna(rng, 6000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=11, chunk_len=64, batch_rows=8, merge="all_to_all",
+        table_mode="direct",
+    )
+    spectrum = _count_dist(text, cfg, 8)
+    assert spectrum_to_dict(np.asarray(spectrum), 11) == oracle_dict(
+        text, 11
+    )
+
+
 def test_all_to_all_canonical(rng):
     seq = random_dna(rng, 2000)
     text = ">r\n" + seq + "\n"
