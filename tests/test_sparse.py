@@ -187,3 +187,65 @@ def test_log_store_checkpoint_compacts(rng, tmp_path):
     b = pipeline.count_file(str(p), cfg)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+# --- 2-D (row store) ops: models/counter.py STORE_ROWS path ----------
+
+def test_compact_raw_2d_rows_independent(rng):
+    from findkmer_tpu.ops.sparse import compact_raw_2d, store_to_host_2d
+
+    G, C = 4, 64
+    hi = rng.integers(0, 3, (G, C)).astype(np.uint32)
+    lo = rng.integers(0, 8, (G, C)).astype(np.uint32)
+    kill = rng.random((G, C)) < 0.2
+    hi = np.where(kill, SENT, hi)
+    lo = np.where(kill, SENT, lo)
+    shi, slo, scnt, drows = compact_raw_2d(jnp.asarray(hi), jnp.asarray(lo))
+    # per-row distinct matches a dict per row
+    for g in range(G):
+        want = _dict_counts(hi[g], lo[g])
+        assert int(drows[g]) == len(want)
+    # host merge of the G runs == dict over everything
+    codes, counts = store_to_host_2d(shi, slo, scnt)
+    want_all = _dict_counts(hi, lo)
+    assert dict(zip(codes.tolist(), counts.tolist())) == want_all
+    assert (np.diff(codes.astype(np.int64)) > 0).all()
+
+
+def test_squeeze_2d_preserves_live(rng):
+    from findkmer_tpu.ops.sparse import (
+        compact_raw_narrow_2d, squeeze_narrow_2d,
+    )
+
+    G, C = 4, 128
+    lo = rng.integers(0, 32, (G, C)).astype(np.uint32)
+    slo, scnt, drows = compact_raw_narrow_2d(jnp.asarray(lo))
+    qlo, qcnt = squeeze_narrow_2d(slo, scnt)
+    qlo, qcnt = np.asarray(qlo), np.asarray(qcnt)
+    for g in range(G):
+        d = int(drows[g])
+        assert (qcnt[g][:d] > 0).all() and (qcnt[g][d:] == 0).all()
+        # live prefix stays sorted by code
+        assert (np.diff(qlo[g][:d].astype(np.int64)) > 0).all()
+
+
+def test_merge_host_runs_numpy_fallback_matches_native(rng):
+    from findkmer_tpu.io import native
+    from findkmer_tpu.ops.sparse import merge_host_runs
+
+    runs = []
+    for _ in range(5):
+        codes = np.unique(
+            rng.integers(0, 1000, 200).astype(np.uint64)
+        )
+        counts = rng.integers(1, 100, codes.size).astype(np.int64)
+        runs.append((codes, counts))
+    want = {}
+    for c, n in runs:
+        for ci, ni in zip(c.tolist(), n.tolist()):
+            want[ci] = want.get(ci, 0) + ni
+    got_c, got_n = merge_host_runs(runs)
+    assert dict(zip(got_c.tolist(), got_n.tolist())) == want
+    if native.available():
+        nc, nn = native.merge_runs(runs)
+        assert (nc == got_c).all() and (nn == got_n).all()
