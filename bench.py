@@ -36,20 +36,25 @@ def main() -> int:
 
     k8_bps, k8_dt = bench_dense_step(jax, k=8)
     k21_bps, k21_dt = bench_sparse_step(jax, k=21)
+    k15_bps, k15_dt = bench_sparse_step(jax, k=15)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bases_per_s_per_chip_k21_sparse",
-                "value": k21_bps,
-                "unit": "bases/s",
-                "vs_baseline": k21_bps / BASELINE_BASES_PER_S,
-                "wall_s": k21_dt,
-                "device": str(dev),
-            }
-        ),
-        file=sys.stderr,
-    )
+    for name, bps, dt in (
+        ("bases_per_s_per_chip_k21_sparse", k21_bps, k21_dt),
+        ("bases_per_s_per_chip_k15_sparse", k15_bps, k15_dt),
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": bps,
+                    "unit": "bases/s",
+                    "vs_baseline": bps / BASELINE_BASES_PER_S,
+                    "wall_s": dt,
+                    "device": str(dev),
+                }
+            ),
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

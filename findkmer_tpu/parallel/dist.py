@@ -141,7 +141,8 @@ def _squeeze_slice_dev2(store, Ld: int):
 def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
     """Merge per-device (n_dev, L) stores on the host.
 
-    One D2H pull + a numpy mergesort of already-sorted rows.  Measured
+    One D2H pull + a heap merge of the per-device sorted runs
+    (sparse_ops.merge_host_runs: one C pass, numpy fallback).  Measured
     preferable to a device-side global sort across shards: XLA
     partitions a sort over a sharded dimension into a pathological
     program (131 s for 8 x 1M rows on the CPU mesh vs <1 s here).
@@ -149,20 +150,8 @@ def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
     allgather_spectrum — one DCN collective)."""
     if len(store) == 2:
         lo, cnt = store
-        lo = np.asarray(lo)
-        cnt = np.asarray(cnt)
-        mask = cnt > 0
-        codes = lo[mask].astype(np.uint64)
-        counts = cnt[mask]
-    else:
-        hi, lo, cnt = store
-        hi, lo, cnt = np.asarray(hi), np.asarray(lo), np.asarray(cnt)
-        mask = cnt > 0
-        codes = (hi[mask].astype(np.uint64) << np.uint64(32)) | lo[
-            mask
-        ].astype(np.uint64)
-        counts = cnt[mask]
-    return merge_sorted_spectra(codes, counts)
+        return sparse_ops.store_to_host_2d(None, lo, cnt)
+    return sparse_ops.store_to_host_2d(*store)
 
 
 def merge_sorted_spectra(
