@@ -98,8 +98,9 @@ def allgather_spectrum(spectrum):
 
     Dense partials (np (4^k,) arrays) sum; sparse partials
     ((codes uint64, counts)) are sentinel-padded to the group max
-    length, gathered, and merged on the host (inputs are sorted, the
-    merge is one numpy mergesort).
+    length, gathered, and merged on the host (per-host partials are
+    sorted distinct runs, so the merge is one heap pass —
+    sparse_ops.merge_host_runs).
     """
     import numpy as np
     from jax.experimental import multihost_utils
@@ -130,9 +131,17 @@ def allgather_spectrum(spectrum):
         out = np.asarray(multihost_utils.process_allgather(pairs))
         return out.reshape(-1, 2).copy().view(np.uint64).reshape(-1)
 
-    all_codes = _gather64(codes)
+    P = lengths.size
+    all_codes = _gather64(codes).reshape(P, L)
     all_counts = _gather64(counts.view(np.uint64)).view(np.int64)
-    mask = all_counts > 0
-    from findkmer_tpu.parallel.dist import merge_sorted_spectra
+    all_counts = all_counts.reshape(P, L)
+    from findkmer_tpu.ops import sparse as sparse_ops
 
-    return merge_sorted_spectra(all_codes[mask], all_counts[mask])
+    runs = []
+    for p in range(P):
+        c = all_codes[p, : int(lengths[p])]
+        n = all_counts[p, : int(lengths[p])]
+        m = n > 0
+        runs.append((c[m], n[m]))
+    # per-host partials are sorted distinct runs -> one heap-merge pass
+    return sparse_ops.merge_host_runs(runs)
