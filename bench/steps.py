@@ -18,6 +18,9 @@ BASELINE_BASES_PER_S = 250e6
 
 
 def setup_jax():
+    from findkmer_tpu.utils.shmalloc import ensure_shared_alloc
+
+    ensure_shared_alloc()
     cache = os.environ.get(
         "FINDKMER_COMPILE_CACHE", os.path.expanduser("~/.cache/findkmer-jax")
     )

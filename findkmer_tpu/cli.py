@@ -174,16 +174,25 @@ def cmd_count(args) -> int:
         if timers is None:
             spectrum = counter.finalize(state)
         else:
+            from findkmer_tpu.models.counter import KmerCounter
+
             with timers.phase("finalize"):
-                spectrum = counter.finalize(state)
-    wall = time.time() - t0
+                if isinstance(counter, KmerCounter):
+                    spectrum = counter.finalize(state, timers=timers)
+                else:
+                    spectrum = counter.finalize(state)
 
     f, close = _open_out(args.output)
     try:
-        output_mod.write_spectrum(f, spectrum, cfg)
+        if timers is None:
+            output_mod.write_spectrum(f, spectrum, cfg)
+        else:
+            with timers.phase("write"):
+                output_mod.write_spectrum(f, spectrum, cfg)
     finally:
         if close:
             f.close()
+    wall = time.time() - t0
     if args.stats == "json":
         d = stats.as_dict()
         d["wall_s"] = wall
@@ -366,6 +375,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from findkmer_tpu.utils.shmalloc import ensure_shared_alloc
+
+    ensure_shared_alloc()  # before any large host buffer is allocated
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

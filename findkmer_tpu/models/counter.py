@@ -258,6 +258,9 @@ def make_counter(cfg: Config):
     """Counter for cfg.devices: the single-device engine (devices == 1)
     or a mesh DistributedCounter (devices == 0 -> all available, N > 1 ->
     first N).  Both expose init_state/step/flush/finalize/put_batch."""
+    from findkmer_tpu.utils.shmalloc import ensure_shared_alloc
+
+    ensure_shared_alloc()  # before this run's big host buffers exist
     n = cfg.devices
     if n == 0:
         n = len(jax.devices())
@@ -473,27 +476,46 @@ class KmerCounter:
                 "k-mers); raise Config.sparse_capacity"
             )
 
-    def _store_to_host(self, store):
+    def _store_to_host(self, store, timers=None):
         """Row store -> host (codes uint64 sorted distinct, counts).
 
         Rows are sorted/deduped hole-laden runs; the host strips holes
         and heap-merges the G runs in one C pass (io/native.merge_runs),
         fused into the D2H tail."""
-        if len(store) == 2:
-            lo, cnt = store
-            return sparse_ops.store_to_host_2d(None, lo, cnt)
-        return sparse_ops.store_to_host_2d(*store)
+        import contextlib
 
-    def finalize(self, state):
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
+        with ph("finalize/d2h"):
+            arrs = [
+                None if a is None else np.asarray(a)
+                for a in ((None,) + tuple(store) if len(store) == 2
+                          else tuple(store))
+            ]
+        with ph("finalize/merge"):
+            return sparse_ops.store_to_host_2d(*arrs)
+
+    def finalize(self, state, timers=None):
         """Materialize the spectrum on host.
 
         direct -> np counts (4^k,); sparse -> (codes uint64, counts).
         """
         if self.mode == "direct":
             return state.to_host()
-        state = self.compact(state)
-        self._check_capacity(int(np.asarray(state.distinct).sum()))
-        return self._store_to_host(state.store)
+        import contextlib
+
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
+        with ph("finalize/compact"):
+            state = self.compact(state)
+            # D2H of the compaction's distinct vector serializes on the
+            # device chain (block_until_ready returns early on axon —
+            # CLAUDE.md gotcha #3)
+            d = np.asarray(state.distinct)
+        self._check_capacity(int(d.sum()))
+        return self._store_to_host(state.store, timers=timers)
 
     # ------------------------------------------------------------------
     def table_state(self, state):

@@ -332,14 +332,15 @@ def store_to_host_2d(hi, lo, cnt):
 
     lo = np.asarray(lo)
     cnt = np.asarray(cnt)
-    hi = None if hi is None else np.asarray(hi, dtype=np.uint64)
+    hi = None if hi is None else np.asarray(hi)
     runs = []
     for g in range(lo.shape[0]):
         m = cnt[g] > 0
         if not m.any():
             continue
+        # widen AFTER the strip: only live entries pay the uint64 copy
         codes = lo[g][m].astype(np.uint64)
         if hi is not None:
-            codes |= hi[g][m] << np.uint64(32)
+            codes |= hi[g][m].astype(np.uint64) << np.uint64(32)
         runs.append((codes, cnt[g][m]))
     return merge_host_runs(runs)
