@@ -92,7 +92,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
         ]
         lib.fk_format_spectrum.restype = ctypes.c_size_t
-        for name in ("fk_merge_runs64", "fk_merge_runs32"):
+        for name in ("fk_merge_runs64", "fk_merge_runs32",
+                     "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
             fn = getattr(lib, name)
             fn.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),
@@ -262,7 +263,7 @@ def merge_runs(runs):
     total = int(lens.sum())
     out_codes = np.empty(total, np.uint64)
     out_counts = np.empty(total, np.int64)
-    fn = lib.fk_merge_runs64 if is64 else lib.fk_merge_runs32
+    fn = lib.fk_merge_runs64_mt if is64 else lib.fk_merge_runs32_mt
     m = int(
         fn(
             code_ptrs, cnt_ptrs,

@@ -415,3 +415,131 @@ size_t fk_merge_runs32(const uint64_t *const *restrict codes,
                        long long *restrict out_counts) {
   FK_MERGE_BODY
 }
+
+/* Parallel merge: partition CODE SPACE into ~2x-threads ranges (all
+ * occurrences of a code land in exactly one range, so dedup stays
+ * local), heap-merge each range independently into its input-offset
+ * slot of the output (a safe upper bound on its output size), then
+ * compact the <= 64 segments left.  Boundaries come from quantiles of
+ * the largest run — exact balance is irrelevant, only fault/bandwidth
+ * parallelism. */
+
+static size_t fk_lower_bound(const uint64_t *a, size_t n, uint64_t key) {
+  size_t lo = 0, hi = n;
+  while (lo < hi) {
+    size_t m = lo + (hi - lo) / 2;
+    if (a[m] < key)
+      lo = m + 1;
+    else
+      hi = m;
+  }
+  return lo;
+}
+
+#define FK_DEFINE_MERGE_SEG(NAME, CNT_T)                                  \
+  static size_t NAME(const uint64_t *const *codes,                        \
+                     const CNT_T *const *counts, const size_t *starts,    \
+                     const size_t *ends, int G, uint64_t *out_codes,      \
+                     long long *out_counts) {                             \
+    fk_heap_ent heap[64];                                                 \
+    size_t pos[64];                                                       \
+    size_t hn = 0;                                                        \
+    for (int g = 0; g < G; ++g) {                                         \
+      pos[g] = starts[g];                                                 \
+      if (starts[g] < ends[g]) {                                          \
+        heap[hn].code = codes[g][starts[g]];                              \
+        heap[hn].run = (uint32_t)g;                                       \
+        ++hn;                                                             \
+      }                                                                   \
+    }                                                                     \
+    for (size_t i = hn; i-- > 0;) fk_heap_sift_down(heap, hn, i);         \
+    size_t out_n = 0;                                                     \
+    uint64_t last = 0;                                                    \
+    int have_last = 0;                                                    \
+    while (hn) {                                                          \
+      uint64_t c = heap[0].code;                                          \
+      uint32_t g = heap[0].run;                                           \
+      long long v = (long long)counts[g][pos[g]];                         \
+      if (have_last && c == last) {                                       \
+        out_counts[out_n - 1] += v;                                       \
+      } else {                                                            \
+        out_codes[out_n] = c;                                             \
+        out_counts[out_n] = v;                                            \
+        ++out_n;                                                          \
+        last = c;                                                         \
+        have_last = 1;                                                    \
+      }                                                                   \
+      ++pos[g];                                                           \
+      if (pos[g] < ends[g]) {                                             \
+        heap[0].code = codes[g][pos[g]];                                  \
+        fk_heap_sift_down(heap, hn, 0);                                   \
+      } else {                                                            \
+        heap[0] = heap[--hn];                                             \
+        if (hn) fk_heap_sift_down(heap, hn, 0);                           \
+      }                                                                   \
+    }                                                                     \
+    return out_n;                                                         \
+  }
+
+FK_DEFINE_MERGE_SEG(fk_merge_seg64, long long)
+FK_DEFINE_MERGE_SEG(fk_merge_seg32, int32_t)
+
+#define FK_MERGE_MT_BODY(SEGFN)                                           \
+  if (G > 64) return (size_t)-1;                                          \
+  size_t total = 0;                                                       \
+  int big = 0;                                                            \
+  for (int g = 0; g < G; ++g) {                                           \
+    total += lens[g];                                                     \
+    if (lens[g] > lens[big]) big = g;                                     \
+  }                                                                       \
+  int T = omp_get_max_threads() * 2;                                      \
+  if (T > 64) T = 64;                                                     \
+  if (T < 2 || total < (1u << 21)) {                                      \
+    size_t st[64] = {0};                                                  \
+    return SEGFN(codes, counts, st, lens, G, out_codes, out_counts);      \
+  }                                                                       \
+  uint64_t bounds[65];                                                    \
+  bounds[0] = 0;                                                          \
+  bounds[T] = UINT64_MAX;                                                 \
+  for (int j = 1; j < T; ++j)                                             \
+    bounds[j] = codes[big][(size_t)j * lens[big] / T];                    \
+  size_t seg_off[64], seg_n[64];                                          \
+  _Pragma("omp parallel for schedule(dynamic, 1)")                        \
+  for (int j = 0; j < T; ++j) {                                           \
+    size_t st[64], en[64], off = 0;                                       \
+    for (int g = 0; g < G; ++g) {                                         \
+      st[g] = fk_lower_bound(codes[g], lens[g], bounds[j]);               \
+      en[g] = fk_lower_bound(codes[g], lens[g], bounds[j + 1]);           \
+      off += st[g];                                                       \
+    }                                                                     \
+    seg_off[j] = off;                                                     \
+    seg_n[j] = SEGFN(codes, counts, st, en, G, out_codes + off,           \
+                     out_counts + off);                                   \
+  }                                                                       \
+  size_t out_n = seg_n[0];                                                \
+  for (int j = 1; j < T; ++j) {                                           \
+    if (seg_off[j] != out_n) {                                            \
+      memmove(out_codes + out_n, out_codes + seg_off[j],                  \
+              seg_n[j] * sizeof(uint64_t));                               \
+      memmove(out_counts + out_n, out_counts + seg_off[j],                \
+              seg_n[j] * sizeof(long long));                              \
+    }                                                                     \
+    out_n += seg_n[j];                                                    \
+  }                                                                       \
+  return out_n;
+
+size_t fk_merge_runs64_mt(const uint64_t *const *restrict codes,
+                          const long long *const *restrict counts,
+                          const size_t *restrict lens, int G,
+                          uint64_t *restrict out_codes,
+                          long long *restrict out_counts) {
+  FK_MERGE_MT_BODY(fk_merge_seg64)
+}
+
+size_t fk_merge_runs32_mt(const uint64_t *const *restrict codes,
+                          const int32_t *const *restrict counts,
+                          const size_t *restrict lens, int G,
+                          uint64_t *restrict out_codes,
+                          long long *restrict out_counts) {
+  FK_MERGE_MT_BODY(fk_merge_seg32)
+}
