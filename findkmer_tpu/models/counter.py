@@ -514,8 +514,16 @@ class KmerCounter:
             # device chain (block_until_ready returns early on axon —
             # CLAUDE.md gotcha #3)
             d = np.asarray(state.distinct)
+            # squeeze holes out and slice to the live ladder before the
+            # pull: one extra device sort (~ms) cuts D2H bytes by the
+            # hole+padding fraction (25-40% at chr scale) — D2H rides a
+            # ~110 MB/s (at times far worse) tunnel here
+            store = state.store
+            Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
+            if state.store_len > Ldc:
+                store = _squeeze_slice_dev(store, Ldc)
         self._check_capacity(int(d.sum()))
-        return self._store_to_host(state.store, timers=timers)
+        return self._store_to_host(store, timers=timers)
 
     # ------------------------------------------------------------------
     def table_state(self, state):
