@@ -246,6 +246,40 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_setop(args) -> int:
+    """intersect / subtract (kmc_tools-style streaming set ops)."""
+    from findkmer_tpu import spectra
+
+    f, close = _open_out(args.output)
+    try:
+        if args.cmd == "intersect":
+            spectra.intersect_sorted_streaming(args.input, f, sep=args.sep)
+        else:
+            spectra.subtract_sorted_streaming(args.input, f, sep=args.sep)
+    finally:
+        if close:
+            f.close()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from findkmer_tpu import spectra
+
+    counts = spectra.query_spectrum(args.spectrum, args.kmers,
+                                    sep=args.sep)
+    for kmer in args.kmers:
+        print(f"{kmer.upper()}{args.sep}{counts[kmer.upper()]}")
+    return 0
+
+
+def cmd_topn(args) -> int:
+    from findkmer_tpu import spectra
+
+    for kmer, cnt in spectra.top_n(args.spectrum, args.n, sep=args.sep):
+        print(f"{kmer}{args.sep}{cnt}")
+    return 0
+
+
 def cmd_diff(args) -> int:
     from findkmer_tpu import spectra
 
@@ -345,6 +379,29 @@ def build_parser() -> argparse.ArgumentParser:
                          "default is a streaming sorted merge in O(MB) "
                          "memory)")
     pm.set_defaults(fn=cmd_merge)
+
+    for op, hlp in (
+        ("intersect", "k-mers in every input, count = min (streaming)"),
+        ("subtract", "first input minus the others, rows <= 0 dropped"),
+    ):
+        po = sub.add_parser(op, help=hlp)
+        po.add_argument("-i", "--input", required=True, nargs="+",
+                        help="sorted spectrum files (KMER<sep>COUNT)")
+        po.add_argument("-o", "--output", default="-")
+        po.add_argument("--sep", default="\t")
+        po.set_defaults(fn=cmd_setop)
+
+    pq = sub.add_parser("query", help="look up counts of specific k-mers")
+    pq.add_argument("spectrum", help="sorted spectrum file")
+    pq.add_argument("kmers", nargs="+", help="k-mers to look up")
+    pq.add_argument("--sep", default="\t")
+    pq.set_defaults(fn=cmd_query)
+
+    pn = sub.add_parser("topn", help="n most frequent k-mers")
+    pn.add_argument("spectrum", help="spectrum file")
+    pn.add_argument("-n", type=int, default=25)
+    pn.add_argument("--sep", default="\t")
+    pn.set_defaults(fn=cmd_topn)
 
     ph = sub.add_parser(
         "histo", help="count-of-counts histogram of the spectrum"

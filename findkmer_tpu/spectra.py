@@ -163,3 +163,123 @@ def diff_spectra(a: Dict[str, int], b: Dict[str, int]) -> List[str]:
         if ca != cb:
             out.append(f"{kmer}: {ca} != {cb}")
     return out
+
+
+def _grouped(paths, sep_b: bytes):
+    """Iterate sorted inputs as (kmer, [count_or_None per input]) groups.
+
+    Streams all files in lockstep (heap merge); each group lists which
+    inputs contain the k-mer and with what summed count (None = absent).
+    O(buffers) memory."""
+    n = len(paths)
+
+    def _tagged(p, i):
+        for kmer, cnt in _sorted_lines(p, sep_b):
+            yield kmer, cnt, i
+
+    streams = [_tagged(p, i) for i, p in enumerate(paths)]
+    merged = heapq.merge(*streams)
+    cur = None
+    counts: List = [None] * n
+    for kmer, cnt, i in merged:
+        if kmer != cur:
+            if cur is not None:
+                yield cur, counts
+            cur = kmer
+            counts = [None] * n
+        counts[i] = cnt if counts[i] is None else counts[i] + cnt
+    if cur is not None:
+        yield cur, counts
+
+
+def _write_batched(out_f, line_iter, sep_b: bytes) -> int:
+    buf: List[bytes] = []
+    lines = 0
+    for kmer, count in line_iter:
+        buf.append(kmer + sep_b + str(count).encode())
+        lines += 1
+        if len(buf) >= 65536:
+            out_f.write(b"\n".join(buf) + b"\n")
+            buf.clear()
+    if buf:
+        out_f.write(b"\n".join(buf) + b"\n")
+    return lines
+
+
+def intersect_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
+    """k-mers present in EVERY input; count = min across inputs
+    (kmc_tools `intersect` semantics).  Streaming, sorted inputs."""
+    sep_b = sep.encode()
+
+    def gen():
+        for kmer, counts in _grouped(paths, sep_b):
+            if all(c is not None for c in counts):
+                yield kmer, min(counts)
+
+    return _write_batched(out_f, gen(), sep_b)
+
+
+def subtract_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
+    """First input minus the (summed) others; rows dropped at <= 0
+    (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs."""
+    sep_b = sep.encode()
+
+    def gen():
+        for kmer, counts in _grouped(paths, sep_b):
+            if counts[0] is None:
+                continue
+            rest = sum(c for c in counts[1:] if c is not None)
+            d = counts[0] - rest
+            if d > 0:
+                yield kmer, d
+
+    return _write_batched(out_f, gen(), sep_b)
+
+
+def query_spectrum(path, kmers, sep: str = "\t") -> Dict[str, int]:
+    """Counts for specific k-mers (absent -> 0).  One streaming pass."""
+    sep_b = sep.encode()
+    want = {k.upper().encode(): 0 for k in kmers}
+    left = len(want)
+    for kmer, cnt in _sorted_lines(path, sep_b):
+        if kmer in want:
+            want[kmer] += cnt
+            left -= 1
+            if left == 0:
+                break
+    return {k.decode(): v for k, v in want.items()}
+
+
+def top_n(path, n: int, sep: str = "\t") -> List[Tuple[str, int]]:
+    """The n most frequent k-mers (count desc, kmer asc), one pass."""
+    import heapq as hq
+
+    sep_b = sep.encode()
+    # min-heap of (count, reversed-order kmer) keeps the current top n
+    heap: List[Tuple[int, bytes]] = []
+    for kmer, cnt in _sorted_lines(path, sep_b):
+        if len(heap) < n:
+            hq.heappush(heap, (cnt, _RevBytes(kmer)))
+        elif (cnt, _RevBytes(kmer)) > heap[0]:
+            hq.heapreplace(heap, (cnt, _RevBytes(kmer)))
+    out = sorted(heap, key=lambda t: (-t[0], t[1].b))
+    return [(rb.b.decode(), c) for c, rb in out]
+
+
+class _RevBytes:
+    """bytes with reversed ordering (so ties prefer lexicographically
+    SMALLER k-mers when evicting from the min-heap)."""
+
+    __slots__ = ("b",)
+
+    def __init__(self, b: bytes):
+        self.b = b
+
+    def __lt__(self, other):
+        return self.b > other.b
+
+    def __gt__(self, other):
+        return self.b < other.b
+
+    def __eq__(self, other):
+        return self.b == other.b

@@ -118,3 +118,29 @@ def test_streaming_merge_rejects_unsorted(tmp_path):
     p.write_text("GT\t1\nAC\t2\n")
     with pytest.raises(ValueError, match="not sorted"):
         spectra.merge_sorted_streaming([str(p)], io.BytesIO())
+
+
+def test_setops_query_topn(tmp_path):
+    """intersect/subtract (kmc_tools semantics), query, topn."""
+    import subprocess, sys, os
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    a.write_text("AA\t3\nAC\t1\nGT\t9\n")
+    b.write_text("AA\t1\nCC\t4\nGT\t2\n")
+    from findkmer_tpu import spectra
+    import io
+
+    out = io.BytesIO()
+    spectra.intersect_sorted_streaming([str(a), str(b)], out)
+    assert out.getvalue() == b"AA\t1\nGT\t2\n"
+    out = io.BytesIO()
+    spectra.subtract_sorted_streaming([str(a), str(b)], out)
+    assert out.getvalue() == b"AA\t2\nAC\t1\nGT\t7\n"
+    assert spectra.query_spectrum(str(a), ["gt", "TT"]) == {
+        "GT": 9, "TT": 0,
+    }
+    assert spectra.top_n(str(a), 2) == [("GT", 9), ("AA", 3)]
+    # tie on count prefers lexicographically smaller k-mer
+    c = tmp_path / "c.tsv"
+    c.write_text("AA\t5\nAC\t5\nAG\t5\n")
+    assert spectra.top_n(str(c), 2) == [("AA", 5), ("AC", 5)]
