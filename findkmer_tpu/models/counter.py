@@ -20,12 +20,19 @@ from the round-2 device probes (bench/RESULTS.md):
     360-520 Melem/s at any size while hand-built merge networks run at
     70), so any sorting before the final one is wasted work.
   * compaction (rare: raw buffer reaches sparse_compact_entries, or
-    checkpoint/finalize): one unstable sort of [store-live + raw] + an
-    RLE of pure scans (no gathers) -> sorted (code, count) store.  The
-    store stays 'hole-laden' (duplicates keep their code with count 0)
-    so it can re-enter the next sort unchanged; holes are squeezed out
-    with one extra sort only when they exceed the live size.
-  * finalize: the same chain once, then D2H + host-side hole strip.
+    checkpoint/finalize): one unstable ROW-WISE sort of [store-live +
+    raw] + an RLE of pure scans (no gathers) -> a (STORE_ROWS, cols)
+    store of independent sorted runs.  Rows are arbitrary partitions
+    of the code multiset; row sorts measure 1.5x the flat sort because
+    each bitonic stage shrinks with row length (bench/probe_compact).
+    The store stays 'hole-laden' (duplicates keep their code with
+    count 0) so it can re-enter the next sort unchanged; holes are
+    squeezed out with one extra sort only when they exceed the live
+    size.
+  * finalize: the same chain once, a squeeze to the live ladder (cuts
+    D2H bytes), then D2H + host-side strip and ONE parallel C heap
+    merge of the rows (io/native.merge_runs) fused into the output
+    tail.
 
 All shapes come from a {1, 1.5} x 2^i ladder so only a handful of
 programs ever compile (each new shape costs minutes through the axon
