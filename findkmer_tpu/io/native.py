@@ -249,7 +249,7 @@ def merge_runs(runs):
     G = len(runs)
     if G == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
-    assert G <= 64, "fk_merge_runs supports up to 64 runs"
+    assert G <= 256, "fk_merge_runs supports up to 256 runs"
     is64 = runs[0][1].dtype.itemsize == 8
     cdt = np.int64 if is64 else np.int32
     runs = [(c, n.astype(cdt, copy=False)) for c, n in runs]

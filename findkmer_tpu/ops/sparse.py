@@ -307,7 +307,7 @@ def merge_host_runs(runs):
                                                          copy=False)
     from findkmer_tpu.io import native
 
-    if native.available() and len(runs) <= 64:
+    if native.available() and len(runs) <= 256:
         return native.merge_runs(runs)
     codes = np.concatenate([c for c, _ in runs]).astype(np.uint64,
                                                         copy=False)

@@ -441,8 +441,8 @@ static size_t fk_lower_bound(const uint64_t *a, size_t n, uint64_t key) {
                      const CNT_T *const *counts, const size_t *starts,    \
                      const size_t *ends, int G, uint64_t *out_codes,      \
                      long long *out_counts) {                             \
-    fk_heap_ent heap[64];                                                 \
-    size_t pos[64];                                                       \
+    fk_heap_ent heap[256];                                                \
+    size_t pos[256];                                                      \
     size_t hn = 0;                                                        \
     for (int g = 0; g < G; ++g) {                                         \
       pos[g] = starts[g];                                                 \
@@ -485,7 +485,7 @@ FK_DEFINE_MERGE_SEG(fk_merge_seg64, long long)
 FK_DEFINE_MERGE_SEG(fk_merge_seg32, int32_t)
 
 #define FK_MERGE_MT_BODY(SEGFN)                                           \
-  if (G > 64) return (size_t)-1;                                          \
+  if (G > 256) return (size_t)-1;                                         \
   size_t total = 0;                                                       \
   int big = 0;                                                            \
   for (int g = 0; g < G; ++g) {                                           \
@@ -495,7 +495,7 @@ FK_DEFINE_MERGE_SEG(fk_merge_seg32, int32_t)
   int T = omp_get_max_threads() * 2;                                      \
   if (T > 64) T = 64;                                                     \
   if (T < 2 || total < (1u << 21)) {                                      \
-    size_t st[64] = {0};                                                  \
+    size_t st[256] = {0};                                                 \
     return SEGFN(codes, counts, st, lens, G, out_codes, out_counts);      \
   }                                                                       \
   uint64_t bounds[65];                                                    \
@@ -506,7 +506,7 @@ FK_DEFINE_MERGE_SEG(fk_merge_seg32, int32_t)
   size_t seg_off[64], seg_n[64];                                          \
   _Pragma("omp parallel for schedule(dynamic, 1)")                        \
   for (int j = 0; j < T; ++j) {                                           \
-    size_t st[64], en[64], off = 0;                                       \
+    size_t st[256], en[256], off = 0;                                     \
     for (int g = 0; g < G; ++g) {                                         \
       st[g] = fk_lower_bound(codes[g], lens[g], bounds[j]);               \
       en[g] = fk_lower_bound(codes[g], lens[g], bounds[j + 1]);           \
