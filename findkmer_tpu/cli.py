@@ -235,6 +235,10 @@ def cmd_merge(args) -> int:
             for line in spectra.spectrum_lines(counts, sep=args.sep,
                                                zeros_k=zk):
                 f.write(line.encode() + b"\n")
+        elif zk is None and spectra.merge_binary_fast(
+            args.input, f, sep=args.sep
+        ):
+            pass  # C fast path: parse + parallel heap merge + format
         else:
             # streaming k-way merge: O(MB) memory at chr scale (our
             # spectrum writers always emit sorted files)

@@ -92,6 +92,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
         ]
         lib.fk_format_spectrum.restype = ctypes.c_size_t
+        lib.fk_parse_spectrum.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_uint8, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.fk_parse_spectrum.restype = ctypes.c_size_t
         for name in ("fk_merge_runs64", "fk_merge_runs32",
                      "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
             fn = getattr(lib, name)
@@ -289,3 +295,28 @@ if __name__ == "__main__":
     if ok:
         test = np.frombuffer(b"ACGTNacgtX", dtype=np.uint8)
         print("encode:", encode(test))
+
+
+def parse_spectrum(buf, k: int, sep: bytes):
+    """Parse a sorted KMER<sep>COUNT buffer -> (codes u64, counts i64).
+
+    Returns None when the input is not a clean sorted uppercase
+    spectrum (callers fall back to the Python parser).  One OMP C pass
+    at memory bandwidth."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert len(sep) == 1
+    mv = memoryview(buf)
+    n_max = len(mv) // (k + 2) + 2
+    codes = np.empty(n_max, np.uint64)
+    counts = np.empty(n_max, np.int64)
+    src = np.frombuffer(mv, dtype=np.uint8)
+    m = lib.fk_parse_spectrum(
+        src.ctypes.data_as(ctypes.c_void_p), src.size, k, sep[0],
+        codes.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p), n_max,
+    )
+    m = int(m)
+    if m == (1 << 64) - 1 or m == -1:
+        return None
+    return codes[:m], counts[:m]

@@ -46,6 +46,62 @@ def merge_spectra(paths: Iterable[str], sep: str = "\t") -> Dict[str, int]:
     return total
 
 
+def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
+    """C fast path for `findkmer merge`: mmap + parse each sorted file
+    to binary (code, count) runs (fk_parse_spectrum), heap-merge the
+    runs in one parallel C pass, and format/write in chunks.  Returns
+    False (having written nothing) when inputs are exotic (unsorted,
+    lowercase, blank lines, mixed k) — callers then use the streaming
+    Python merge."""
+    import mmap
+    import numpy as np
+
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        return False
+    sep_b = sep.encode()
+    # infer k from the first data line of the first file
+    k = None
+    with open(paths[0], "rb") as f:
+        head = f.read(4096)
+    for line in head.split(b"\n"):
+        if line.strip():
+            k = len(line.rstrip(b"\r").rsplit(sep_b, 1)[0])
+            break
+    if not k or k < 1 or k > 31:
+        return False
+    runs = []
+    maps = []
+    try:
+        for p in paths:
+            with open(p, "rb") as f:
+                try:
+                    mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                except ValueError:  # empty file
+                    continue
+                maps.append(mm)
+                parsed = native.parse_spectrum(mm, k, sep_b)
+                if parsed is None:
+                    return False
+                if parsed[0].size:
+                    runs.append(parsed)
+        from findkmer_tpu.ops.sparse import merge_host_runs
+
+        codes, counts = merge_host_runs(runs)
+        chunk = 1 << 20
+        for s0 in range(0, codes.size, chunk):
+            e = min(s0 + chunk, codes.size)
+            out_f.write(
+                native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
+            )
+        return True
+    finally:
+        del runs
+        for mm in maps:
+            mm.close()
+
+
 def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
     """Yield (kmer, count) pairs from a sorted spectrum file.
 

