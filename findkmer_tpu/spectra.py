@@ -53,7 +53,8 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     False (having written nothing) when inputs are exotic (unsorted,
     lowercase, blank lines, mixed k) — callers then use the streaming
     Python merge."""
-    import mmap
+    import os
+
     import numpy as np
 
     from findkmer_tpu.io import native
@@ -72,34 +73,31 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     if not k or k < 1 or k > 31:
         return False
     runs = []
-    maps = []
-    try:
-        for p in paths:
-            with open(p, "rb") as f:
-                try:
-                    mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-                except ValueError:  # empty file
-                    continue
-                maps.append(mm)
-                parsed = native.parse_spectrum(mm, k, sep_b)
-                if parsed is None:
-                    return False
-                if parsed[0].size:
-                    runs.append(parsed)
-        from findkmer_tpu.ops.sparse import merge_host_runs
+    for p in paths:
+        # read() into a numpy (shm-allocator) buffer rather than mmap:
+        # file-backed mmap faults ride this VM's slow lazy path
+        # (bench/RESULTS.md "host page-fault pathology")
+        size = os.path.getsize(p)
+        if size == 0:
+            continue
+        buf = np.empty(size, np.uint8)
+        with open(p, "rb") as f:
+            got = f.readinto(memoryview(buf))
+        parsed = native.parse_spectrum(buf[:got], k, sep_b)
+        if parsed is None:
+            return False
+        if parsed[0].size:
+            runs.append(parsed)
+    from findkmer_tpu.ops.sparse import merge_host_runs
 
-        codes, counts = merge_host_runs(runs)
-        chunk = 1 << 20
-        for s0 in range(0, codes.size, chunk):
-            e = min(s0 + chunk, codes.size)
-            out_f.write(
-                native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
-            )
-        return True
-    finally:
-        del runs
-        for mm in maps:
-            mm.close()
+    codes, counts = merge_host_runs(runs)
+    chunk = 1 << 20
+    for s0 in range(0, codes.size, chunk):
+        e = min(s0 + chunk, codes.size)
+        out_f.write(
+            native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
+        )
+    return True
 
 
 def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:

@@ -41,8 +41,8 @@
 #define HDR 64
 #define MAGIC_SHM 0x53484d31u     /* "SHM1" */
 #define MAGIC_MAL 0x4d414c31u     /* "MAL1" */
-#define POOL_SLOTS 16
-#define POOL_MAX_BYTES (6ull << 30)  /* cap pooled mappings at 6 GiB */
+#define POOL_SLOTS 32
+#define POOL_MAX_BYTES (20ull << 30) /* cap pooled mappings at 20 GiB */
 
 typedef struct {
     uint32_t magic;
