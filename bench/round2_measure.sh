@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-2 TPU measurement sweep — run when the tunnel is healthy.
+# Appends to bench/round2_measurements.log.  Each stage is independent;
+# rerun the whole script freely (compiles are cached).
+set -u
+cd /root/repo
+LOG=bench/round2_measurements.log
+echo "=== sweep $(date -u +%FT%TZ) ===" >> $LOG
+
+# 0. tunnel health gate
+timeout 90 python - <<'EOF' >> $LOG 2>&1 || { echo "tunnel unhealthy, abort" >> $LOG; exit 1; }
+import time, jax, numpy as np
+x = jax.device_put(np.ones((1, 1<<20), np.uint32)); x.block_until_ready()
+t0=time.perf_counter(); h=np.asarray(x); dt=time.perf_counter()-t0
+print(f"health D2H 4MB: {dt:.2f}s")
+assert dt < 1.0, "degraded"
+EOF
+
+# 1. G-sweep of the row-wise compaction sort
+timeout 1200 python - <<'EOF' >> $LOG 2>&1
+import time
+from functools import partial
+from bench.steps import setup_jax, _sync
+jax = setup_jax()
+import jax.numpy as jnp, numpy as np
+from findkmer_tpu.ops import sparse as sp
+N = 50331648
+rng = np.random.default_rng(0)
+hi = jax.device_put(jnp.asarray(rng.integers(0, 1<<10, N, dtype=np.uint32)))
+lo = jax.device_put(jnp.asarray(rng.integers(0, 1<<32, N, dtype=np.uint32)))
+for G in (64, 128, 256):
+    f = jax.jit(partial(sp.compact_raw_2d, cdtype=jnp.int32))
+    hig, log = hi.reshape(G, -1), lo.reshape(G, -1)
+    out = f(hig, log); _sync(out[3])
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = f(hig, log)
+    _sync(out[3])
+    dt = (time.perf_counter()-t0)/2
+    print(f"compact_raw_2d G={G}: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Melem/s", flush=True)
+EOF
+
+# 2. driver bench (k8 dense, k21 + k15 sparse)
+timeout 1800 python bench.py >> $LOG 2>&1
+
+# 3. chr-scale end-to-end with phase breakdown
+( time timeout 1800 python -m findkmer_tpu.cli count -i /tmp/chr_sim.fa -k 21 \
+    -o /tmp/chr21_sweep.txt --stats json ) >> $LOG 2>&1
+
+# 4. TPU smoke subset (oracle-exact on the real chip)
+FINDKMER_TESTS_ON_TPU=1 timeout 1800 python -m pytest \
+    tests/test_vs_oracle.py -q -x -k "dense_canonical or sparse_canonical or fixture or ecoli" \
+    >> $LOG 2>&1
+
+echo "=== sweep done $(date -u +%FT%TZ) ===" >> $LOG
+tail -40 $LOG
