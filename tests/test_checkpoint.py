@@ -113,3 +113,38 @@ def test_resume_stats_match_fresh_run(tmp_path, fixtures_dir):
     assert resumed.as_dict() == fresh.as_dict()
     import numpy as np
     np.testing.assert_array_equal(spec_fresh, spec_resumed)
+
+
+def test_restore_from_legacy_flat_table(rng):
+    """restore_state accepts round-1 style FLAT sorted SparseTable
+    arrays (pre-row-store checkpoints) and keeps counts exact."""
+    import jax.numpy as jnp
+
+    import io
+
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu import table as table_mod
+
+    seq = random_dna(rng, 2000, n_prob=0.02)
+    cfg = Config(k=21, chunk_len=128, batch_rows=2, sparse_capacity=8192)
+    counter = KmerCounter(cfg)
+
+    # build the reference spectrum through the normal path
+    state = counter.init_state()
+    reader = FastaReader(io.BytesIO((">r\n" + seq + "\n").encode()))
+    for rows in pipeline.batches_from_codes(pipeline.code_stream(reader), cfg):
+        state = counter.step(state, rows)
+    want_codes, want_counts = counter.finalize(state)
+
+    # fake a legacy flat checkpoint: 1-D sorted (hi, lo, cnt)
+    hi = jnp.asarray((want_codes >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((want_codes & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    cnt = jnp.asarray(want_counts.astype(np.int32))
+    table = table_mod.SparseTable(
+        hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool), k=cfg.k
+    )
+    state = counter.restore_state(table)
+    codes, counts = counter.finalize(state)
+    np.testing.assert_array_equal(codes, want_codes)
+    np.testing.assert_array_equal(counts, want_counts)
