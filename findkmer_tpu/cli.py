@@ -257,9 +257,24 @@ def cmd_setop(args) -> int:
     f, close = _open_out(args.output)
     try:
         if args.cmd == "intersect":
-            spectra.intersect_sorted_streaming(args.input, f, sep=args.sep)
+            spectra.intersect_sorted_streaming(args.input, f, sep=args.sep,
+                                               canonical=args.canonical)
         else:
-            spectra.subtract_sorted_streaming(args.input, f, sep=args.sep)
+            spectra.subtract_sorted_streaming(args.input, f, sep=args.sep,
+                                              canonical=args.canonical)
+    finally:
+        if close:
+            f.close()
+    return 0
+
+
+def cmd_canonize(args) -> int:
+    """Fold a plain spectrum to canonical (revcomp-min) form."""
+    from findkmer_tpu import spectra
+
+    f, close = _open_out(args.output)
+    try:
+        spectra.canonize_spectrum_file(args.input, f, sep=args.sep)
     finally:
         if close:
             f.close()
@@ -270,7 +285,8 @@ def cmd_query(args) -> int:
     from findkmer_tpu import spectra
 
     counts = spectra.query_spectrum(args.spectrum, args.kmers,
-                                    sep=args.sep)
+                                    sep=args.sep,
+                                    canonical=args.canonical)
     for kmer in args.kmers:
         print(f"{kmer.upper()}{args.sep}{counts[kmer.upper()]}")
     return 0
@@ -393,12 +409,27 @@ def build_parser() -> argparse.ArgumentParser:
                         help="sorted spectrum files (KMER<sep>COUNT)")
         po.add_argument("-o", "--output", default="-")
         po.add_argument("--sep", default="\t")
+        po.add_argument("--canonical", action="store_true",
+                        help="fold every input to canonical (revcomp-min) "
+                             "form before the op; plain and canonical "
+                             "inputs may be mixed")
         po.set_defaults(fn=cmd_setop)
+
+    pz = sub.add_parser(
+        "canonize", help="fold a spectrum to canonical (revcomp-min) form"
+    )
+    pz.add_argument("input", help="spectrum file (KMER<sep>COUNT)")
+    pz.add_argument("-o", "--output", default="-")
+    pz.add_argument("--sep", default="\t")
+    pz.set_defaults(fn=cmd_canonize)
 
     pq = sub.add_parser("query", help="look up counts of specific k-mers")
     pq.add_argument("spectrum", help="sorted spectrum file")
     pq.add_argument("kmers", nargs="+", help="k-mers to look up")
     pq.add_argument("--sep", default="\t")
+    pq.add_argument("--canonical", action="store_true",
+                    help="spectrum is canonical: fold each queried k-mer "
+                         "to revcomp-min form for the lookup")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("topn", help="n most frequent k-mers")

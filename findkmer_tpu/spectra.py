@@ -46,13 +46,25 @@ def merge_spectra(paths: Iterable[str], sep: str = "\t") -> Dict[str, int]:
     return total
 
 
-def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
-    """C fast path for `findkmer merge`: mmap + parse each sorted file
-    to binary (code, count) runs (fk_parse_spectrum), heap-merge the
-    runs in one parallel C pass, and format/write in chunks.  Returns
-    False (having written nothing) when inputs are exotic (unsorted,
-    lowercase, blank lines, mixed k) — callers then use the streaming
-    Python merge."""
+def _infer_k(path, sep_b: bytes) -> int | None:
+    """k from the first data line of a spectrum file (None = no data)."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    for line in head.split(b"\n"):
+        if line.strip():
+            k = len(line.rstrip(b"\r").rsplit(sep_b, 1)[0])
+            return k if 1 <= k <= 31 else None
+    return None
+
+
+def _parse_binary(path, k: int, sep_b: bytes):
+    """One spectrum file -> (codes u64, counts i64) via the C parser.
+
+    Returns None when the native library is missing or the input is
+    exotic (unsorted, lowercase, blank lines) — callers fall back to the
+    Python dict path.  read() into a numpy (shm-allocator) buffer rather
+    than mmap: file-backed mmap faults ride this VM's slow lazy path
+    (bench/RESULTS.md "host page-fault pathology")."""
     import os
 
     import numpy as np
@@ -60,30 +72,111 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     from findkmer_tpu.io import native
 
     if not native.available():
+        return None
+    size = os.path.getsize(path)
+    if size == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    buf = np.empty(size, np.uint8)
+    with open(path, "rb") as f:
+        got = f.readinto(memoryview(buf))
+    return native.parse_spectrum(buf[:got], k, sep_b)
+
+
+def revcomp_codes_u64(codes, k: int):
+    """Vectorized reverse complement of uint64 2-bit k-mer codes.
+
+    Complement = bitwise NOT over the 2k code bits (A<->T, C<->G are
+    bit-complements in the A=0,C=1,G=2,T=3 encoding); reversal = reverse
+    the 2-bit fields of the 64-bit word, then shift the k live fields
+    back down.  Same function as ops.window.revcomp_code, but numpy-
+    vectorized for host-side spectrum work."""
+    import numpy as np
+
+    x = np.bitwise_not(np.asarray(codes, dtype=np.uint64))
+    m2 = np.uint64(0x3333333333333333)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = x.byteswap()
+    return x >> np.uint64(64 - 2 * k)
+
+
+def canonize_runs(codes, counts, k: int):
+    """Fold a (codes, counts) spectrum to canonical (revcomp-min) form.
+
+    Output is sorted by canonical code with counts of a k-mer and its
+    reverse complement summed — exactly the spectrum `count --canonical`
+    would have produced from the same input (oracle.canonical_str
+    semantics; tests/test_spectra.py proves the equivalence)."""
+    import numpy as np
+
+    codes = np.asarray(codes, dtype=np.uint64)
+    if codes.size == 0:
+        return codes, np.asarray(counts, dtype=np.int64)
+    canon = np.minimum(codes, revcomp_codes_u64(codes, k))
+    order = np.argsort(canon, kind="stable")
+    c = canon[order]
+    n = np.asarray(counts, dtype=np.int64)[order]
+    starts = np.empty(c.size, dtype=bool)
+    starts[0] = True
+    np.not_equal(c[1:], c[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    return c[idx], np.add.reduceat(n, idx)
+
+
+def canonize_spectrum_file(path, out_f, sep: str = "\t") -> int:
+    """Rewrite a spectrum file in canonical form (sorted).  Returns the
+    number of distinct canonical k-mers written.
+
+    Fast path: C parse -> vectorized fold -> C format.  Fallback (native
+    lib missing / exotic input): Python dict + oracle string fold."""
+    sep_b = sep.encode()
+    k = _infer_k(path, sep_b)
+    if k is None:
+        return 0
+    parsed = _parse_binary(path, k, sep_b)
+    if parsed is not None:
+        from findkmer_tpu.io import native
+
+        codes, counts = canonize_runs(parsed[0], parsed[1], k)
+        chunk = 1 << 20
+        for s0 in range(0, codes.size, chunk):
+            e = min(s0 + chunk, codes.size)
+            out_f.write(
+                native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
+            )
+        return int(codes.size)
+    from oracle.scalar import canonical_str
+
+    folded: Dict[str, int] = {}
+    for kmer, cnt in read_spectrum(path, sep).items():
+        ck = canonical_str(kmer.upper())
+        folded[ck] = folded.get(ck, 0) + cnt
+    return _write_batched(
+        out_f,
+        ((kmer.encode(), folded[kmer]) for kmer in sorted(folded)),
+        sep_b,
+    )
+
+
+def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
+    """C fast path for `findkmer merge`: mmap + parse each sorted file
+    to binary (code, count) runs (fk_parse_spectrum), heap-merge the
+    runs in one parallel C pass, and format/write in chunks.  Returns
+    False (having written nothing) when inputs are exotic (unsorted,
+    lowercase, blank lines, mixed k) — callers then use the streaming
+    Python merge."""
+    from findkmer_tpu.io import native
+
+    if not native.available():
         return False
     sep_b = sep.encode()
-    # infer k from the first data line of the first file
-    k = None
-    with open(paths[0], "rb") as f:
-        head = f.read(4096)
-    for line in head.split(b"\n"):
-        if line.strip():
-            k = len(line.rstrip(b"\r").rsplit(sep_b, 1)[0])
-            break
-    if not k or k < 1 or k > 31:
+    k = _infer_k(paths[0], sep_b)
+    if k is None:
         return False
     runs = []
     for p in paths:
-        # read() into a numpy (shm-allocator) buffer rather than mmap:
-        # file-backed mmap faults ride this VM's slow lazy path
-        # (bench/RESULTS.md "host page-fault pathology")
-        size = os.path.getsize(p)
-        if size == 0:
-            continue
-        buf = np.empty(size, np.uint8)
-        with open(p, "rb") as f:
-            got = f.readinto(memoryview(buf))
-        parsed = native.parse_spectrum(buf[:got], k, sep_b)
+        parsed = _parse_binary(p, k, sep_b)
         if parsed is None:
             return False
         if parsed[0].size:
@@ -260,9 +353,56 @@ def _write_batched(out_f, line_iter, sep_b: bytes) -> int:
     return lines
 
 
-def intersect_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
+class _CanonizedInputs:
+    """Context manager: canonize input spectra to temp files so the
+    streaming set ops (which need sorted keys) can run canonical-aware.
+
+    Folding k-mer -> min(kmer, revcomp) is not order-preserving, so
+    canonical set ops cannot stream the raw inputs directly; each input
+    is folded + re-sorted once (vectorized, via canonize_spectrum_file)
+    and the op streams the folded files.  Already-canonical inputs pass
+    through the fold unchanged, so mixing plain and canonical spectra
+    is safe under canonical=True."""
+
+    def __init__(self, paths, sep: str):
+        self.paths = list(paths)
+        self.sep = sep
+        self.tmp: List[str] = []
+
+    def __enter__(self) -> List[str]:
+        import tempfile
+
+        for p in self.paths:
+            f = tempfile.NamedTemporaryFile(
+                "wb", suffix=".canon.tsv", delete=False
+            )
+            try:
+                canonize_spectrum_file(p, f, sep=self.sep)
+            finally:
+                f.close()
+            self.tmp.append(f.name)
+        return self.tmp
+
+    def __exit__(self, *exc):
+        import os
+
+        for t in self.tmp:
+            try:
+                os.unlink(t)
+            except OSError:
+                pass
+        return False
+
+
+def intersect_sorted_streaming(
+    paths, out_f, sep: str = "\t", canonical: bool = False
+) -> int:
     """k-mers present in EVERY input; count = min across inputs
-    (kmc_tools `intersect` semantics).  Streaming, sorted inputs."""
+    (kmc_tools `intersect` semantics).  Streaming, sorted inputs.
+    canonical=True folds every input to revcomp-min form first."""
+    if canonical:
+        with _CanonizedInputs(paths, sep) as folded:
+            return intersect_sorted_streaming(folded, out_f, sep)
     sep_b = sep.encode()
 
     def gen():
@@ -273,9 +413,15 @@ def intersect_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
     return _write_batched(out_f, gen(), sep_b)
 
 
-def subtract_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
+def subtract_sorted_streaming(
+    paths, out_f, sep: str = "\t", canonical: bool = False
+) -> int:
     """First input minus the (summed) others; rows dropped at <= 0
-    (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs."""
+    (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs.
+    canonical=True folds every input to revcomp-min form first."""
+    if canonical:
+        with _CanonizedInputs(paths, sep) as folded:
+            return subtract_sorted_streaming(folded, out_f, sep)
     sep_b = sep.encode()
 
     def gen():
@@ -290,8 +436,20 @@ def subtract_sorted_streaming(paths, out_f, sep: str = "\t") -> int:
     return _write_batched(out_f, gen(), sep_b)
 
 
-def query_spectrum(path, kmers, sep: str = "\t") -> Dict[str, int]:
-    """Counts for specific k-mers (absent -> 0).  One streaming pass."""
+def query_spectrum(
+    path, kmers, sep: str = "\t", canonical: bool = False
+) -> Dict[str, int]:
+    """Counts for specific k-mers (absent -> 0).  One streaming pass.
+
+    canonical=True: the spectrum is canonical — each queried k-mer is
+    folded to its revcomp-min form for the lookup (results keyed by the
+    k-mer as queried)."""
+    if canonical:
+        from oracle.scalar import canonical_str
+
+        folded = {k.upper(): canonical_str(k.upper()) for k in kmers}
+        got = query_spectrum(path, sorted(set(folded.values())), sep)
+        return {k: got[ck] for k, ck in folded.items()}
     sep_b = sep.encode()
     want = {k.upper().encode(): 0 for k in kmers}
     left = len(want)

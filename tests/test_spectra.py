@@ -188,3 +188,108 @@ def test_merge_binary_fast_matches_streaming(tmp_path, rng):
     assert spectra.merge_binary_fast([str(p4)], out) in (True, False)
     if out.getvalue():
         assert out.getvalue() == b"AAAAAAAA\t1\nAAAAAAAC\t2\n"
+
+def test_revcomp_codes_u64_matches_scalar(rng):
+    import numpy as np
+    from findkmer_tpu.ops.window import revcomp_code
+    from findkmer_tpu.spectra import revcomp_codes_u64
+
+    for k in (1, 2, 4, 8, 15, 21, 31):
+        codes = rng.integers(0, 4**k, 64, dtype=np.uint64)
+        got = revcomp_codes_u64(codes, k)
+        want = np.array([revcomp_code(int(c), k) for c in codes],
+                        dtype=np.uint64)
+        assert np.array_equal(got, want), f"k={k}"
+
+
+def test_canonize_runs_matches_oracle(rng):
+    import numpy as np
+    from findkmer_tpu.ops.window import code_to_str, str_to_code
+    from findkmer_tpu.spectra import canonize_runs
+    from oracle.scalar import count_kmers_in_text
+
+    k = 5
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    plain = count_kmers_in_text(seq, k)
+    want = count_kmers_in_text(seq, k, canonical=True)
+    codes = np.array(sorted(str_to_code(s) for s in plain), dtype=np.uint64)
+    counts = np.array([plain[code_to_str(int(c), k)] for c in codes],
+                      dtype=np.int64)
+    fc, fn = canonize_runs(codes, counts, k)
+    got = {code_to_str(int(c), k): int(n) for c, n in zip(fc, fn)}
+    assert got == want
+    assert np.all(fc[1:] > fc[:-1])  # sorted, distinct
+
+
+def test_canonize_file_fast_and_fallback(tmp_path, rng):
+    """C fast path and the Python dict fallback agree; output is the
+    canonical spectrum."""
+    import io
+    from findkmer_tpu import spectra
+    from oracle.scalar import count_kmers_in_text, spectrum_lines
+
+    k = 4
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 800))
+    plain = count_kmers_in_text(seq, k)
+    p = tmp_path / "plain.tsv"
+    p.write_text("\n".join(spectrum_lines(plain, k)) + "\n")
+    want = "\n".join(
+        spectrum_lines(count_kmers_in_text(seq, k, canonical=True), k)
+    ) + "\n"
+
+    out = io.BytesIO()
+    spectra.canonize_spectrum_file(str(p), out)
+    assert out.getvalue().decode() == want
+
+    # lowercase k-mers make the C parser decline -> dict fallback
+    p2 = tmp_path / "lower.tsv"
+    p2.write_text(
+        "\n".join(line.lower() for line in
+                  spectrum_lines(plain, k)) + "\n"
+    )
+    out2 = io.BytesIO()
+    spectra.canonize_spectrum_file(str(p2), out2)
+    assert out2.getvalue().decode() == want
+
+
+def test_canonical_setops_and_query(tmp_path):
+    """--canonical set ops fold inputs (revcomp counts summed) before
+    the op; query folds the probe k-mer."""
+    import io
+    from findkmer_tpu import spectra
+
+    a = tmp_path / "a.tsv"  # TT folds into AA: canonical a = AA 5, AC 1
+    b = tmp_path / "b.tsv"  # canonical b = AA 1, GT(revcomp AC) -> AC 4
+    a.write_text("AA\t3\nAC\t1\nTT\t2\n")
+    b.write_text("AA\t1\nGT\t4\n")
+
+    out = io.BytesIO()
+    spectra.intersect_sorted_streaming([str(a), str(b)], out,
+                                       canonical=True)
+    assert out.getvalue() == b"AA\t1\nAC\t1\n"
+    out = io.BytesIO()
+    spectra.subtract_sorted_streaming([str(a), str(b)], out,
+                                      canonical=True)
+    assert out.getvalue() == b"AA\t4\n"
+    # plain ops unchanged by default
+    out = io.BytesIO()
+    spectra.intersect_sorted_streaming([str(a), str(b)], out)
+    assert out.getvalue() == b"AA\t1\n"
+    assert spectra.query_spectrum(str(a), ["TT"], canonical=False) == {
+        "TT": 2
+    }
+    c = tmp_path / "canon.tsv"
+    c.write_text("AA\t5\nAC\t1\n")
+    assert spectra.query_spectrum(str(c), ["TT", "gt"],
+                                  canonical=True) == {"TT": 5, "GT": 1}
+
+
+def test_canonize_cli_matches_count_canonical(tmp_path, fixtures_dir):
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    r1 = _cli(["count", "-i", t, "-k", "4", "-o", "plain.tsv"], tmp_path)
+    r2 = _cli(["count", "-i", t, "-k", "4", "--canonical",
+               "-o", "canon.tsv"], tmp_path)
+    assert r1.returncode == 0 and r2.returncode == 0, (r1.stderr, r2.stderr)
+    rz = _cli(["canonize", "plain.tsv"], tmp_path)
+    assert rz.returncode == 0, rz.stderr
+    assert rz.stdout == (tmp_path / "canon.tsv").read_text()
