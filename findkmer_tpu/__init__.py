@@ -23,11 +23,12 @@ from findkmer_tpu.config import Config
 
 def __getattr__(name):
     # lazy: importing findkmer_tpu must stay cheap (no jax import)
-    if name in ("count", "count_text", "Spectrum"):
+    if name in ("count", "count_text", "count_per_record", "Spectrum"):
         from findkmer_tpu import api
 
         return getattr(api, name)
     raise AttributeError(name)
 
 
-__all__ = ["Config", "count", "count_text", "Spectrum", "__version__"]
+__all__ = ["Config", "count", "count_text", "count_per_record",
+           "Spectrum", "__version__"]

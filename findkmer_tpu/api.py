@@ -144,6 +144,35 @@ def count(
     return Spectrum.from_engine(counter.finalize(state), cfg)
 
 
+def count_per_record(
+    inputs: Union[str, Sequence[str]],
+    k: int,
+    *,
+    canonical: bool = False,
+    config: Optional[Config] = None,
+    **config_overrides,
+):
+    """Yield (header, Spectrum) per FASTA record / FASTQ read.
+
+    The device program compiles once and is reused across records
+    (pipeline.per_record_spectra); memory is bounded by one record's
+    spectrum.  CLI equivalent: `findkmer count --per-record`."""
+    from findkmer_tpu.models.counter import make_counter
+    from findkmer_tpu import pipeline
+
+    if isinstance(inputs, (str, bytes)):
+        inputs = [inputs]
+    cfg = (config or Config(k=k, canonical=canonical)).replace(
+        k=k, canonical=canonical, **config_overrides
+    )
+    counter = make_counter(cfg)
+    for path in inputs:
+        for header, spectrum in pipeline.per_record_spectra(
+            path, cfg, counter=counter
+        ):
+            yield header, Spectrum.from_engine(spectrum, cfg)
+
+
 def count_text(text: str, k: int, **kw) -> Spectrum:
     """Count k-mers in in-memory FASTA text (convenience for small data)."""
     import io as iomod

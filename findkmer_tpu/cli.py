@@ -141,6 +141,74 @@ def _open_out(path):
     return open(path, "wb"), True
 
 
+def _per_input_name(path: str, seen: dict) -> str:
+    """Output filename for --per-input: input basename with sequence
+    extensions stripped, '.tsv' appended, de-collided with .2/.3/..."""
+    base = os.path.basename(path)
+    if base.endswith(".gz"):
+        base = base[:-3]
+    root, ext = os.path.splitext(base)
+    if ext.lower() in (".fa", ".fasta", ".fna", ".fq", ".fastq", ".txt"):
+        base = root
+    n = seen.get(base, 0) + 1
+    seen[base] = n
+    return f"{base}.tsv" if n == 1 else f"{base}.{n}.tsv"
+
+
+def _count_per_input(args, cfg) -> int:
+    """--per-input: one spectrum file per input, written into -o DIR."""
+    from findkmer_tpu import output as output_mod
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.models.counter import make_counter
+
+    if args.output == "-":
+        raise ValueError("--per-input writes one file per input: "
+                         "-o must name a directory, not stdout")
+    os.makedirs(args.output, exist_ok=True)
+    stats = pipeline.StreamStats()
+    counter = make_counter(cfg)  # one compiled program for all inputs
+    seen: dict = {}
+    for path in args.input:
+        state = counter.init_state()
+        for rows in pipeline.prefetch_to_device(
+            pipeline.batches_from_file(path, cfg, stats=stats),
+            cfg.prefetch, put=counter.put_batch,
+        ):
+            state = counter.step(state, rows)
+        spectrum = counter.finalize(state)
+        out = os.path.join(args.output, _per_input_name(path, seen))
+        with open(out, "wb") as f:
+            output_mod.write_spectrum(f, spectrum, cfg)
+    if args.stats == "json":
+        print(json.dumps(stats.as_dict()), file=sys.stderr)
+    return 0
+
+
+def _count_per_record(args, cfg) -> int:
+    """--per-record: sectioned output — '>header' line, then that
+    record's spectrum (one section per FASTA record / FASTQ read)."""
+    from findkmer_tpu import output as output_mod
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.models.counter import make_counter
+
+    stats = pipeline.StreamStats()
+    counter = make_counter(cfg)
+    f, close = _open_out(args.output)
+    try:
+        for path in args.input:
+            for header, spectrum in pipeline.per_record_spectra(
+                path, cfg, counter=counter, stats=stats
+            ):
+                f.write(b">" + header.encode("ascii", "replace") + b"\n")
+                output_mod.write_spectrum(f, spectrum, cfg)
+    finally:
+        if close:
+            f.close()
+    if args.stats == "json":
+        print(json.dumps(stats.as_dict()), file=sys.stderr)
+    return 0
+
+
 def cmd_count(args) -> int:
     _enable_compile_cache()
     from findkmer_tpu import output as output_mod
@@ -149,6 +217,13 @@ def cmd_count(args) -> int:
     if args.log:
         os.environ["FINDKMER_LOGLEVEL"] = args.log
     cfg = _cfg_from_args(args)
+    if getattr(args, "per_input", False) and getattr(args, "per_record",
+                                                     False):
+        raise ValueError("--per-input and --per-record are exclusive")
+    if getattr(args, "per_input", False):
+        return _count_per_input(args, cfg)
+    if getattr(args, "per_record", False):
+        return _count_per_record(args, cfg)
     stats = pipeline.StreamStats()
     from findkmer_tpu.utils.prof import PhaseTimers, device_trace
 
@@ -358,6 +433,12 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("count", help="count k-mers, emit spectrum")
     _add_common(pc)
     _add_thresholds(pc)
+    pc.add_argument("--per-input", action="store_true",
+                    help="one spectrum file per input (-o names a "
+                         "directory; files are <input-stem>.tsv)")
+    pc.add_argument("--per-record", action="store_true",
+                    help="one spectrum per FASTA record / FASTQ read, "
+                         "as '>header' sections in one output stream")
     pc.set_defaults(fn=cmd_count)
 
     ps = sub.add_parser("stream", help="streaming count with checkpointing")

@@ -264,6 +264,26 @@ def _numpy_pack_rows(work, B, L, R, R8):
 def batches_from_file(
     path, cfg: Config, *, stats: Optional[StreamStats] = None
 ) -> Iterator[np.ndarray]:
+    reader, fused = _open_reader(path, cfg)
+    try:
+        yield from _batches_from_reader(reader, fused, cfg, stats=stats)
+    finally:
+        reader.close()
+
+
+class _ChunkIterReader:
+    """Reader adapter over an in-hand chunk iterator (per-record slicing)."""
+
+    def __init__(self, chunks_iter):
+        self._it = chunks_iter
+
+    def chunks(self):
+        return self._it
+
+
+def _open_reader(path, cfg: Config):
+    """(reader, fused) for one input path — the shared front of
+    batches_from_file and per_record_spectra."""
     from findkmer_tpu.io import native as native_mod
     from findkmer_tpu.io.fastq import FastqReader, sniff_format
 
@@ -272,35 +292,79 @@ def batches_from_file(
         fmt = sniff_format(path)
     fused = cfg.use_native_encode and native_mod.available()
     if fmt == "fastq":
-        # per-read records; quality lines skipped by the reader (no
-        # whitespace left in chunk data)
-        with FastqReader(path) as reader:
-            if fused:
-                yield from _batches_fused(reader, cfg, stats=stats)
-            else:
-                yield from batches_from_codes(
-                    code_stream(
-                        reader, prefer_native=False, fused=False,
-                        stats=stats,
-                    ),
-                    cfg,
-                    stats=stats,
-                )
-        return
-    with FastaReader(path, strip_ws=not fused) as reader:
-        if fused:
-            yield from _batches_fused(reader, cfg, stats=stats)
-        else:
-            yield from batches_from_codes(
-                code_stream(
-                    reader,
-                    prefer_native=cfg.use_native_encode,
-                    fused=False,
-                    stats=stats,
-                ),
-                cfg,
-                stats=stats,
+        return FastqReader(path), fused
+    return FastaReader(path, strip_ws=not fused), fused
+
+
+def _batches_from_reader(reader, fused: bool, cfg: Config, *, stats=None):
+    if fused:
+        return _batches_fused(reader, cfg, stats=stats)
+    return batches_from_codes(
+        code_stream(
+            reader,
+            prefer_native=cfg.use_native_encode
+            and isinstance(reader, FastaReader),
+            fused=False,
+            stats=stats,
+        ),
+        cfg,
+        stats=stats,
+    )
+
+
+def per_record_spectra(
+    path,
+    cfg: Config,
+    *,
+    counter=None,
+    stats: Optional[StreamStats] = None,
+):
+    """Yield (header, finalized spectrum) per input record.
+
+    Each record runs the normal batch pipeline against a fresh counter
+    state — shapes are identical across records, so the device program
+    compiles once and is reused for every record.  Memory is bounded by
+    one record's in-flight batches (the spectrum itself for sparse
+    tables).  Works for FASTA and FASTQ (one spectrum per read)."""
+    from itertools import chain
+
+    from findkmer_tpu.models.counter import make_counter
+
+    if counter is None:
+        counter = make_counter(cfg)
+    reader, fused = _open_reader(path, cfg)
+    try:
+        it = reader.chunks()
+
+        def one_record(first):
+            yield first
+            if first.final:
+                return
+            for ch in it:
+                yield ch
+                if ch.final:
+                    return
+
+        while True:
+            first = next(it, None)
+            if first is None:
+                return
+            rec = one_record(first)
+            batches = _batches_from_reader(
+                _ChunkIterReader(rec), fused, cfg, stats=stats
             )
+            state = counter.init_state()
+            for rows in prefetch_to_device(
+                batches, cfg.prefetch, put=counter.put_batch
+            ):
+                state = counter.step(state, rows)
+            # drain rec in case the record was pure whitespace (no
+            # batches consumed it past the final marker)
+            for _ in rec:
+                pass
+            yield first.header, counter.finalize(state)
+    finally:
+        reader.close()
 
 
 def prefetch_to_device(

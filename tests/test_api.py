@@ -53,3 +53,25 @@ def test_canonical_api(fixtures_dir):
     spec = fk.count(path, 5, canonical=True, chunk_len=1024, batch_rows=4)
     want = count_fasta_file(path, 5, canonical=True)
     assert spec.to_dict() == want
+
+def test_count_per_record_api(fixtures_dir):
+    """count_per_record yields (header, Spectrum) per record; non-fused
+    encode path (use_native_encode=False) exercises batches_from_codes
+    per-record slicing."""
+    import os
+
+    import findkmer_tpu as fk
+    from oracle.scalar import count_kmers_in_text, parse_fasta_text
+
+    path = os.path.join(fixtures_dir, "multi.fa")
+    records = parse_fasta_text(open(path).read())
+    for fused in (True, False):
+        got = list(
+            fk.count_per_record(
+                path, 4, chunk_len=64, batch_rows=2,
+                use_native_encode=fused,
+            )
+        )
+        assert [h for h, _ in got] == [h for h, _ in records]
+        for (h, spec), (_, seq) in zip(got, records):
+            assert spec.to_dict() == count_kmers_in_text(seq, 4), h

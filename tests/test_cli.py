@@ -138,3 +138,91 @@ def test_count_thresholds(fixtures_dir, tmp_path, k):
         if 2 <= int(line.rsplit("\t", 1)[1]) <= 3
     ]
     assert out.splitlines() == want
+
+def test_per_record_sections_match_oracle(fixtures_dir, tmp_path):
+    """--per-record: one '>header' section per record, each spectrum
+    bit-exact vs the oracle on that record alone (multi.fa has N runs,
+    IUPAC codes, and empty records)."""
+    from oracle.scalar import count_kmers_in_text, parse_fasta_text
+
+    path = os.path.join(fixtures_dir, "multi.fa")
+    out = run_cli(
+        ["count", "-i", path, "-k", "4", "--per-record",
+         "--chunk-len", "64", "--batch-rows", "2"],
+        tmp_path,
+    )
+    records = parse_fasta_text(open(path).read())
+    want_lines = []
+    for header, seq in records:
+        want_lines.append(f">{header}")
+        want_lines.extend(
+            spectrum_lines(count_kmers_in_text(seq, 4), 4)
+        )
+    assert out.splitlines() == want_lines
+
+
+def test_per_record_sparse_and_fastq(fixtures_dir, tmp_path):
+    """--per-record with a sparse table, and per-read FASTQ sections."""
+    from oracle.scalar import count_kmers_in_text, parse_fasta_text
+
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    out = run_cli(
+        ["count", "-i", path, "-k", "4", "--per-record",
+         "--table-mode", "sparse", "--chunk-len", "64",
+         "--batch-rows", "2"],
+        tmp_path,
+    )
+    records = parse_fasta_text(open(path).read())
+    want = []
+    for header, seq in records:
+        want.append(f">{header}")
+        want.extend(spectrum_lines(count_kmers_in_text(seq, 4), 4))
+    assert out.splitlines() == want
+
+    fq = tmp_path / "r.fastq"
+    fq.write_text(
+        "@r1\nACGTACGTAC\n+\nIIIIIIIIII\n@r2\nGGGCCCNAAA\n+\nIIIIIIIIII\n"
+    )
+    out = run_cli(
+        ["count", "-i", str(fq), "-k", "3", "--per-record",
+         "--chunk-len", "64", "--batch-rows", "2"],
+        tmp_path,
+    )
+    want = []
+    for header, seq in (("r1", "ACGTACGTAC"), ("r2", "GGGCCCNAAA")):
+        want.append(f">{header}")
+        want.extend(spectrum_lines(count_kmers_in_text(seq, 3), 3))
+    assert out.splitlines() == want
+
+
+def test_per_input_directory(fixtures_dir, tmp_path):
+    """--per-input: one <stem>.tsv per input file in -o DIR."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    m = os.path.join(fixtures_dir, "multi.fa")
+    run_cli(
+        ["count", "-i", t, m, "-k", "4", "--per-input", "-o", "specs",
+         "--chunk-len", "64", "--batch-rows", "2"],
+        tmp_path,
+    )
+    for src, name in ((t, "tiny.tsv"), (m, "multi.tsv")):
+        got = (tmp_path / "specs" / name).read_text()
+        want = "\n".join(
+            spectrum_lines(count_fasta_file(src, 4), 4)
+        ) + "\n"
+        assert got == want, name
+
+
+def test_per_input_needs_dir(fixtures_dir, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli", "count", "-i",
+         os.path.join(fixtures_dir, "tiny.fa"), "-k", "4",
+         "--per-input"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert res.returncode == 1
+    assert "directory" in res.stderr
