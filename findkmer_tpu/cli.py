@@ -542,6 +542,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="synthetic bases to count (billions)")
     pb.add_argument("--hist", default="auto")
     pb.add_argument("--canonical", action="store_true")
+    pb.add_argument("--phases", action="store_true",
+                    help="end-to-end run on synthetic FASTA with a "
+                         "wall-clock phase breakdown (host batching / "
+                         "dispatch / finalize / write)")
     pb.set_defaults(fn=cmd_bench)
 
     return p

@@ -226,3 +226,16 @@ def test_per_input_needs_dir(fixtures_dir, tmp_path):
     )
     assert res.returncode == 1
     assert "directory" in res.stderr
+
+def test_bench_phases(tmp_path):
+    """bench --phases emits a JSON report with per-phase timings."""
+    import json as json_mod
+
+    out = run_cli(["bench", "-k", "4", "--gbases", "0.0001", "--phases"],
+                  tmp_path)
+    rep = json_mod.loads(out.splitlines()[-1])
+    assert rep["bases"] == 100000
+    assert {"dispatch", "finalize", "host_batches", "write"} <= set(
+        rep["phases"]
+    )
+    assert rep["bases_per_s"] > 0
