@@ -19,6 +19,7 @@ import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC_DIR = _REPO_ROOT / "src" / "native"
+_PKG_DIR = Path(__file__).resolve().parents[1] / "_native"
 _LIB_NAME = "libfindkmer_encode.so"
 
 _lib: Optional[ctypes.CDLL] = None
@@ -26,6 +27,11 @@ _load_attempted = False
 
 
 def _lib_path() -> Path:
+    # packaged (setup.py build_ext) location wins; src/native/ is the
+    # source-checkout fallback (Makefile or cc autobuild)
+    pkg = _PKG_DIR / _LIB_NAME
+    if pkg.exists():
+        return pkg
     return _SRC_DIR / _LIB_NAME
 
 

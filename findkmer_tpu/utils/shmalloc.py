@@ -66,14 +66,20 @@ def ensure_shared_alloc() -> bool:
         return False
     if not sys.platform.startswith("linux"):
         return False
-    if not _build():
-        return False
     try:
+        # installed (setup.py-built) extension, if present
+        import findkmer_shmalloc
+    except ImportError:
+        if not _build():
+            return False
         sp = str(_SRC_DIR)
         if sp not in sys.path:
             sys.path.insert(0, sp)
-        import findkmer_shmalloc
-
+        try:
+            import findkmer_shmalloc
+        except Exception:
+            return False
+    try:
         _installed = bool(findkmer_shmalloc.install())
     except Exception:
         _installed = False
