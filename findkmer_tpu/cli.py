@@ -230,10 +230,16 @@ def cmd_count(args) -> int:
     timers = PhaseTimers() if args.stats == "json" else None
 
     # multiple inputs: one combined spectrum (records concatenated)
-    from findkmer_tpu.models.counter import make_counter
+    from findkmer_tpu.models.counter import KmerCounter, make_counter
 
     counter = make_counter(cfg)
     state = counter.init_state()
+    # sparse single-device: stream the write per D2H chunk (the ordered
+    # finalize has every chunk's transfer in flight up front, so
+    # formatting/writing chunk i overlaps chunk i+1's pull)
+    stream_finalize = (
+        isinstance(counter, KmerCounter) and counter.mode != "direct"
+    )
     t0 = time.time()
     with device_trace(args.profile):
         for path in args.input:
@@ -246,27 +252,41 @@ def cmd_count(args) -> int:
                 else:
                     with timers.phase("dispatch"):
                         state = counter.step(state, rows)
-        if timers is None:
+        if stream_finalize:
+            f, close = _open_out(args.output)
+            try:
+                chunks = counter.finalize_chunks(state, timers=timers)
+                if timers is None:
+                    output_mod.write_spectrum_streaming(f, chunks, cfg)
+                else:
+                    with timers.phase("finalize+write"):
+                        output_mod.write_spectrum_streaming(
+                            f, chunks, cfg
+                        )
+            finally:
+                if close:
+                    f.close()
+            spectrum = None
+        elif timers is None:
             spectrum = counter.finalize(state)
         else:
-            from findkmer_tpu.models.counter import KmerCounter
-
             with timers.phase("finalize"):
                 if isinstance(counter, KmerCounter):
                     spectrum = counter.finalize(state, timers=timers)
                 else:
                     spectrum = counter.finalize(state)
 
-    f, close = _open_out(args.output)
-    try:
-        if timers is None:
-            output_mod.write_spectrum(f, spectrum, cfg)
-        else:
-            with timers.phase("write"):
+    if not stream_finalize:
+        f, close = _open_out(args.output)
+        try:
+            if timers is None:
                 output_mod.write_spectrum(f, spectrum, cfg)
-    finally:
-        if close:
-            f.close()
+            else:
+                with timers.phase("write"):
+                    output_mod.write_spectrum(f, spectrum, cfg)
+        finally:
+            if close:
+                f.close()
     wall = time.time() - t0
     if args.stats == "json":
         d = stats.as_dict()

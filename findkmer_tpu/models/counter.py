@@ -507,10 +507,18 @@ class KmerCounter:
         """Materialize the spectrum on host.
 
         direct -> np counts (4^k,); sparse -> (codes uint64, counts).
-        """
+
+        Sparse default is the ORDERED finalize: one global flat sort +
+        RLE + squeeze on device leaves a globally sorted distinct live
+        prefix, pulled in async chunks with counts wired as exceptions
+        (positions with count > 1; ~1% at chr scale) — no host heap
+        merge at all and ~33% (wide) / ~50% (narrow) fewer D2H bytes on
+        the tunnel.  FINDKMER_ORDERED_FINALIZE=0 restores the row-store
+        heap-merge path (also used by restore/dist code)."""
         if self.mode == "direct":
             return state.to_host()
         import contextlib
+        import os
 
         ph = timers.phase if timers is not None else (
             lambda name: contextlib.nullcontext()
@@ -521,16 +529,134 @@ class KmerCounter:
             # device chain (block_until_ready returns early on axon —
             # CLAUDE.md gotcha #3)
             d = np.asarray(state.distinct)
-            # squeeze holes out and slice to the live ladder before the
-            # pull: one extra device sort (~ms) cuts D2H bytes by the
-            # hole+padding fraction (25-40% at chr scale) — D2H rides a
-            # ~110 MB/s (at times far worse) tunnel here
-            store = state.store
-            Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
-            if state.store_len > Ldc:
-                store = _squeeze_slice_dev(store, Ldc)
         self._check_capacity(int(d.sum()))
-        return self._store_to_host(store, timers=timers)
+        if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
+            with ph("finalize/squeeze"):
+                # squeeze holes out and slice to the live ladder before
+                # the pull: one extra device sort (~ms) cuts D2H bytes
+                # by the hole+padding fraction (25-40% at chr scale)
+                store = state.store
+                Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
+                if state.store_len > Ldc:
+                    store = _squeeze_slice_dev(store, Ldc)
+            return self._store_to_host(store, timers=timers)
+        return self._finalize_ordered(state.store, timers=timers)
+
+    def _ordered_pull(self, store, ph):
+        """Shared front of the ordered finalize: global device sort,
+        scalar sync, live/exception slice, and the chunked async pull
+        plan.  Returns (spans, dev_chunks, exc_idx, exc_cnt, n_live) —
+        every chunk's D2H is already in flight when this returns."""
+        with ph("finalize/global_sort"):
+            if len(store) == 2:
+                lo, cnt, n_live, n_multi = (
+                    sparse_ops.global_compact_narrow(*store)
+                )
+                codes_dev = (lo,)
+            else:
+                hi, lo, cnt, n_live, n_multi = (
+                    sparse_ops.global_compact_wide(*store)
+                )
+                codes_dev = (hi, lo)
+            n_live = int(np.asarray(n_live))
+            n_multi = int(np.asarray(n_multi))
+        if n_live == 0:
+            return [], [], np.empty(0, np.int64), np.empty(0, np.int64), 0
+        total = int(codes_dev[0].shape[0])
+        N = min(sparse_ops.ladder(n_live, floor=4096), total)
+        E = min(sparse_ops.ladder(max(n_multi, 1), floor=256), total)
+        with ph("finalize/slice"):
+            codes_dev, exc_idx, exc_cnt = sparse_ops.slice_live_exc(
+                codes_dev, cnt, N, E
+            )
+        with ph("finalize/d2h_start"):
+            # chunked pull: issue every chunk's transfer up front so
+            # later chunks stream while earlier ones are widened /
+            # formatted on host
+            n_chunks = min(8, max(1, N // (1 << 22)))
+            step = -(-N // n_chunks)
+            spans = [(a, min(a + step, N)) for a in range(0, N, step)]
+            dev_chunks = [
+                tuple(c[a:b] for c in codes_dev) for a, b in spans
+            ]
+            for chs in dev_chunks:
+                for c in chs:
+                    try:
+                        c.copy_to_host_async()
+                    except Exception:
+                        pass
+            exc_idx_h = np.asarray(exc_idx)[:n_multi]
+            exc_cnt_h = np.asarray(exc_cnt)[:n_multi]
+        return spans, dev_chunks, exc_idx_h, exc_cnt_h, n_live
+
+    @staticmethod
+    def _widen_chunk(chs, m):
+        """Device chunk arrays -> first m entries as host uint64 codes."""
+        if len(chs) == 1:
+            return np.asarray(chs[0])[:m].astype(np.uint64)
+        hi_h = np.asarray(chs[0])[:m].astype(np.uint64)
+        return (hi_h << np.uint64(32)) | np.asarray(chs[1])[:m]
+
+    def _finalize_ordered(self, store, timers=None):
+        """Global-order finalize (see finalize docstring)."""
+        import contextlib
+
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
+        # host counts are int64 regardless of the device count dtype —
+        # same output contract as the legacy heap-merge path (device
+        # accumulation still happens in cfg.count_dtype; int64 mode is
+        # required for > 2^31 observations of one k-mer, as documented)
+        spans, dev_chunks, exc_idx, exc_cnt, n_live = self._ordered_pull(
+            store, ph
+        )
+        if n_live == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        with ph("finalize/d2h"):
+            codes = np.empty(n_live, np.uint64)
+            for (a, b), chs in zip(spans, dev_chunks):
+                if a >= n_live:
+                    break
+                e = min(b, n_live)
+                codes[a:e] = self._widen_chunk(chs, e - a)
+        with ph("finalize/counts"):
+            counts = np.ones(n_live, np.int64)
+            if exc_idx.size:
+                counts[exc_idx] = exc_cnt
+        return codes, counts
+
+    def finalize_chunks(self, state, timers=None):
+        """Streaming variant of the sparse finalize: yields host
+        (codes u64, counts i64) chunks in globally sorted distinct
+        order, each formatted/written by the caller while later chunks'
+        D2H transfers are still in flight.  Chunks concatenate to
+        exactly finalize(state)'s output."""
+        import contextlib
+
+        assert self.mode != "direct", "finalize_chunks is sparse-only"
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
+        with ph("finalize/compact"):
+            state = self.compact(state)
+            d = np.asarray(state.distinct)
+        self._check_capacity(int(d.sum()))
+        spans, dev_chunks, exc_idx, exc_cnt, n_live = self._ordered_pull(
+            state.store, ph
+        )
+        for (a, b), chs in zip(spans, dev_chunks):
+            if a >= n_live:
+                break
+            e = min(b, n_live)
+            with ph("finalize/d2h"):
+                codes = self._widen_chunk(chs, e - a)
+            counts = np.ones(e - a, np.int64)
+            lo_i = np.searchsorted(exc_idx, a)
+            hi_i = np.searchsorted(exc_idx, e)
+            if hi_i > lo_i:
+                counts[exc_idx[lo_i:hi_i] - a] = exc_cnt[lo_i:hi_i]
+            yield codes, counts
 
     # ------------------------------------------------------------------
     def table_state(self, state):

@@ -259,6 +259,69 @@ def squeeze_narrow_2d(lo, cnt):
     return lo, cnt
 
 
+# ----------------------------------------------------------------------
+# global-order finalize chain (round 2): the row store collapses to ONE
+# globally sorted distinct sequence on device, so the host needs no
+# G-way heap merge at all — concatenated chunks ARE the spectrum.  Counts
+# travel as exceptions (positions with count > 1; ~1% of entries at chr
+# scale where ~99% of distinct 21-mers are singletons), cutting D2H bytes
+# from 12 to ~8 B/entry (wide) / 8 to ~4 (narrow) on the slow tunnel.
+# ----------------------------------------------------------------------
+
+@jax.jit
+def global_compact_wide(hi, lo, cnt):
+    """Flat global sort + value-RLE + squeeze of a (hi, lo, cnt) store.
+
+    Input arrays may be any shape (row stores arrive (G, C)); holes
+    (cnt == 0) and padding are sentinel-keyed and sort to the end.
+    Returns flat (hi, lo, cnt) with a globally sorted, distinct live
+    prefix, plus n_live and n_multi (live entries with count > 1)."""
+    hi, lo, cnt = (a.reshape(-1) for a in (hi, lo, cnt))
+    live = cnt > 0
+    hi = jnp.where(live, hi, SENTINEL)
+    lo = jnp.where(live, lo, SENTINEL)
+    hi, lo, cnt = lax.sort((hi, lo, cnt), num_keys=2, is_stable=False)
+    cnt = rle_val(hi, lo, cnt)
+    live = cnt > 0
+    hi, lo, cnt = lax.sort(
+        (jnp.where(live, hi, SENTINEL), jnp.where(live, lo, SENTINEL),
+         cnt),
+        num_keys=2, is_stable=False,
+    )
+    return hi, lo, cnt, jnp.count_nonzero(cnt), jnp.sum(cnt > 1)
+
+
+@jax.jit
+def global_compact_narrow(lo, cnt):
+    """k <= 15 variant of global_compact_wide (single-uint32 codes)."""
+    lo, cnt = (a.reshape(-1) for a in (lo, cnt))
+    lo = jnp.where(cnt > 0, lo, SENTINEL)
+    lo, cnt = lax.sort((lo, cnt), num_keys=1, is_stable=False)
+    hi = jnp.zeros_like(lo)
+    cnt = rle_val(hi, lo, cnt)
+    lo, cnt = lax.sort(
+        (jnp.where(cnt > 0, lo, SENTINEL), cnt),
+        num_keys=1, is_stable=False,
+    )
+    return lo, cnt, jnp.count_nonzero(cnt), jnp.sum(cnt > 1)
+
+
+@partial(jax.jit, static_argnames=("N", "E"))
+def slice_live_exc(codes, cnt, N: int, E: int):
+    """Live prefix + count exceptions of a globally compacted store.
+
+    codes: tuple of flat code arrays ((lo,) or (hi, lo)) from
+    global_compact_*; N/E are laddered sizes (>= n_live / n_multi) so
+    only a few shapes compile.  Returns the sliced code arrays, the
+    positions whose count exceeds 1 (first n_multi entries are real;
+    the rest are fill), and those counts."""
+    out = tuple(c[:N] for c in codes)
+    cntN = cnt[:N]
+    (idx,) = jnp.nonzero(cntN > 1, size=E, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    return out, idx, jnp.take(cntN, idx)
+
+
 def ladder(n: int, floor: int = 1 << 20) -> int:
     """Smallest padded size >= n from the {1, 1.5} x 2^i ladder.
 

@@ -125,6 +125,32 @@ def spectrum_chunks(
             )
 
 
+def write_spectrum_streaming(f: IO[bytes], chunk_iter, cfg: Config) -> int:
+    """Write a sparse spectrum from an iterator of (codes, counts) host
+    chunks (globally sorted, e.g. KmerCounter.finalize_chunks).
+
+    Each chunk is formatted and written while later chunks' D2H
+    transfers are still in flight — the write tail overlaps the pull
+    instead of waiting for the whole spectrum.  Returns bytes written."""
+    if cfg.zeros:
+        raise ValueError(
+            "zeros output is only supported for direct (dense) tables"
+        )
+    sep = cfg.sep.encode()
+    n = 0
+    block = 1 << 20
+    for chunk in chunk_iter:
+        codes, counts = _apply_count_thresholds(chunk, cfg)
+        for s in range(0, codes.shape[0], block):
+            e = min(s + block, codes.shape[0])
+            b = _format_chunk(
+                codes[s:e], counts[s:e], cfg.k, sep, cfg.out_counts_only
+            )
+            f.write(b)
+            n += len(b)
+    return n
+
+
 def write_spectrum(f: IO[bytes], spectrum, cfg: Config) -> int:
     """Write the full spectrum; returns bytes written."""
     n = 0

@@ -249,3 +249,70 @@ def test_merge_host_runs_numpy_fallback_matches_native(rng):
     if native.available():
         nc, nn = native.merge_runs(runs)
         assert (nc == got_c).all() and (nn == got_n).all()
+
+def test_ordered_finalize_matches_legacy(monkeypatch, rng):
+    """The global-order finalize (default) and the legacy row-store
+    heap-merge path produce identical spectra — including all-singleton,
+    all-multi, and int64-count inputs."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.pipeline import batches_from_codes
+
+    def spectrum(env_val, seq_codes, k, count_dtype="int32"):
+        monkeypatch.setenv("FINDKMER_ORDERED_FINALIZE", env_val)
+        cfg = Config(k=k, table_mode="sparse", chunk_len=256,
+                     batch_rows=2, sparse_capacity=1 << 16,
+                     count_dtype=count_dtype)
+        c = KmerCounter(cfg)
+        st = c.init_state()
+        for b in batches_from_codes(iter([seq_codes]), cfg):
+            st = c.step(st, b)
+        return c.finalize(st)
+
+    cases = [
+        # random (mixed counts), k=21 (wide) and k=12 (narrow)
+        (rng.integers(0, 4, 5000).astype(np.uint8), 21, "int32"),
+        (rng.integers(0, 4, 5000).astype(np.uint8), 12, "int32"),
+        # all-singleton: a de-Bruijn-ish non-repeating stretch
+        (rng.permutation(np.arange(4, dtype=np.uint8).repeat(6))[:24],
+         21, "int32"),
+        # all-multi: AAAA... -> one k-mer, huge count
+        (np.zeros(4000, np.uint8), 21, "int32"),
+        (rng.integers(0, 4, 3000).astype(np.uint8), 17, "int64"),
+    ]
+    for seq, k, cdt in cases:
+        c1, n1 = spectrum("1", seq, k, cdt)
+        c0, n0 = spectrum("0", seq, k, cdt)
+        assert np.array_equal(c1, c0), (k, cdt)
+        assert np.array_equal(np.asarray(n1), np.asarray(n0)), (k, cdt)
+        assert n1.dtype == n0.dtype
+
+def test_finalize_chunks_equals_finalize(rng):
+    """finalize_chunks concatenates to exactly finalize()'s output."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.pipeline import batches_from_codes
+
+    seq = rng.integers(0, 4, 20000).astype(np.uint8)
+    for k in (12, 21):
+        cfg = Config(k=k, table_mode="sparse", chunk_len=512,
+                     batch_rows=2, sparse_capacity=1 << 16)
+        c = KmerCounter(cfg)
+        st = c.init_state()
+        for b in batches_from_codes(iter([seq]), cfg):
+            st = c.step(st, b)
+        # two independent states (finalize mutates device buffers)
+        c2 = KmerCounter(cfg)
+        st2 = c2.init_state()
+        for b in batches_from_codes(iter([seq]), cfg):
+            st2 = c2.step(st2, b)
+        codes, counts = c.finalize(st)
+        parts = list(c2.finalize_chunks(st2))
+        got_codes = np.concatenate([p[0] for p in parts])
+        got_counts = np.concatenate([p[1] for p in parts])
+        assert np.array_equal(got_codes, codes), k
+        assert np.array_equal(got_counts, counts), k
