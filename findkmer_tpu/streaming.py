@@ -44,6 +44,36 @@ def stream_count(
 
     Returns the finalized (possibly partial) spectrum.
     """
+    counter, state = _stream_state(
+        paths, cfg, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, stats=stats,
+        num_processes=num_processes, process_id=process_id,
+    )
+    spectrum = counter.finalize(state)
+    # with a live jax.distributed group the run ends in ONE collective
+    # merge of the per-host partials (no TSV tail); every host returns
+    # the full spectrum
+    from findkmer_tpu.parallel import multihost
+
+    if num_processes > 1 and multihost.group_active():
+        log.info("collective merge of %d per-host partials", num_processes)
+        spectrum = multihost.allgather_spectrum(spectrum)
+    return spectrum
+
+
+def _stream_state(
+    paths,
+    cfg: Config,
+    *,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 64,
+    stats: Optional[pipeline.StreamStats] = None,
+    num_processes: int = 1,
+    process_id: int = 0,
+):
+    """The streaming loop up to (but not including) finalize: returns
+    (counter, state) so callers choose between finalize() and the
+    streamed finalize_chunks() write path."""
     from findkmer_tpu.models.counter import make_counter
 
     counter = make_counter(cfg)
@@ -107,16 +137,7 @@ def stream_count(
             state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
     if checkpoint_dir is not None and batch_index > start_batch:
         state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
-    spectrum = counter.finalize(state)
-    # with a live jax.distributed group the run ends in ONE collective
-    # merge of the per-host partials (no TSV tail); every host returns
-    # the full spectrum
-    from findkmer_tpu.parallel import multihost
-
-    if num_processes > 1 and multihost.group_active():
-        log.info("collective merge of %d per-host partials", num_processes)
-        spectrum = multihost.allgather_spectrum(spectrum)
-    return spectrum
+    return counter, state
 
 
 def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
@@ -151,7 +172,9 @@ def run_stream(args) -> int:
         args.coordinator, args.num_processes, args.process_id
     )
     t0 = time.time()
-    spectrum = stream_count(
+    from findkmer_tpu.parallel import multihost
+
+    counter, state = _stream_state(
         args.input,
         cfg,
         checkpoint_dir=args.checkpoint,
@@ -160,10 +183,34 @@ def run_stream(args) -> int:
         num_processes=num_processes,
         process_id=process_id,
     )
+    collective = num_processes > 1 and multihost.group_active()
+    if (
+        not collective
+        and isinstance(counter, KmerCounter)
+        and counter.mode != "direct"
+    ):
+        # sparse single-engine: stream the write per D2H chunk (the
+        # ordered finalize; see models/counter.finalize_chunks)
+        f, close = _open_out(args.output)
+        try:
+            output_mod.write_spectrum_streaming(
+                f, counter.finalize_chunks(state), cfg
+            )
+        finally:
+            if close:
+                f.close()
+        wall = time.time() - t0
+        if args.stats == "json":
+            d = stats.as_dict()
+            d["wall_s"] = wall
+            print(json.dumps(d), file=sys.stderr)
+        return 0
+    spectrum = counter.finalize(state)
+    if collective:
+        log.info("collective merge of %d per-host partials", num_processes)
+        spectrum = multihost.allgather_spectrum(spectrum)
     wall = time.time() - t0
-    from findkmer_tpu.parallel import multihost
-
-    if num_processes > 1 and multihost.group_active() and process_id != 0:
+    if collective and process_id != 0:
         # collective merge already ran; only host 0 emits the (full)
         # spectrum so the output file is written exactly once
         log.info("process %d: spectrum emitted by process 0", process_id)
