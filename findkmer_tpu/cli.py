@@ -410,18 +410,31 @@ def cmd_diff(args) -> int:
 
 def cmd_histo(args) -> int:
     """Count-of-counts histogram (KMC `histogram`-style output)."""
-    _enable_compile_cache()
-    from findkmer_tpu import api
+    if args.from_spectrum:
+        # histogram an existing spectrum file — no recount, no device
+        from findkmer_tpu import spectra
 
-    cfg = _cfg_from_args(args)
-    spec = api.count(args.input, cfg.k, canonical=cfg.canonical,
-                     config=cfg)
-    h = spec.histo(max_count=args.max_count)
+        h = None
+        for path in args.input:
+            hi = spectra.histo_spectrum_file(
+                path, max_count=args.max_count, sep=args.sep
+            )
+            h = hi if h is None else h + hi
+        sep = args.sep
+    else:
+        _enable_compile_cache()
+        from findkmer_tpu import api
+
+        cfg = _cfg_from_args(args)
+        spec = api.count(args.input, cfg.k, canonical=cfg.canonical,
+                         config=cfg)
+        h = spec.histo(max_count=args.max_count)
+        sep = cfg.sep
     f, close = _open_out(args.output)
     try:
         for m in range(1, h.size):
             if h[m] or not args.nonzero_only:
-                f.write(f"{m}{cfg.sep}{int(h[m])}\n".encode())
+                f.write(f"{m}{sep}{int(h[m])}\n".encode())
     finally:
         if close:
             f.close()
@@ -546,6 +559,9 @@ def build_parser() -> argparse.ArgumentParser:
     ph.add_argument("--max-count", type=int, default=10000,
                     help="clip multiplicities above this into one bin")
     ph.add_argument("--nonzero-only", action="store_true")
+    ph.add_argument("--from-spectrum", action="store_true",
+                    help="inputs are spectrum TSV files (no recount; "
+                         "-k is ignored)")
     ph.set_defaults(fn=cmd_histo)
 
     pd = sub.add_parser(

@@ -302,6 +302,36 @@ def spectrum_lines(
             yield f"{kmer}{sep}{counts[kmer]}"
 
 
+def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
+    """Count-of-counts histogram of a spectrum FILE (no recount): h[m] =
+    distinct k-mers with count m, m clipped to max_count (KMC
+    `histogram` semantics).  C binary parse fast path; Python line loop
+    for exotic inputs."""
+    import numpy as np
+
+    sep_b = sep.encode()
+    k = _infer_k(path, sep_b)
+    if k is None:
+        return np.zeros(max_count + 1, np.int64)
+    parsed = _parse_binary(path, k, sep_b)
+    if parsed is not None:
+        counts = np.minimum(parsed[1], max_count)
+        counts = counts[counts > 0]
+        return np.bincount(counts, minlength=max_count + 1).astype(
+            np.int64
+        )
+    h = np.zeros(max_count + 1, np.int64)
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.rstrip(b"\r\n")
+            if not line:
+                continue
+            cnt = int(line.rsplit(sep_b, 1)[1])
+            if cnt > 0:
+                h[min(cnt, max_count)] += 1
+    return h
+
+
 def diff_spectra(a: Dict[str, int], b: Dict[str, int]) -> List[str]:
     """Human-readable differences between two spectra (empty == equal)."""
     out = []

@@ -293,3 +293,23 @@ def test_canonize_cli_matches_count_canonical(tmp_path, fixtures_dir):
     rz = _cli(["canonize", "plain.tsv"], tmp_path)
     assert rz.returncode == 0, rz.stderr
     assert rz.stdout == (tmp_path / "canon.tsv").read_text()
+
+def test_histo_from_spectrum(tmp_path, fixtures_dir):
+    """histo --from-spectrum == histo recounted from the FASTA."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    r1 = _cli(["count", "-i", t, "-k", "4", "-o", "s.tsv"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    ha = _cli(["histo", "-i", t, "-k", "4"], tmp_path)
+    hb = _cli(["histo", "-i", "s.tsv", "-k", "4", "--from-spectrum"],
+              tmp_path)
+    assert ha.returncode == 0 and hb.returncode == 0, (ha.stderr, hb.stderr)
+    assert ha.stdout == hb.stdout and ha.stdout
+    # lowercase input exercises the Python fallback parser
+    low = tmp_path / "low.tsv"
+    low.write_text(
+        "".join(line.lower() + "\n"
+                for line in (tmp_path / "s.tsv").read_text().splitlines())
+    )
+    hc = _cli(["histo", "-i", "low.tsv", "--from-spectrum", "-k", "4"],
+              tmp_path)
+    assert hc.stdout == ha.stdout
