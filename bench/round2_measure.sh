@@ -40,6 +40,16 @@ for G in (64, 128, 256):
     print(f"compact_raw_2d G={G}: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Melem/s", flush=True)
 EOF
 
+# 1b. sparse ingest geometry sweep (launch-overhead amortization)
+timeout 1800 python - <<'EOF' >> $LOG 2>&1
+from bench.steps import setup_jax, bench_sparse_step
+jax = setup_jax()
+for br, cl in ((32, 16384), (64, 16384), (128, 16384), (32, 65536),
+               (64, 65536)):
+    bps, dt = bench_sparse_step(jax, k=21, batch_rows=br, chunk_len=cl)
+    print(f"sparse k=21 B={br} L={cl}: {bps/1e6:.0f} Mbase/s", flush=True)
+EOF
+
 # 2. driver bench (k8 dense, k21 + k15 sparse)
 timeout 1800 python bench.py >> $LOG 2>&1
 
