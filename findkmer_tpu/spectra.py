@@ -134,7 +134,8 @@ def canonize_spectrum_file(path, out_f, sep: str = "\t") -> int:
     k = _infer_k(path, sep_b)
     if k is None:
         return 0
-    parsed = _parse_binary(path, k, sep_b)
+    # the C parse/format paths support 1-byte separators only
+    parsed = _parse_binary(path, k, sep_b) if len(sep_b) == 1 else None
     if parsed is not None:
         from findkmer_tpu.io import native
 
@@ -168,9 +169,9 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     Python merge."""
     from findkmer_tpu.io import native
 
-    if not native.available():
-        return False
     sep_b = sep.encode()
+    if not native.available() or len(sep_b) != 1:
+        return False
     k = _infer_k(paths[0], sep_b)
     if k is None:
         return False
@@ -313,7 +314,7 @@ def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
     k = _infer_k(path, sep_b)
     if k is None:
         return np.zeros(max_count + 1, np.int64)
-    parsed = _parse_binary(path, k, sep_b)
+    parsed = _parse_binary(path, k, sep_b) if len(sep_b) == 1 else None
     if parsed is not None:
         counts = np.minimum(parsed[1], max_count)
         counts = counts[counts > 0]

@@ -313,3 +313,22 @@ def test_histo_from_spectrum(tmp_path, fixtures_dir):
     hc = _cli(["histo", "-i", "low.tsv", "--from-spectrum", "-k", "4"],
               tmp_path)
     assert hc.stdout == ha.stdout
+
+def test_multichar_sep_falls_back(tmp_path):
+    """A multi-byte --sep must not trip the 1-byte C-path asserts —
+    merge/canonize/histo fall back to the Python parsers."""
+    import io
+    from findkmer_tpu import spectra
+
+    a = tmp_path / "a.tsv"
+    a.write_text("AA :: 3\nAC :: 1\nTT :: 2\n")
+    out = io.BytesIO()
+    assert not spectra.merge_binary_fast([str(a)], out, sep=" :: ")
+    out = io.BytesIO()
+    spectra.merge_sorted_streaming([str(a)], out, sep=" :: ")
+    assert out.getvalue() == b"AA :: 3\nAC :: 1\nTT :: 2\n"
+    out = io.BytesIO()
+    spectra.canonize_spectrum_file(str(a), out, sep=" :: ")
+    assert out.getvalue() == b"AA :: 5\nAC :: 1\n"
+    h = spectra.histo_spectrum_file(str(a), max_count=10, sep=" :: ")
+    assert h[1] == 1 and h[2] == 1 and h[3] == 1
