@@ -141,6 +141,38 @@ def _open_out(path):
     return open(path, "wb"), True
 
 
+def _use_streamed_finalize(counter) -> bool:
+    """Sparse single-engine CLI runs stream the write per D2H chunk
+    (counter.finalize_chunks, ordered finalize).  The documented
+    FINDKMER_ORDERED_FINALIZE=0 escape hatch must disable this too, so
+    the legacy heap-merge finalize is reachable from the CLI."""
+    from findkmer_tpu.models.counter import KmerCounter
+
+    return (
+        isinstance(counter, KmerCounter)
+        and counter.mode != "direct"
+        and os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") == "1"
+    )
+
+
+def emit_streamed_spectrum(counter, state, cfg, output, timers=None):
+    """Open `output` and write counter.finalize_chunks(state) to it —
+    the shared streamed-finalize tail of `count` and `stream`."""
+    from findkmer_tpu import output as output_mod
+
+    f, close = _open_out(output)
+    try:
+        chunks = counter.finalize_chunks(state, timers=timers)
+        if timers is None:
+            output_mod.write_spectrum_streaming(f, chunks, cfg)
+        else:
+            with timers.phase("finalize+write"):
+                output_mod.write_spectrum_streaming(f, chunks, cfg)
+    finally:
+        if close:
+            f.close()
+
+
 def _per_input_name(path: str, seen: dict) -> str:
     """Output filename for --per-input: input basename with sequence
     extensions stripped, '.tsv' appended, de-collided with .2/.3/..."""
@@ -161,9 +193,11 @@ def _count_per_input(args, cfg) -> int:
     from findkmer_tpu import pipeline
     from findkmer_tpu.models.counter import make_counter
 
-    if args.output == "-":
+    if args.output == "-" or (
+        os.path.exists(args.output) and not os.path.isdir(args.output)
+    ):
         raise ValueError("--per-input writes one file per input: "
-                         "-o must name a directory, not stdout")
+                         "-o must name a directory")
     os.makedirs(args.output, exist_ok=True)
     stats = pipeline.StreamStats()
     counter = make_counter(cfg)  # one compiled program for all inputs
@@ -237,9 +271,7 @@ def cmd_count(args) -> int:
     # sparse single-device: stream the write per D2H chunk (the ordered
     # finalize has every chunk's transfer in flight up front, so
     # formatting/writing chunk i overlaps chunk i+1's pull)
-    stream_finalize = (
-        isinstance(counter, KmerCounter) and counter.mode != "direct"
-    )
+    stream_finalize = _use_streamed_finalize(counter)
     t0 = time.time()
     with device_trace(args.profile):
         for path in args.input:
@@ -253,19 +285,8 @@ def cmd_count(args) -> int:
                     with timers.phase("dispatch"):
                         state = counter.step(state, rows)
         if stream_finalize:
-            f, close = _open_out(args.output)
-            try:
-                chunks = counter.finalize_chunks(state, timers=timers)
-                if timers is None:
-                    output_mod.write_spectrum_streaming(f, chunks, cfg)
-                else:
-                    with timers.phase("finalize+write"):
-                        output_mod.write_spectrum_streaming(
-                            f, chunks, cfg
-                        )
-            finally:
-                if close:
-                    f.close()
+            emit_streamed_spectrum(counter, state, cfg, args.output,
+                                   timers=timers)
             spectrum = None
         elif timers is None:
             spectrum = counter.finalize(state)
@@ -441,6 +462,33 @@ def cmd_histo(args) -> int:
     return 0
 
 
+def cmd_filter(args) -> int:
+    """Keep/drop reads by spectrum membership (kmc_tools filter class)."""
+    from findkmer_tpu.filter import FilterSpec, filter_file
+
+    spec = FilterSpec.load(
+        args.spectrum, sep=args.sep, canonical=args.canonical,
+        min_count=args.min_count, max_count=args.max_count,
+    )
+    f, close = _open_out(args.output)
+    kept = seen = 0
+    try:
+        for path in args.input:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"input file not found: {path}")
+            k1, s1 = filter_file(
+                path, f, spec, fmt=args.format, min_hits=args.min_hits,
+                min_frac=args.min_frac, invert=args.invert,
+            )
+            kept += k1
+            seen += s1
+    finally:
+        if close:
+            f.close()
+    print(f"kept {kept}/{seen} reads (k={spec.k})", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     _enable_compile_cache()
     from bench import quick as bench_quick  # repo-root bench package
@@ -571,6 +619,36 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--sep", default="\t")
     pd.add_argument("--limit", type=int, default=50)
     pd.set_defaults(fn=cmd_diff)
+
+    pf = sub.add_parser(
+        "filter",
+        help="keep/drop reads by spectrum membership (kmc_tools filter)",
+    )
+    pf.add_argument("-i", "--input", required=True, nargs="+",
+                    help="FASTA/FASTQ file(s), optionally gzipped")
+    pf.add_argument("--spectrum", required=True,
+                    help="spectrum TSV the reads are matched against "
+                         "(k is inferred from it)")
+    pf.add_argument("-o", "--output", default="-",
+                    help="passing records, input format preserved")
+    pf.add_argument("--format", choices=["auto", "fasta", "fastq"],
+                    default="auto")
+    pf.add_argument("--min-hits", type=int, default=1, metavar="N",
+                    help="keep reads with >= N k-mer hits (default 1)")
+    pf.add_argument("--min-frac", type=float, default=None, metavar="F",
+                    help="additionally require hits/valid-windows >= F")
+    pf.add_argument("--min-count", type=int, default=0,
+                    help="only spectrum entries with count >= N count "
+                         "as hits")
+    pf.add_argument("--max-count", type=int, default=0,
+                    help="only spectrum entries with count <= N (0=off)")
+    pf.add_argument("--canonical", action="store_true",
+                    help="canonical matching: fold both spectrum and "
+                         "read k-mers to revcomp-min form")
+    pf.add_argument("--invert", action="store_true",
+                    help="keep the complement (reads that do NOT pass)")
+    pf.add_argument("--sep", default="\t")
+    pf.set_defaults(fn=cmd_filter)
 
     pb = sub.add_parser("bench", help="quick on-device benchmark")
     pb.add_argument("-k", type=int, default=8)

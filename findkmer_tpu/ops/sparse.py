@@ -66,7 +66,19 @@ def _adj_flags(hi, lo):
     return is_start, is_end
 
 
-def rle_pos(hi, lo):
+def _is_sent(hi, lo, wide: bool):
+    """Sentinel test for (hi, lo) code arrays.
+
+    Wide stores (k >= 16) mark holes as hi = lo = SENTINEL, and a REAL
+    code's hi can never be SENTINEL (hi < 2^30 for k <= 31) — but its
+    lo CAN be 0xFFFFFFFF (any k-mer ending in 16 T's, e.g. a poly-T
+    homopolymer run), so the hole test must key on hi.  Narrow stores
+    (k <= 15) carry a dummy all-zero hi and codes < 2^30, so there lo
+    is the discriminating word."""
+    return (hi == SENTINEL) if wide else (lo == SENTINEL)
+
+
+def rle_pos(hi, lo, wide: bool = True):
     """Run totals of sorted codes with IMPLICIT count 1 per entry.
 
     Returns cnt: run length at each run's END position, 0 elsewhere and
@@ -77,11 +89,11 @@ def rle_pos(hi, lo):
     is_start, is_end = _adj_flags(hi, lo)
     idx = jnp.arange(n, dtype=jnp.int32)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
-    is_sent = lo == SENTINEL
+    is_sent = _is_sent(hi, lo, wide)
     return jnp.where(is_end & ~is_sent, idx - spos + 1, 0)
 
 
-def rle_val(hi, lo, cnt):
+def rle_val(hi, lo, cnt, wide: bool = True):
     """Run totals of sorted codes carrying explicit counts.
 
     total(run) = C_end - C_before_start with C = cumsum(cnt) in the
@@ -103,7 +115,7 @@ def rle_val(hi, lo, cnt):
     idx = jnp.arange(n, dtype=jnp.int32)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
     base = jnp.take(C - cu, spos)
-    is_sent = lo == SENTINEL
+    is_sent = _is_sent(hi, lo, wide)
     return jnp.where(is_end & ~is_sent, C - base, 0).astype(cnt.dtype)
 
 
@@ -125,7 +137,7 @@ def compact_raw_narrow(lo, cdtype=jnp.int32):
     """k <= 15 variant: single-uint32 codes, 1-key sort (522 Melem/s)."""
     (lo,) = lax.sort((lo,), num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_pos(hi, lo).astype(cdtype)
+    cnt = rle_pos(hi, lo, wide=False).astype(cdtype)
     return lo, cnt, jnp.count_nonzero(cnt)
 
 
@@ -142,7 +154,7 @@ def compact_counted(hi, lo, cnt):
 def compact_counted_narrow(lo, cnt):
     (lo, cnt) = lax.sort((lo, cnt), num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_val(hi, lo, cnt)
+    cnt = rle_val(hi, lo, cnt, wide=False)
     return lo, cnt, jnp.count_nonzero(cnt)
 
 
@@ -184,14 +196,14 @@ def _adj_flags_2d(hi, lo):
     return is_start, is_end
 
 
-def rle_pos_2d(hi, lo):
+def rle_pos_2d(hi, lo, wide: bool = True):
     is_start, is_end = _adj_flags_2d(hi, lo)
     idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
-    return jnp.where(is_end & (lo != SENTINEL), idx - spos + 1, 0)
+    return jnp.where(is_end & ~_is_sent(hi, lo, wide), idx - spos + 1, 0)
 
 
-def rle_val_2d(hi, lo, cnt):
+def rle_val_2d(hi, lo, cnt, wide: bool = True):
     """Row-wise rle_val (same position-gather scheme; see rle_val)."""
     is_start, is_end = _adj_flags_2d(hi, lo)
     udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
@@ -200,7 +212,7 @@ def rle_val_2d(hi, lo, cnt):
     idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
     base = jnp.take_along_axis(C - cu, spos, axis=1)
-    return jnp.where(is_end & (lo != SENTINEL), C - base, 0).astype(
+    return jnp.where(is_end & ~_is_sent(hi, lo, wide), C - base, 0).astype(
         cnt.dtype
     )
 
@@ -216,7 +228,7 @@ def compact_raw_2d(hi, lo, cdtype=jnp.int32):
 def compact_raw_narrow_2d(lo, cdtype=jnp.int32):
     (lo,) = lax.sort((lo,), dimension=1, num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_pos_2d(hi, lo).astype(cdtype)
+    cnt = rle_pos_2d(hi, lo, wide=False).astype(cdtype)
     return lo, cnt, jnp.count_nonzero(cnt, axis=1)
 
 
@@ -235,7 +247,7 @@ def compact_counted_narrow_2d(lo, cnt):
         (lo, cnt), dimension=1, num_keys=1, is_stable=False
     )
     hi = jnp.zeros_like(lo)
-    cnt = rle_val_2d(hi, lo, cnt)
+    cnt = rle_val_2d(hi, lo, cnt, wide=False)
     return lo, cnt, jnp.count_nonzero(cnt, axis=1)
 
 
@@ -298,7 +310,7 @@ def global_compact_narrow(lo, cnt):
     lo = jnp.where(cnt > 0, lo, SENTINEL)
     lo, cnt = lax.sort((lo, cnt), num_keys=1, is_stable=False)
     hi = jnp.zeros_like(lo)
-    cnt = rle_val(hi, lo, cnt)
+    cnt = rle_val(hi, lo, cnt, wide=False)
     lo, cnt = lax.sort(
         (jnp.where(cnt > 0, lo, SENTINEL), cnt),
         num_keys=1, is_stable=False,

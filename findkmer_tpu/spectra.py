@@ -323,11 +323,16 @@ def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
         )
     h = np.zeros(max_count + 1, np.int64)
     with open(path, "rb") as f:
-        for line in f:
+        for line_no, line in enumerate(f, 1):
             line = line.rstrip(b"\r\n")
             if not line:
                 continue
-            cnt = int(line.rsplit(sep_b, 1)[1])
+            try:
+                cnt = int(line.rsplit(sep_b, 1)[1])
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"{path}:{line_no}: malformed spectrum line {line!r}"
+                ) from e
             if cnt > 0:
                 h[min(cnt, max_count)] += 1
     return h
@@ -403,15 +408,19 @@ class _CanonizedInputs:
     def __enter__(self) -> List[str]:
         import tempfile
 
-        for p in self.paths:
-            f = tempfile.NamedTemporaryFile(
-                "wb", suffix=".canon.tsv", delete=False
-            )
-            try:
-                canonize_spectrum_file(p, f, sep=self.sep)
-            finally:
-                f.close()
-            self.tmp.append(f.name)
+        try:
+            for p in self.paths:
+                f = tempfile.NamedTemporaryFile(
+                    "wb", suffix=".canon.tsv", delete=False
+                )
+                self.tmp.append(f.name)  # before folding: an exception
+                try:                     # mid-fold must still clean up
+                    canonize_spectrum_file(p, f, sep=self.sep)
+                finally:
+                    f.close()
+        except BaseException:
+            self.__exit__()
+            raise
         return self.tmp
 
     def __exit__(self, *exc):

@@ -184,21 +184,12 @@ def run_stream(args) -> int:
         process_id=process_id,
     )
     collective = num_processes > 1 and multihost.group_active()
-    if (
-        not collective
-        and isinstance(counter, KmerCounter)
-        and counter.mode != "direct"
-    ):
+    from findkmer_tpu.cli import _use_streamed_finalize, emit_streamed_spectrum
+
+    if not collective and _use_streamed_finalize(counter):
         # sparse single-engine: stream the write per D2H chunk (the
         # ordered finalize; see models/counter.finalize_chunks)
-        f, close = _open_out(args.output)
-        try:
-            output_mod.write_spectrum_streaming(
-                f, counter.finalize_chunks(state), cfg
-            )
-        finally:
-            if close:
-                f.close()
+        emit_streamed_spectrum(counter, state, cfg, args.output)
         wall = time.time() - t0
         if args.stats == "json":
             d = stats.as_dict()

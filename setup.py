@@ -27,6 +27,17 @@ class CTypesExtension(Extension):
 
 
 class build_ext_ctypes(build_ext):
+    def build_extensions(self):
+        # numpy include resolved at build time, not setup.py import time
+        # (isolated PEP-517 envs install numpy per [build-system]
+        # requires AFTER setup.py is first parsed)
+        import numpy
+
+        for ext in self.extensions:
+            if ext.name == "findkmer_shmalloc":
+                ext.include_dirs.append(numpy.get_include())
+        super().build_extensions()
+
     def get_export_symbols(self, ext):
         if isinstance(ext, CTypesExtension):
             return []
@@ -44,17 +55,10 @@ class build_ext_ctypes(build_ext):
         return super().get_ext_filename(ext_name)
 
 
-def _numpy_include():
-    import numpy
-
-    return numpy.get_include()
-
-
 ext_modules = [
     Extension(
         "findkmer_shmalloc",
         sources=["src/native/shmalloc.c"],
-        include_dirs=[_numpy_include()],
         extra_compile_args=["-O2", "-std=c11"],
     ),
     CTypesExtension(

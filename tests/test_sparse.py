@@ -316,3 +316,76 @@ def test_finalize_chunks_equals_finalize(rng):
         got_counts = np.concatenate([p[1] for p in parts])
         assert np.array_equal(got_codes, codes), k
         assert np.array_equal(got_counts, counts), k
+
+def test_wide_codes_with_all_ones_lo_survive(rng):
+    """k-mers whose LOW 32 code bits are all ones (>= 16 trailing T's —
+    real poly-T homopolymer runs) must not be dropped: the RLE hole
+    test keys on hi for wide stores (regression: lo == 0xFFFFFFFF was
+    treated as a sentinel and silently erased such k-mers)."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.ops.window import code_to_str
+    from findkmer_tpu.pipeline import batches_from_codes
+    from oracle.scalar import count_kmers_in_text
+
+    base_map = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+    def run(seq_str, k, env=None):
+        import os
+
+        if env is not None:
+            os.environ["FINDKMER_ORDERED_FINALIZE"] = env
+        try:
+            cfg = Config(k=k, table_mode="sparse", chunk_len=128,
+                         batch_rows=2, sparse_capacity=1 << 14)
+            c = KmerCounter(cfg)
+            st = c.init_state()
+            codes = np.array([base_map[ch] for ch in seq_str], np.uint8)
+            for b in batches_from_codes(iter([codes]), cfg):
+                st = c.step(st, b)
+            fc, fn = c.finalize(st)
+            return {code_to_str(int(a), k): int(n)
+                    for a, n in zip(fc, fn)}
+        finally:
+            if env is not None:
+                os.environ.pop("FINDKMER_ORDERED_FINALIZE", None)
+
+    # ACGTA + 16 T's + ACGTC: the window ACGTATTTTTTTTTTTTTTTT at k=21
+    # has lo == 0xFFFFFFFF; 'T'*16 at k=16 is the all-ones code
+    cases = [
+        ("ACGTA" + "T" * 16 + "ACGTC", 21),
+        ("T" * 40, 16),                       # hi == 0 AND lo == ~0
+        ("A" + "T" * 16 + "G" + "T" * 16, 17),
+        ("T" * 64, 21),
+    ]
+    for seq, k in cases:
+        want = count_kmers_in_text(seq, k)
+        for env in ("1", "0"):
+            got = run(seq, k, env=env)
+            assert got == want, (seq[:12], k, env)
+
+
+def test_wide_all_ones_lo_distributed(rng):
+    """Same regression through the dp_sparse mesh path (rle_*_2d)."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import make_counter
+    from findkmer_tpu.ops.window import code_to_str
+    from findkmer_tpu.pipeline import batches_from_codes
+    from oracle.scalar import count_kmers_in_text
+
+    seq = "ACGTA" + "T" * 16 + "ACGTC" + "T" * 40
+    base_map = {"A": 0, "C": 1, "G": 2, "T": 3}
+    cfg = Config(k=21, table_mode="sparse", chunk_len=64, batch_rows=8,
+                 devices=8, sparse_capacity=1 << 14)
+    c = make_counter(cfg)
+    st = c.init_state()
+    codes = np.array([base_map[ch] for ch in seq], np.uint8)
+    for b in batches_from_codes(iter([codes]), cfg):
+        st = c.step(st, b)
+    fc, fn = c.finalize(st)
+    got = {code_to_str(int(a), 21): int(n) for a, n in zip(fc, fn)}
+    assert got == count_kmers_in_text(seq, 21)

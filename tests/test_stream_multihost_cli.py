@@ -96,3 +96,43 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
     h0 = (tmp_path / "h0.tsv").read_text()
     assert h0 == full
     assert not (tmp_path / "h1.tsv").exists()
+
+
+def test_stream_sparse_singlehost_resume_oracle(tmp_path, fixtures_dir):
+    """Sparse (k=17) single-host stream — the streamed finalize write —
+    is oracle-exact, resumes bit-identically from a checkpoint (the
+    restored-store -> finalize_chunks combination), and the
+    FINDKMER_ORDERED_FINALIZE=0 escape hatch produces the same bytes
+    through the legacy heap-merge finalize."""
+    from oracle.scalar import count_fasta_file, spectrum_lines
+
+    src = os.path.join(fixtures_dir, "multi.fa")
+    common = ["-k", "17", "--chunk-len", "256", "--batch-rows", "2"]
+    want = "\n".join(
+        spectrum_lines(count_fasta_file(src, 17), 17)
+    ) + "\n"
+
+    out = _cli(["stream", "-i", src, *common], tmp_path)
+    assert out == want
+
+    # interrupted run: checkpoint every batch, then resume to the end
+    _cli(["stream", "-i", src, *common, "--checkpoint", "ck",
+          "--checkpoint-every", "1", "-o", "full.tsv"], tmp_path)
+    resumed = _cli(["stream", "-i", src, *common, "--checkpoint", "ck"],
+                   tmp_path)
+    assert resumed == want
+    assert (tmp_path / "full.tsv").read_text() == want
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env["FINDKMER_ORDERED_FINALIZE"] = "0"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli", "stream", "-i", src,
+         *common],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == want
