@@ -1,0 +1,146 @@
+"""`findkmer filter` — read filtering by spectrum membership, checked
+against a per-read oracle (oracle.scalar counting)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(args, tmp_path, expect_rc=0):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert r.returncode == expect_rc, r.stderr
+    return r
+
+
+def test_window_codes_host_matches_oracle(rng):
+    import numpy as np
+
+    from findkmer_tpu.filter import window_codes_host
+    from findkmer_tpu.ops.window import str_to_code
+    from oracle.scalar import count_kmers_in_text
+
+    seq = "".join(rng.choice(list("ACGTN")) for _ in range(500))
+    k = 7
+    codes, valid = window_codes_host(seq.encode(), k)
+    want = count_kmers_in_text(seq, k)
+    got = {}
+    from findkmer_tpu.ops.window import code_to_str
+
+    for c, v in zip(codes, valid):
+        if v:
+            s = code_to_str(int(c), k)
+            got[s] = got.get(s, 0) + 1
+    assert got == want
+
+
+def _oracle_hits(seq, k, spectrum_kmers, canonical=False):
+    from oracle.scalar import canonical_str
+
+    hits = windows = 0
+    s = seq.upper()
+    for i in range(len(s) - k + 1):
+        w = s[i : i + k]
+        if any(ch not in "ACGT" for ch in w):
+            continue
+        windows += 1
+        if canonical:
+            w = canonical_str(w)
+        if w in spectrum_kmers:
+            hits += 1
+    return hits, windows
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_filter_spec_hits_oracle(rng, canonical):
+    from findkmer_tpu.filter import FilterSpec
+
+    k = 5
+    kmers = {"".join(rng.choice(list("ACGT")) for _ in range(k))
+             for _ in range(40)}
+    if canonical:
+        from oracle.scalar import canonical_str
+
+        kmers = {canonical_str(km) for km in kmers}
+    spec_path = None
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv",
+                                     delete=False) as f:
+        for km in sorted(kmers):
+            f.write(f"{km}\t1\n")
+        spec_path = f.name
+    try:
+        spec = FilterSpec.load(spec_path, canonical=canonical)
+        for _ in range(20):
+            seq = "".join(
+                rng.choice(list("ACGTN")) for _ in range(rng.integers(3, 60))
+            )
+            got = spec.hits(seq.encode())
+            want = _oracle_hits(seq, k, kmers, canonical)
+            assert got == want, seq
+    finally:
+        os.unlink(spec_path)
+
+
+def test_filter_cli_fastq_roundtrip(tmp_path):
+    """FASTQ in, FASTQ out: passing records byte-identical (quality
+    preserved); --invert keeps the complement; counts on stderr."""
+    reads = [
+        ("@r1", "ACGTACGTAC", "IIIIIIIIII"),   # contains ACGTA
+        ("@r2", "GGGGGGGGGG", "JJJJJJJJJJ"),
+        ("@r3", "NNACGTANNN", "KKKKKKKKKK"),   # one valid hit window
+        ("@r4", "TTTTTTTTTT", "LLLLLLLLLL"),
+    ]
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(f"{h}\n{s}\n+\n{q}\n" for h, s, q in reads))
+    (tmp_path / "spec.tsv").write_text("ACGTA\t3\n")
+
+    r = _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+              "-o", "kept.fastq"], tmp_path)
+    kept = (tmp_path / "kept.fastq").read_text()
+    assert kept == "@r1\nACGTACGTAC\nIIIIIIIIII\n".replace(
+        "IIIIIIIIII", "IIIIIIIIII"
+    ).replace("ACGTACGTAC\n", "ACGTACGTAC\n+\n") \
+        + "@r3\nNNACGTANNN\n+\nKKKKKKKKKK\n"
+    assert "kept 2/4" in r.stderr
+
+    r = _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+              "--invert", "-o", "dropped.fastq"], tmp_path)
+    dropped = (tmp_path / "dropped.fastq").read_text()
+    assert "@r2" in dropped and "@r4" in dropped and "@r1" not in dropped
+
+    # min-frac: r1 has 6 valid windows, 2 hits (ACGTA at 0 and 4) ->
+    # frac 1/3; min-frac 0.5 drops it, keeps r3 (1/1)
+    r = _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+              "--min-frac", "0.5", "-o", "frac.fastq"], tmp_path)
+    frac = (tmp_path / "frac.fastq").read_text()
+    assert "@r3" in frac and "@r1" not in frac
+
+
+def test_filter_cli_fasta_and_canonical(tmp_path):
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACGTAAAAA\n>b\nCCCCCCCC\n>c first\nTACGT\n")
+    # spectrum contains only TACGT; canonical match folds ACGTA==TACGT
+    (tmp_path / "spec.tsv").write_text("TACGT\t1\n")
+    r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
+              "-o", "kept.fa"], tmp_path)
+    assert (tmp_path / "kept.fa").read_text() == ">c first\nTACGT\n"
+    r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
+              "--canonical", "-o", "kept2.fa"], tmp_path)
+    # canonical: ACGTA (in read a) folds to min(ACGTA, TACGT) = ACGTA;
+    # spectrum TACGT folds to ACGTA too -> read a now passes
+    kept2 = (tmp_path / "kept2.fa").read_text()
+    assert ">a" in kept2 and ">c first" in kept2 and ">b" not in kept2
