@@ -138,6 +138,16 @@ def _cfg_from_args(args):
 def _open_out(path):
     if path == "-":
         return sys.stdout.buffer, False
+    if os.environ.get("FINDKMER_DIRECT_OUT", "1") == "1":
+        # O_DIRECT writer: dirtying fresh page-cache pages runs at
+        # 13-72 MB/s on lazily-backed VMs vs ~128 MB/s direct
+        # (utils/directio.py); falls back to buffered automatically
+        try:
+            from findkmer_tpu.utils.directio import DirectWriter
+
+            return DirectWriter(path), True
+        except Exception:
+            pass
     return open(path, "wb"), True
 
 

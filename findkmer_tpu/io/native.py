@@ -224,8 +224,14 @@ def pack_rows(work: np.ndarray, B: int, L: int, R: int):
 
 
 def format_spectrum(codes: np.ndarray, counts: np.ndarray, k: int,
-                    sep: bytes) -> bytes:
-    """Format "KMER<sep>COUNT\\n" lines in one C pass (~10x numpy)."""
+                    sep: bytes) -> np.ndarray:
+    """Format "KMER<sep>COUNT\\n" lines in one C pass (~10x numpy).
+
+    Returns a uint8 numpy view (NOT bytes): the buffer stays on the
+    shared-memory numpy allocator, and file.write()/bytes.join()
+    accept it directly — a .tobytes() here would copy GBs through
+    PRIVATE anonymous memory, which this VM faults at ~17 MB/s
+    (bench/RESULTS.md "host page-fault pathology")."""
     lib = _load()
     assert lib is not None, "native encoder not available"
     assert len(sep) == 1, "native formatter supports 1-byte separators"
@@ -239,7 +245,7 @@ def format_spectrum(codes: np.ndarray, counts: np.ndarray, k: int,
         n, k, sep[0],
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    return out[: int(m)].tobytes()
+    return out[: int(m)]
 
 
 def merge_runs(runs):

@@ -545,8 +545,14 @@ class KmerCounter:
     def _ordered_pull(self, store, ph):
         """Shared front of the ordered finalize: global device sort,
         scalar sync, live/exception slice, and the chunked async pull
-        plan.  Returns (spans, dev_chunks, exc_idx, exc_cnt, n_live) —
-        every chunk's D2H is already in flight when this returns."""
+        plan.  Returns (spans, dev_chunks, exc_idx, exc_cnt, n_live,
+        runs) — every chunk's D2H is already in flight when this
+        returns.  runs is None (narrow k <= 15: lo IS the code;
+        k > 26: hi pulled per entry) or host (run_starts, run_his)
+        arrays: for k <= 26 the sorted prefix's hi word is RUN-CODED
+        on the wire (<= 4^(k-16)+1 runs), so chunks carry only lo —
+        4 B/entry instead of 8."""
+        k = self.cfg.k
         with ph("finalize/global_sort"):
             if len(store) == 2:
                 lo, cnt, n_live, n_multi = (
@@ -561,14 +567,26 @@ class KmerCounter:
             n_live = int(np.asarray(n_live))
             n_multi = int(np.asarray(n_multi))
         if n_live == 0:
-            return [], [], np.empty(0, np.int64), np.empty(0, np.int64), 0
+            return ([], [], np.empty(0, np.int64), np.empty(0, np.int64),
+                    0, None)
         total = int(codes_dev[0].shape[0])
         N = min(sparse_ops.ladder(n_live, floor=4096), total)
         E = min(sparse_ops.ladder(max(n_multi, 1), floor=256), total)
+        runs_dev = None
         with ph("finalize/slice"):
-            codes_dev, exc_idx, exc_cnt = sparse_ops.slice_live_exc(
-                codes_dev, cnt, N, E
-            )
+            if len(codes_dev) == 2 and k <= 26:
+                HR = min(4 ** (k - 16) + 1, N)
+                lo, ridx, rhi, exc_idx, exc_cnt = (
+                    sparse_ops.slice_live_exc_runs(
+                        codes_dev[0], codes_dev[1], cnt, N, E, HR
+                    )
+                )
+                codes_dev = (lo,)
+                runs_dev = (ridx, rhi)
+            else:
+                codes_dev, exc_idx, exc_cnt = sparse_ops.slice_live_exc(
+                    codes_dev, cnt, N, E
+                )
         with ph("finalize/d2h_start"):
             # chunked pull: issue every chunk's transfer up front so
             # later chunks stream while earlier ones are widened /
@@ -587,15 +605,37 @@ class KmerCounter:
                         pass
             exc_idx_h = np.asarray(exc_idx)[:n_multi]
             exc_cnt_h = np.asarray(exc_cnt)[:n_multi]
-        return spans, dev_chunks, exc_idx_h, exc_cnt_h, n_live
+            runs = None
+            if runs_dev is not None:
+                ridx_h = np.asarray(runs_dev[0])
+                rhi_h = np.asarray(runs_dev[1])
+                real = ridx_h < n_live  # fills carry start == N
+                runs = (ridx_h[real].astype(np.int64), rhi_h[real])
+        return spans, dev_chunks, exc_idx_h, exc_cnt_h, n_live, runs
 
     @staticmethod
-    def _widen_chunk(chs, m):
-        """Device chunk arrays -> first m entries as host uint64 codes."""
-        if len(chs) == 1:
-            return np.asarray(chs[0])[:m].astype(np.uint64)
-        hi_h = np.asarray(chs[0])[:m].astype(np.uint64)
-        return (hi_h << np.uint64(32)) | np.asarray(chs[1])[:m]
+    def _widen_chunk(chs, m, a=0, runs=None):
+        """Device chunk arrays -> host uint64 codes for span [a, a+m).
+
+        runs: (run_starts, run_his) when hi travels run-coded — the
+        runs overlapping this span are OR'd in segment-wise (a handful
+        of segments per chunk)."""
+        if len(chs) == 2:
+            hi_h = np.asarray(chs[0])[:m].astype(np.uint64)
+            return (hi_h << np.uint64(32)) | np.asarray(chs[1])[:m]
+        codes = np.asarray(chs[0])[:m].astype(np.uint64)
+        if runs is not None:
+            ridx, rhi = runs
+            e = a + m
+            j0 = max(int(np.searchsorted(ridx, a, side="right")) - 1, 0)
+            j1 = int(np.searchsorted(ridx, e, side="left"))
+            for j in range(j0, j1):
+                s = max(int(ridx[j]), a) - a
+                t = int(ridx[j + 1]) if j + 1 < ridx.size else e
+                t = min(t, e) - a
+                if t > s and rhi[j]:
+                    codes[s:t] |= np.uint64(rhi[j]) << np.uint64(32)
+        return codes
 
     def _finalize_ordered(self, store, timers=None):
         """Global-order finalize (see finalize docstring)."""
@@ -608,8 +648,8 @@ class KmerCounter:
         # same output contract as the legacy heap-merge path (device
         # accumulation still happens in cfg.count_dtype; int64 mode is
         # required for > 2^31 observations of one k-mer, as documented)
-        spans, dev_chunks, exc_idx, exc_cnt, n_live = self._ordered_pull(
-            store, ph
+        spans, dev_chunks, exc_idx, exc_cnt, n_live, runs = (
+            self._ordered_pull(store, ph)
         )
         if n_live == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
@@ -619,7 +659,7 @@ class KmerCounter:
                 if a >= n_live:
                     break
                 e = min(b, n_live)
-                codes[a:e] = self._widen_chunk(chs, e - a)
+                codes[a:e] = self._widen_chunk(chs, e - a, a, runs)
         with ph("finalize/counts"):
             counts = np.ones(n_live, np.int64)
             if exc_idx.size:
@@ -642,15 +682,15 @@ class KmerCounter:
             state = self.compact(state)
             d = np.asarray(state.distinct)
         self._check_capacity(int(d.sum()))
-        spans, dev_chunks, exc_idx, exc_cnt, n_live = self._ordered_pull(
-            state.store, ph
+        spans, dev_chunks, exc_idx, exc_cnt, n_live, runs = (
+            self._ordered_pull(state.store, ph)
         )
         for (a, b), chs in zip(spans, dev_chunks):
             if a >= n_live:
                 break
             e = min(b, n_live)
             with ph("finalize/d2h"):
-                codes = self._widen_chunk(chs, e - a)
+                codes = self._widen_chunk(chs, e - a, a, runs)
             counts = np.ones(e - a, np.int64)
             lo_i = np.searchsorted(exc_idx, a)
             hi_i = np.searchsorted(exc_idx, e)

@@ -334,6 +334,28 @@ def slice_live_exc(codes, cnt, N: int, E: int):
     return out, idx, jnp.take(cntN, idx)
 
 
+@partial(jax.jit, static_argnames=("N", "E", "HR"))
+def slice_live_exc_runs(hi, lo, cnt, N: int, E: int, HR: int):
+    """slice_live_exc variant with RUN-CODED hi (wide stores, k <= 26).
+
+    The globally sorted live prefix's hi word changes at most
+    4^(k-16) times, so instead of 4 B/entry of hi the wire carries
+    (run start position, hi value) pairs — ~1 K entries at k=21 for
+    ~99 M codes, halving finalize D2H bytes to ~4 B/entry.  Returns
+    (lo[:N], run_starts, run_his, exc_idx, exc_cnt); run entries past
+    the last real run are filled with start == N."""
+    hiN, loN, cntN = hi[:N], lo[:N], cnt[:N]
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), hiN[1:] != hiN[:-1]]
+    )
+    (ridx,) = jnp.nonzero(change, size=HR, fill_value=N)
+    ridx = ridx.astype(jnp.int32)
+    rhi = jnp.take(hiN, jnp.clip(ridx, 0, N - 1))
+    (idx,) = jnp.nonzero(cntN > 1, size=E, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    return loN, ridx, rhi, idx, jnp.take(cntN, idx)
+
+
 def ladder(n: int, floor: int = 1 << 20) -> int:
     """Smallest padded size >= n from the {1, 1.5} x 2^i ladder.
 

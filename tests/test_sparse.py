@@ -389,3 +389,35 @@ def test_wide_all_ones_lo_distributed(rng):
     fc, fn = c.finalize(st)
     got = {code_to_str(int(a), 21): int(n) for a, n in zip(fc, fn)}
     assert got == count_kmers_in_text(seq, 21)
+
+def test_run_coded_hi_wire(rng):
+    """The run-coded hi wire (k <= 26 ordered finalize) reconstructs
+    codes exactly — boundaries at chunk edges, single-run, many-run,
+    and the k > 26 full-hi path all agree with the legacy finalize."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.pipeline import batches_from_codes
+
+    def spectra_for(seq_codes, k, env):
+        import os
+
+        os.environ["FINDKMER_ORDERED_FINALIZE"] = env
+        try:
+            cfg = Config(k=k, table_mode="sparse", chunk_len=512,
+                         batch_rows=2, sparse_capacity=1 << 16)
+            c = KmerCounter(cfg)
+            st = c.init_state()
+            for b in batches_from_codes(iter([seq_codes]), cfg):
+                st = c.step(st, b)
+            return c.finalize(st)
+        finally:
+            os.environ.pop("FINDKMER_ORDERED_FINALIZE", None)
+
+    for k in (17, 21, 26, 27):  # 17/21/26 run-coded; 27 full-hi
+        seq = rng.integers(0, 4, 30000).astype(np.uint8)
+        c1, n1 = spectra_for(seq, k, "1")
+        c0, n0 = spectra_for(seq, k, "0")
+        assert np.array_equal(c1, c0), k
+        assert np.array_equal(np.asarray(n1), np.asarray(n0)), k
