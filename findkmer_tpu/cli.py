@@ -507,10 +507,14 @@ def cmd_bench(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from findkmer_tpu.version import __version__
+
     p = argparse.ArgumentParser(
         prog="findkmer",
         description="TPU-native exact k-mer counter (findkmer-tpu)",
     )
+    p.add_argument("--version", action="version",
+                   version=f"findkmer-tpu {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def _add_thresholds(sp):
