@@ -369,7 +369,13 @@ def test_wide_codes_with_all_ones_lo_survive(rng):
 
 def test_wide_all_ones_lo_distributed(rng):
     """Same regression through the dp_sparse mesh path (rle_*_2d)."""
+    import jax
     import numpy as np
+
+    if len(jax.devices()) < 8:  # FINDKMER_TESTS_ON_TPU=1: one real chip
+        import pytest
+
+        pytest.skip("needs an 8-device mesh")
 
     from findkmer_tpu.config import Config
     from findkmer_tpu.models.counter import make_counter
