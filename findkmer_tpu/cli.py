@@ -476,23 +476,32 @@ def cmd_filter(args) -> int:
     """Keep/drop reads by spectrum membership (kmc_tools filter class)."""
     from findkmer_tpu.filter import FilterSpec, filter_file
 
+    for path in args.input:  # before the output is created/truncated
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"input file not found: {path}")
     spec = FilterSpec.load(
         args.spectrum, sep=args.sep, canonical=args.canonical,
         min_count=args.min_count, max_count=args.max_count,
     )
     f, close = _open_out(args.output)
+    gz = None
+    if args.output != "-" and args.output.endswith(".gz"):
+        import gzip
+
+        gz = gzip.GzipFile(fileobj=f, mode="wb")
     kept = seen = 0
     try:
         for path in args.input:
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"input file not found: {path}")
             k1, s1 = filter_file(
-                path, f, spec, fmt=args.format, min_hits=args.min_hits,
-                min_frac=args.min_frac, invert=args.invert,
+                path, gz or f, spec, fmt=args.format,
+                min_hits=args.min_hits, min_frac=args.min_frac,
+                invert=args.invert,
             )
             kept += k1
             seen += s1
     finally:
+        if gz is not None:
+            gz.close()
         if close:
             f.close()
     print(f"kept {kept}/{seen} reads (k={spec.k})", file=sys.stderr)
@@ -644,7 +653,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="spectrum TSV the reads are matched against "
                          "(k is inferred from it)")
     pf.add_argument("-o", "--output", default="-",
-                    help="passing records, input format preserved")
+                    help="passing records, input record format "
+                         "preserved (gzip-compressed when the path "
+                         "ends in .gz)")
     pf.add_argument("--format", choices=["auto", "fasta", "fastq"],
                     default="auto")
     pf.add_argument("--min-hits", type=int, default=1, metavar="N",

@@ -21,6 +21,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
+from findkmer_tpu import spectra as _spectra
+
 _CODE_LUT = np.full(256, 255, dtype=np.uint8)
 for _i, _b in enumerate(b"ACGT"):
     _CODE_LUT[_b] = _i
@@ -57,8 +59,7 @@ class FilterSpec:
     @classmethod
     def load(cls, path, sep: str = "\t", canonical: bool = False,
              min_count: int = 0, max_count: int = 0) -> "FilterSpec":
-        from findkmer_tpu import spectra
-
+        spectra = _spectra
         sep_b = sep.encode()
         k = spectra._infer_k(path, sep_b)
         if k is None:
@@ -78,25 +79,26 @@ class FilterSpec:
         else:
             codes, counts = parsed
         m = counts > 0
+        codes, counts = codes[m], counts[m]
+        if canonical:
+            # fold BEFORE thresholding: a revcomp pair's counts sum in
+            # canonical space, and the threshold must see the sum
+            codes, counts = spectra.canonize_runs(codes, counts, k)
+        m = np.ones(codes.size, bool)
         if min_count > 1:
             m &= counts >= min_count
         if max_count:
             m &= counts <= max_count
-        codes = codes[m]
-        if canonical:
-            codes, _ = spectra.canonize_runs(
-                codes, np.ones(codes.size, np.int64), k
-            )
-        codes = np.sort(codes)
+        codes = np.sort(codes[m])
         return cls(k=k, codes=codes, canonical=canonical)
 
     def hits(self, seq: bytes) -> Tuple[int, int]:
         """(hit windows, valid windows) of one read against the set."""
         codes, valid = window_codes_host(seq, self.k)
         if self.canonical:
-            from findkmer_tpu.spectra import revcomp_codes_u64
-
-            codes = np.minimum(codes, revcomp_codes_u64(codes, self.k))
+            codes = np.minimum(
+                codes, _spectra.revcomp_codes_u64(codes, self.k)
+            )
         codes = codes[valid]
         if codes.size == 0 or self.codes.size == 0:
             return 0, int(codes.size)
@@ -125,6 +127,17 @@ def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
                     return
                 if len(group[3]) == 0:
                     raise ValueError(f"{path}: truncated FASTQ record")
+                # strict 4-line records only (same contract as
+                # io/fastq.FastqReader): a non-'+' third line means
+                # wrapped sequence/quality — refuse rather than filter
+                # reads against misaligned bytes
+                if not group[0].startswith(b"@") or not group[2].startswith(
+                    b"+"
+                ):
+                    raise ValueError(
+                        f"{path}: multi-line FASTQ is not supported "
+                        "(expected @header/seq/+/quality groups)"
+                    )
                 seq = group[1].rstrip(b"\r\n")
                 yield seq, b"".join(group)
         finally:

@@ -590,8 +590,14 @@ class KmerCounter:
         with ph("finalize/d2h_start"):
             # chunked pull: issue every chunk's transfer up front so
             # later chunks stream while earlier ones are widened /
-            # formatted on host
-            n_chunks = min(8, max(1, N // (1 << 22)))
+            # formatted on host.  FINDKMER_FINALIZE_CHUNKS forces the
+            # chunk count (tests exercise the multi-chunk reassembly
+            # on small stores)
+            import os
+
+            n_chunks = int(
+                os.environ.get("FINDKMER_FINALIZE_CHUNKS", "0")
+            ) or min(8, max(1, N // (1 << 22)))
             step = -(-N // n_chunks)
             spans = [(a, min(a + step, N)) for a in range(0, N, step)]
             dev_chunks = [

@@ -45,9 +45,13 @@ class DirectWriter:
                 path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644
             )
             self._direct = False
-        self._stage = mmap.mmap(
-            -1, STAGE, flags=mmap.MAP_SHARED | mmap.MAP_ANONYMOUS
-        )
+        try:
+            self._stage = mmap.mmap(
+                -1, STAGE, flags=mmap.MAP_SHARED | mmap.MAP_ANONYMOUS
+            )
+        except BaseException:
+            os.close(self.fd)  # don't leak the fd if staging alloc fails
+            raise
         self._mv = memoryview(self._stage)
         self._fill = 0
         self._closed = False

@@ -144,3 +144,45 @@ def test_filter_cli_fasta_and_canonical(tmp_path):
     # spectrum TACGT folds to ACGTA too -> read a now passes
     kept2 = (tmp_path / "kept2.fa").read_text()
     assert ">a" in kept2 and ">c first" in kept2 and ">b" not in kept2
+
+def test_filter_gz_output_and_multiline_rejection(tmp_path):
+    import gzip
+
+    fq = tmp_path / "r.fastq"
+    fq.write_text("@r1\nACGTA\n+\nIIIII\n")
+    (tmp_path / "spec.tsv").write_text("ACGTA\t1\n")
+    _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+          "-o", "kept.fastq.gz"], tmp_path)
+    with gzip.open(tmp_path / "kept.fastq.gz") as f:
+        assert f.read() == b"@r1\nACGTA\n+\nIIIII\n"
+
+    # wrapped (multi-line) FASTQ: clean error, not silent misparse
+    bad = tmp_path / "wrapped.fastq"
+    bad.write_text("@r1\nACGT\nACGT\n+\nIIII\nIIII\n")
+    r = _cli(["filter", "-i", "wrapped.fastq", "--spectrum", "spec.tsv"],
+             tmp_path, expect_rc=1)
+    assert "multi-line FASTQ" in r.stderr
+
+    # typo'd input must not truncate an existing output file
+    out = tmp_path / "precious.fastq"
+    out.write_text("@old\nAAAA\n+\nIIII\n")
+    r = _cli(["filter", "-i", "missing.fastq", "--spectrum", "spec.tsv",
+              "-o", "precious.fastq"], tmp_path, expect_rc=1)
+    assert out.read_text() == "@old\nAAAA\n+\nIIII\n"
+
+
+def test_filter_canonical_threshold_after_fold(tmp_path):
+    """--canonical --min-count: the threshold sees the SUMMED canonical
+    count of a revcomp pair."""
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACGTA\n")
+    # ACGTA 2 + TACGT 2 fold to canonical ACGTA 4 >= 3
+    (tmp_path / "spec.tsv").write_text("ACGTA\t2\nTACGT\t2\n")
+    r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
+              "--canonical", "--min-count", "3", "-o", "kept.fa"],
+             tmp_path)
+    assert (tmp_path / "kept.fa").read_text() == ">a\nACGTA\n"
+    # without folding, each entry alone misses the threshold
+    r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
+              "--min-count", "3", "-o", "kept2.fa"], tmp_path)
+    assert (tmp_path / "kept2.fa").read_text() == ""

@@ -427,3 +427,38 @@ def test_run_coded_hi_wire(rng):
         c0, n0 = spectra_for(seq, k, "0")
         assert np.array_equal(c1, c0), k
         assert np.array_equal(np.asarray(n1), np.asarray(n0)), k
+
+def test_multi_chunk_finalize_pull(monkeypatch, rng):
+    """Force an 8-chunk finalize pull on a small store: chunk-boundary
+    reassembly of run-coded hi and exception counts stays exact."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.pipeline import batches_from_codes
+
+    seq = np.concatenate([
+        rng.integers(0, 4, 20000).astype(np.uint8),
+        np.zeros(64, np.uint8),          # poly-A: a multi-count run
+        np.full(64, 3, np.uint8),        # poly-T: lo == ~0 codes
+    ])
+
+    def run(k, forced):
+        if forced:
+            monkeypatch.setenv("FINDKMER_FINALIZE_CHUNKS", "8")
+        else:
+            monkeypatch.delenv("FINDKMER_FINALIZE_CHUNKS",
+                               raising=False)
+        cfg = Config(k=k, table_mode="sparse", chunk_len=512,
+                     batch_rows=2, sparse_capacity=1 << 16)
+        c = KmerCounter(cfg)
+        st = c.init_state()
+        for b in batches_from_codes(iter([seq]), cfg):
+            st = c.step(st, b)
+        return c.finalize(st)
+
+    for k in (12, 21, 27):
+        c8, n8 = run(k, True)
+        c1, n1 = run(k, False)
+        assert np.array_equal(c8, c1), k
+        assert np.array_equal(n8, n1), k
