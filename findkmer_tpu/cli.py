@@ -394,6 +394,20 @@ def cmd_setop(args) -> int:
     return 0
 
 
+def cmd_sort(args) -> int:
+    """Normalize a spectrum file: lexicographic order, case-folded,
+    duplicate k-mers summed (prep for the streaming set ops)."""
+    from findkmer_tpu import spectra
+
+    f, close = _open_out(args.output)
+    try:
+        spectra.sort_spectrum_file(args.input, f, sep=args.sep)
+    finally:
+        if close:
+            f.close()
+    return 0
+
+
 def cmd_canonize(args) -> int:
     """Fold a plain spectrum to canonical (revcomp-min) form."""
     from findkmer_tpu import spectra
@@ -599,6 +613,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "form before the op; plain and canonical "
                              "inputs may be mixed")
         po.set_defaults(fn=cmd_setop)
+
+    pso = sub.add_parser(
+        "sort", help="sort/normalize a spectrum file (unsorted or "
+                     "mixed-case third-party TSVs)"
+    )
+    pso.add_argument("input", help="spectrum file (KMER<sep>COUNT)")
+    pso.add_argument("-o", "--output", default="-")
+    pso.add_argument("--sep", default="\t")
+    pso.set_defaults(fn=cmd_sort)
 
     pz = sub.add_parser(
         "canonize", help="fold a spectrum to canonical (revcomp-min) form"

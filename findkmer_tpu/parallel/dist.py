@@ -560,7 +560,14 @@ class DistributedCounter:
                 )
             return np.asarray(self._finalize(shards))
         st = self._compact_sparse(state)
-        self._check_capacity(int(jnp.max(st.distinct)))
-        return _host_merge_stores(st.store)
+        d = np.asarray(st.distinct)
+        self._check_capacity(int(d.max()))
+        # squeeze holes/padding to the live ladder before the pull —
+        # same D2H cut as the single-device finalize (25-40% at scale)
+        store = st.store
+        Ld = sparse_ops.ladder(int(d.max()), floor=4096)
+        if st.store_len > Ld:
+            store = _squeeze_slice_dev2(store, Ld)
+        return _host_merge_stores(store)
 
 

@@ -303,6 +303,53 @@ def spectrum_lines(
             yield f"{kmer}{sep}{counts[kmer]}"
 
 
+def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
+    """Rewrite a spectrum file in lexicographic k-mer order, summing
+    duplicate k-mers — normalizes third-party/unsorted TSVs for the
+    streaming ops (merge/intersect/subtract need sorted inputs).
+    Returns distinct k-mers written."""
+    import numpy as np
+
+    sep_b = sep.encode()
+    k = _infer_k(path, sep_b)
+    if k is None:
+        return 0
+    raw = read_spectrum(path, sep)  # sums duplicates, any order
+    d: Dict[str, int] = {}
+    for km, v in raw.items():  # normalize case (same on both paths)
+        u = km.upper()
+        d[u] = d.get(u, 0) + v
+    from findkmer_tpu.io import native
+
+    if len(sep_b) == 1 and native.available():
+        try:
+            from findkmer_tpu.ops.window import str_to_code
+
+            codes = np.fromiter(
+                (str_to_code(km) for km in d), np.uint64, len(d)
+            )
+        except KeyError:
+            codes = None  # non-ACGT k-mers: plain text path below
+        if codes is not None:
+            counts = np.fromiter(d.values(), np.int64, len(d))
+            order = np.argsort(codes)
+            codes, counts = codes[order], counts[order]
+            chunk = 1 << 20
+            for s0 in range(0, codes.size, chunk):
+                e = min(s0 + chunk, codes.size)
+                out_f.write(
+                    native.format_spectrum(
+                        codes[s0:e], counts[s0:e], k, sep_b
+                    )
+                )
+            return int(codes.size)
+    return _write_batched(
+        out_f,
+        ((km.encode(), d[km]) for km in sorted(d)),
+        sep_b,
+    )
+
+
 def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
     """Count-of-counts histogram of a spectrum FILE (no recount): h[m] =
     distinct k-mers with count m, m clipped to max_count (KMC

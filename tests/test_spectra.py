@@ -332,3 +332,37 @@ def test_multichar_sep_falls_back(tmp_path):
     assert out.getvalue() == b"AA :: 5\nAC :: 1\n"
     h = spectra.histo_spectrum_file(str(a), max_count=10, sep=" :: ")
     assert h[1] == 1 and h[2] == 1 and h[3] == 1
+
+def test_sort_spectrum_file(tmp_path):
+    """findkmer sort: orders, case-folds, and sums duplicates — C-coded
+    and text fallback paths agree."""
+    import io
+
+    from findkmer_tpu import spectra
+
+    p = tmp_path / "messy.tsv"
+    p.write_text("GT\t1\nac\t2\nAC\t3\ngt\t4\nAA\t5\n")
+    out = io.BytesIO()
+    n = spectra.sort_spectrum_file(str(p), out)
+    assert bytes(out.getvalue()) == b"AA\t5\nAC\t5\nGT\t5\n"
+    assert n == 3
+    # non-ACGT k-mers: text fallback, still sorted + summed
+    p2 = tmp_path / "iupac.tsv"
+    p2.write_text("NN\t1\nAC\t2\nnn\t3\n")
+    out2 = io.BytesIO()
+    spectra.sort_spectrum_file(str(p2), out2)
+    assert out2.getvalue() == b"AC\t2\nNN\t4\n"
+    # sorted output feeds the streaming ops
+    sorted_p = tmp_path / "sorted.tsv"
+    sorted_p.write_bytes(bytes(out.getvalue()))
+    out3 = io.BytesIO()
+    spectra.merge_sorted_streaming([str(sorted_p)], out3)
+    assert bytes(out3.getvalue()) == b"AA\t5\nAC\t5\nGT\t5\n"
+
+
+def test_sort_cli(tmp_path):
+    p = tmp_path / "u.tsv"
+    p.write_text("TTTT\t1\nAAAA\t2\n")
+    r = _cli(["sort", "u.tsv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AAAA\t2\nTTTT\t1\n"
