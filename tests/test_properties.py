@@ -98,3 +98,62 @@ def test_total_window_conservation(records, k):
                 run = 0
         want += max(0, run - k + 1)
     assert total == want
+
+
+@SETTINGS
+@given(records=st.lists(SEQ, min_size=1, max_size=3),
+       k=st.integers(2, 8))
+def test_canonize_file_equals_canonical_count(records, k, tmp_path_factory):
+    """canonize(plain spectrum) == counting with canonical=True, for
+    arbitrary inputs (including all-invalid and empty records)."""
+    import io
+
+    from findkmer_tpu import spectra
+    from findkmer_tpu.ops.window import str_to_code
+    from oracle.scalar import count_kmers_in_text, parse_fasta_text
+
+    text = _fasta(records)
+    plain = {}
+    canon = {}
+    for _, seq in parse_fasta_text(text):
+        count_kmers_in_text(seq, k, counts=plain)
+        count_kmers_in_text(seq, k, canonical=True, counts=canon)
+    tmp = tmp_path_factory.mktemp("canon") / "plain.tsv"
+    tmp.write_text(
+        "".join(f"{km}\t{plain[km]}\n" for km in sorted(plain))
+    )
+    out = io.BytesIO()
+    spectra.canonize_spectrum_file(str(tmp), out)
+    got = {}
+    for line in bytes(out.getvalue()).decode().splitlines():
+        km, c = line.split("\t")
+        got[km] = int(c)
+    assert got == canon
+
+
+@SETTINGS
+@given(seq=SEQ, k=st.integers(2, 8))
+def test_filter_hits_bounded_and_oracle(seq, k):
+    """FilterSpec.hits: hits <= valid windows; equals the per-read
+    oracle for a spectrum built from the read's own k-mers."""
+    from findkmer_tpu.filter import FilterSpec, window_codes_host
+    from oracle.scalar import count_kmers_in_text
+
+    plain = count_kmers_in_text(seq, k)
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv",
+                                     delete=False) as f:
+        for km in sorted(plain):
+            f.write(f"{km}\t{plain[km]}\n")
+        path = f.name
+    try:
+        if not plain:
+            return
+        spec = FilterSpec.load(path)
+        hits, windows = spec.hits(seq.encode())
+        assert hits <= windows
+        assert windows == sum(plain.values())
+        assert hits == windows  # every window of seq is in its own spectrum
+    finally:
+        os.unlink(path)
