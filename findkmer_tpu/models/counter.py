@@ -588,11 +588,22 @@ class KmerCounter:
                     codes_dev, cnt, N, E
                 )
         with ph("finalize/d2h_start"):
-            # chunked pull: issue every chunk's transfer up front so
-            # later chunks stream while earlier ones are widened /
-            # formatted on host.  FINDKMER_FINALIZE_CHUNKS forces the
-            # chunk count (tests exercise the multi-chunk reassembly
-            # on small stores)
+            # pull the SMALL side tables first (exceptions + hi runs):
+            # they must be on host before the first chunk can be
+            # consumed, and behind the bulk chunk transfers they would
+            # serialize the whole wire ahead of any host work
+            exc_idx_h = np.asarray(exc_idx)[:n_multi]
+            exc_cnt_h = np.asarray(exc_cnt)[:n_multi]
+            runs = None
+            if runs_dev is not None:
+                ridx_h = np.asarray(runs_dev[0])
+                rhi_h = np.asarray(runs_dev[1])
+                real = ridx_h < n_live  # fills carry start == N
+                runs = (ridx_h[real].astype(np.int64), rhi_h[real])
+            # then issue every chunk's transfer: chunk i widens /
+            # formats / writes on host while chunks i+1.. stream.
+            # FINDKMER_FINALIZE_CHUNKS forces the chunk count (tests
+            # exercise the multi-chunk reassembly on small stores)
             import os
 
             n_chunks = int(
@@ -609,14 +620,6 @@ class KmerCounter:
                         c.copy_to_host_async()
                     except Exception:
                         pass
-            exc_idx_h = np.asarray(exc_idx)[:n_multi]
-            exc_cnt_h = np.asarray(exc_cnt)[:n_multi]
-            runs = None
-            if runs_dev is not None:
-                ridx_h = np.asarray(runs_dev[0])
-                rhi_h = np.asarray(runs_dev[1])
-                real = ridx_h < n_live  # fills carry start == N
-                runs = (ridx_h[real].astype(np.int64), rhi_h[real])
         return spans, dev_chunks, exc_idx_h, exc_cnt_h, n_live, runs
 
     @staticmethod
