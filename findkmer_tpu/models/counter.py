@@ -228,14 +228,24 @@ def _compact_counted_dev(store, bufs, Lc: int, G: int):
     return (hi, lo, cnt), drows
 
 
-@partial(jax.jit, static_argnames=("Ld",), donate_argnums=(0,))
-def _squeeze_slice_dev(store, Ld: int):
+def _squeeze_slice_impl(store, Ld: int):
     """Row-wise: sort zero-count holes to row ends, slice to Ld cols."""
     if len(store) == 2:
         lo, cnt = sparse_ops.squeeze_narrow_2d(*store)
         return lo[:, :Ld], cnt[:, :Ld]
     hi, lo, cnt = sparse_ops.squeeze_2d(*store)
     return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
+
+
+# donating variant for compaction/table_state (old store dead there);
+# the legacy finalize path must NOT donate — the caller's state object
+# stays valid after finalize
+_squeeze_slice_dev = partial(
+    jax.jit, static_argnames=("Ld",), donate_argnums=(0,)
+)(_squeeze_slice_impl)
+_squeeze_slice_keep = partial(jax.jit, static_argnames=("Ld",))(
+    _squeeze_slice_impl
+)
 
 
 @dataclass
@@ -538,7 +548,7 @@ class KmerCounter:
                 store = state.store
                 Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
                 if state.store_len > Ldc:
-                    store = _squeeze_slice_dev(store, Ldc)
+                    store = _squeeze_slice_keep(store, Ldc)
             return self._store_to_host(store, timers=timers)
         return self._finalize_ordered(state.store, timers=timers)
 

@@ -119,8 +119,7 @@ def _compact_counted_dev2(store, bufs, L: int):
     return (hi, lo, cnt), d
 
 
-@partial(jax.jit, static_argnames=("Ld",), donate_argnums=(0,))
-def _squeeze_slice_dev2(store, Ld: int):
+def _squeeze_slice_impl(store, Ld: int):
     if len(store) == 2:
         lo, cnt = store
         klo = jnp.where(cnt > 0, lo, _SENT)
@@ -136,6 +135,17 @@ def _squeeze_slice_dev2(store, Ld: int):
         (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
     )
     return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
+
+
+# donating variant for the compaction path (the old store is dead there);
+# finalize must NOT donate — the caller's state stays valid (e.g. the
+# scaling harness finalizes the same flushed state twice)
+_squeeze_slice_dev2 = partial(
+    jax.jit, static_argnames=("Ld",), donate_argnums=(0,)
+)(_squeeze_slice_impl)
+_squeeze_slice_keep2 = partial(jax.jit, static_argnames=("Ld",))(
+    _squeeze_slice_impl
+)
 
 
 def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
@@ -567,7 +577,7 @@ class DistributedCounter:
         store = st.store
         Ld = sparse_ops.ladder(int(d.max()), floor=4096)
         if st.store_len > Ld:
-            store = _squeeze_slice_dev2(store, Ld)
+            store = _squeeze_slice_keep2(store, Ld)
         return _host_merge_stores(store)
 
 

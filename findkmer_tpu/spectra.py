@@ -137,15 +137,8 @@ def canonize_spectrum_file(path, out_f, sep: str = "\t") -> int:
     # the C parse/format paths support 1-byte separators only
     parsed = _parse_binary(path, k, sep_b) if len(sep_b) == 1 else None
     if parsed is not None:
-        from findkmer_tpu.io import native
-
         codes, counts = canonize_runs(parsed[0], parsed[1], k)
-        chunk = 1 << 20
-        for s0 in range(0, codes.size, chunk):
-            e = min(s0 + chunk, codes.size)
-            out_f.write(
-                native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
-            )
+        _write_codes(out_f, codes, counts, k, sep_b)
         return int(codes.size)
     from oracle.scalar import canonical_str
 
@@ -303,25 +296,47 @@ def spectrum_lines(
             yield f"{kmer}{sep}{counts[kmer]}"
 
 
+def _write_codes(out_f, codes, counts, k: int, sep_b: bytes) -> None:
+    """Chunked C-formatted write of sorted (codes, counts) arrays."""
+    from findkmer_tpu.io import native
+
+    chunk = 1 << 20
+    for s0 in range(0, codes.size, chunk):
+        e = min(s0 + chunk, codes.size)
+        out_f.write(
+            native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
+        )
+
+
 def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
     """Rewrite a spectrum file in lexicographic k-mer order, summing
-    duplicate k-mers — normalizes third-party/unsorted TSVs for the
-    streaming ops (merge/intersect/subtract need sorted inputs).
-    Returns distinct k-mers written."""
+    duplicate (case-folded) k-mers — normalizes third-party/unsorted
+    TSVs for the streaming ops (merge/intersect/subtract need sorted
+    inputs).  Returns distinct k-mers written."""
     import numpy as np
 
     sep_b = sep.encode()
-    k = _infer_k(path, sep_b)
-    if k is None:
-        return 0
     raw = read_spectrum(path, sep)  # sums duplicates, any order
     d: Dict[str, int] = {}
     for km, v in raw.items():  # normalize case (same on both paths)
         u = km.upper()
         d[u] = d.get(u, 0) + v
+    if not d:
+        return 0
     from findkmer_tpu.io import native
 
-    if len(sep_b) == 1 and native.available():
+    # coded fast path ONLY for uniform-length ACGT k-mers of k <= 31:
+    # str_to_code is length-blind ('A' and 'AA' both code 0) and the
+    # formatter re-decodes at one fixed k, so anything mixed falls to
+    # the text path (which handles any content)
+    klens = {len(km) for km in d}
+    if (
+        len(sep_b) == 1
+        and native.available()
+        and len(klens) == 1
+        and 1 <= next(iter(klens)) <= 31
+    ):
+        k = next(iter(klens))
         try:
             from findkmer_tpu.ops.window import str_to_code
 
@@ -333,16 +348,8 @@ def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
         if codes is not None:
             counts = np.fromiter(d.values(), np.int64, len(d))
             order = np.argsort(codes)
-            codes, counts = codes[order], counts[order]
-            chunk = 1 << 20
-            for s0 in range(0, codes.size, chunk):
-                e = min(s0 + chunk, codes.size)
-                out_f.write(
-                    native.format_spectrum(
-                        codes[s0:e], counts[s0:e], k, sep_b
-                    )
-                )
-            return int(codes.size)
+            _write_codes(out_f, codes[order], counts[order], k, sep_b)
+            return len(d)
     return _write_batched(
         out_f,
         ((km.encode(), d[km]) for km in sorted(d)),

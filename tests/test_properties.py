@@ -109,7 +109,6 @@ def test_canonize_file_equals_canonical_count(records, k, tmp_path_factory):
     import io
 
     from findkmer_tpu import spectra
-    from findkmer_tpu.ops.window import str_to_code
     from oracle.scalar import count_kmers_in_text, parse_fasta_text
 
     text = _fasta(records)
@@ -136,7 +135,7 @@ def test_canonize_file_equals_canonical_count(records, k, tmp_path_factory):
 def test_filter_hits_bounded_and_oracle(seq, k):
     """FilterSpec.hits: hits <= valid windows; equals the per-read
     oracle for a spectrum built from the read's own k-mers."""
-    from findkmer_tpu.filter import FilterSpec, window_codes_host
+    from findkmer_tpu.filter import FilterSpec
     from oracle.scalar import count_kmers_in_text
 
     plain = count_kmers_in_text(seq, k)

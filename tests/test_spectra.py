@@ -366,3 +366,25 @@ def test_sort_cli(tmp_path):
     r = _cli(["sort", "u.tsv"], tmp_path)
     assert r.returncode == 0, r.stderr
     assert r.stdout == "AAAA\t2\nTTTT\t1\n"
+
+def test_sort_mixed_lengths_and_k32(tmp_path):
+    """sort: mixed-length k-mers take the text path (no length-blind
+    code corruption); k >= 32 spectra are preserved, never emptied."""
+    import io
+
+    from findkmer_tpu import spectra
+
+    p = tmp_path / "mixed.tsv"
+    p.write_text("ACGT\t1\nAC\t2\nA\t3\n")
+    out = io.BytesIO()
+    n = spectra.sort_spectrum_file(str(p), out)
+    assert bytes(out.getvalue()) == b"A\t3\nAC\t2\nACGT\t1\n"
+    assert n == 3
+
+    big = "A" * 33
+    p2 = tmp_path / "k33.tsv"
+    p2.write_text(f"{'T'*33}\t1\n{big}\t2\n")
+    out2 = io.BytesIO()
+    n2 = spectra.sort_spectrum_file(str(p2), out2)
+    assert bytes(out2.getvalue()) == f"{big}\t2\n{'T'*33}\t1\n".encode()
+    assert n2 == 2
