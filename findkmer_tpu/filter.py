@@ -126,14 +126,26 @@ class FilterSpec:
         vectorized pass: reads are joined with a single 'N' separator,
         so windows spanning read boundaries are invalid by the normal
         masking rule — the same record-isolation trick as the counting
-        pipeline (pipeline.py).  ~100x the per-read numpy cost on
-        short-read FASTQ."""
+        pipeline (pipeline.py).  Uses the OpenMP C scan
+        (src/native/encode.c fk_filter_hits) when built; numpy
+        otherwise.  ~100x the per-read numpy cost on short-read FASTQ."""
         k = self.k
         n = len(seqs)
         hits = np.zeros(n, np.int64)
         windows = np.zeros(n, np.int64)
         if n == 0:
             return hits, windows
+        from findkmer_tpu.io import native
+
+        if native.available():
+            lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: separator
+            buf = np.frombuffer(b"N".join(seqs), np.uint8)
+            return native.filter_hits(
+                buf, starts, lens, k, self.canonical, self.codes,
+                self._bloom, self._shift,
+            )
         joined = b"N".join(seqs)
         codes, valid = window_codes_host(joined, k)
         if codes.size == 0:

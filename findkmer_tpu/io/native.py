@@ -104,6 +104,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_size_t,
         ]
         lib.fk_parse_spectrum.restype = ctypes.c_size_t
+        lib.fk_filter_hits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.fk_filter_hits.restype = None
         for name in ("fk_merge_runs64", "fk_merge_runs32",
                      "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
             fn = getattr(lib, name)
@@ -292,6 +299,31 @@ def merge_runs(runs):
     )
     assert m != -1
     return out_codes[:m], out_counts[:m]
+
+
+def filter_hits(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                k: int, canonical: bool, table: np.ndarray,
+                bloom: np.ndarray, bloom_shift: int):
+    """Per-read (hits, valid windows) vs a sorted u64 code table.
+
+    buf holds all reads' bytes; read r spans buf[starts[r]:+lens[r]].
+    bloom is the bool one-probe prefilter (see filter.FilterSpec)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    n = int(starts.size)
+    hits = np.empty(n, np.int64)
+    wins = np.empty(n, np.int64)
+    lib.fk_filter_hits(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n, k, int(canonical),
+        table.ctypes.data_as(ctypes.c_void_p), table.size,
+        bloom.ctypes.data_as(ctypes.c_void_p), bloom_shift,
+        hits.ctypes.data_as(ctypes.c_void_p),
+        wins.ctypes.data_as(ctypes.c_void_p),
+    )
+    return hits, wins
 
 
 def count_valid(buf: np.ndarray) -> int:

@@ -648,3 +648,73 @@ size_t fk_parse_spectrum(const uint8_t *restrict buf, size_t len, int k,
     if (codes[i] <= codes[i - 1]) return (size_t)-1;
   return total;
 }
+
+/* ----------------------------------------------------------------- */
+/* Read filtering: per-read k-mer membership scoring (findkmer filter)
+ *
+ * For each read (a contiguous byte span of `buf`), a rolling 2-bit
+ * scan counts valid windows and how many of their codes are present
+ * in a sorted u64 table — a one-probe bit-table prefilter in front of
+ * the binary search so misses (the common case against a foreign
+ * spectrum) cost one load.  Mirrors filter.py's numpy hits_batch
+ * semantics exactly (non-ACGT resets the window; canonical folds to
+ * min(code, revcomp)); OpenMP over reads.                            */
+
+/* case-insensitive base map for the filter scan, stored value+1 so
+ * the zero default means invalid (window reset) — matches
+ * io/encode.py / filter.py semantics                                 */
+static const int8_t FK_FILTER_CODE[256] = {
+    ['A'] = 1, ['C'] = 2, ['G'] = 3, ['T'] = 4,
+    ['a'] = 1, ['c'] = 2, ['g'] = 3, ['t'] = 4,
+};
+
+static inline int fk_table_has(const uint64_t *t, size_t n, uint64_t key) {
+  size_t lo = 0, hi = n;
+  while (lo < hi) {
+    size_t mid = lo + ((hi - lo) >> 1);
+    if (t[mid] < key)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo < n && t[lo] == key;
+}
+
+void fk_filter_hits(const uint8_t *restrict buf,
+                    const long long *restrict starts,
+                    const long long *restrict lens, long long n_reads,
+                    int k, int canonical,
+                    const uint64_t *restrict table, size_t tsize,
+                    const uint8_t *restrict bloom, int bloom_shift,
+                    long long *restrict hits_out,
+                    long long *restrict win_out) {
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const uint64_t mult = 0x9E3779B97F4A7C15ULL;
+  const int rc_shift = 2 * (k - 1);
+#pragma omp parallel for schedule(dynamic, 64)
+  for (long long r = 0; r < n_reads; ++r) {
+    const uint8_t *p = buf + starts[r];
+    long long n = lens[r];
+    uint64_t code = 0, rc = 0;
+    long long run = 0, wins = 0, hits = 0;
+    for (long long i = 0; i < n; ++i) {
+      int b = (int)FK_FILTER_CODE[p[i]] - 1;
+      if (b < 0) {
+        run = 0;
+        continue;
+      }
+      code = ((code << 2) | (uint64_t)b) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+      if (++run >= k) {
+        ++wins;
+        uint64_t c = code;
+        if (canonical && rc < c) c = rc;
+        if (bloom[(c * mult) >> bloom_shift] &&
+            fk_table_has(table, tsize, c))
+          ++hits;
+      }
+    }
+    hits_out[r] = hits;
+    win_out[r] = wins;
+  }
+}

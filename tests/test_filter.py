@@ -187,14 +187,22 @@ def test_filter_canonical_threshold_after_fold(tmp_path):
               "--min-count", "3", "-o", "kept2.fa"], tmp_path)
     assert (tmp_path / "kept2.fa").read_text() == ""
 
-def test_hits_batch_equals_per_read(rng):
+@pytest.mark.parametrize("native_on", [True, False])
+def test_hits_batch_equals_per_read(rng, native_on, monkeypatch):
     """hits_batch over a mixed batch == per-read oracle, including
     reads shorter than k, empty reads, all-N reads, and batch
-    boundaries (the 'N' join must not leak windows across reads)."""
+    boundaries (the 'N' join must not leak windows across reads).
+    Covers both the OpenMP C scan and the numpy fallback."""
     import numpy as np
     import tempfile
 
     from findkmer_tpu.filter import FilterSpec
+    from findkmer_tpu.io import native as native_mod
+
+    if not native_on:
+        monkeypatch.setattr(native_mod, "available", lambda: False)
+    elif not native_mod.available():
+        pytest.skip("native lib unavailable")
 
     k = 5
     kmers = {"".join(rng.choice(list("ACGT")) for _ in range(k))
