@@ -53,7 +53,13 @@ EOF
 # 2. driver bench (k8 dense, k21 + k15 sparse)
 timeout 1800 python bench.py >> $LOG 2>&1
 
-# 3. chr-scale end-to-end with phase breakdown
+# 3. chr-scale end-to-end with phase breakdown (input synthesized on
+#    first use — /tmp does not survive across rounds)
+[ -f /tmp/chr_sim.fa ] || timeout 600 python - <<'EOF' >> $LOG 2>&1
+from bench.quick import _synth_fasta
+_synth_fasta("/tmp/chr_sim.fa", 100_000_000)
+print("synthesized /tmp/chr_sim.fa")
+EOF
 ( time timeout 1800 python -m findkmer_tpu.cli count -i /tmp/chr_sim.fa -k 21 \
     -o /tmp/chr21_sweep.txt --stats json ) >> $LOG 2>&1
 
