@@ -354,8 +354,12 @@ def per_record_spectra(
                 _ChunkIterReader(rec), fused, cfg, stats=stats
             )
             state = counter.init_state()
+            # threaded=False: a producer thread PER RECORD would cost
+            # more than it overlaps for short records (FASTQ reads);
+            # async device_put still overlaps H2D with compute
             for rows in prefetch_to_device(
-                batches, cfg.prefetch, put=counter.put_batch
+                batches, cfg.prefetch, put=counter.put_batch,
+                threaded=False,
             ):
                 state = counter.step(state, rows)
             # drain rec in case the record was pure whitespace (no
