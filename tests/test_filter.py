@@ -227,3 +227,40 @@ def test_hits_batch_equals_per_read(rng, native_on, monkeypatch):
             assert (int(h), int(w)) == want, r
     finally:
         os.unlink(path)
+
+def test_fastq_block_reader_edges(tmp_path):
+    """Block reader: CRLF, empty seq/header-adjacent cases, records
+    straddling block boundaries, truncated tail, unterminated EOF."""
+    from findkmer_tpu.filter import _fastq_records_block
+
+    # CRLF + empty sequence read + unterminated final line
+    p = tmp_path / "a.fastq"
+    p.write_bytes(
+        b"@r1\r\nACGT\r\n+\r\nIIII\r\n@r2\n\n+\n\n@r3\nGG\n+\nII"
+    )
+    recs = list(_fastq_records_block(str(p)))
+    assert [s for s, _ in recs] == [b"ACGT", b"", b"GG"]
+    assert recs[0][1] == b"@r1\r\nACGT\r\n+\r\nIIII\r\n"
+    assert recs[2][1] == b"@r3\nGG\n+\nII\n"
+
+    # truncated record (2 of 4 lines) raises
+    p2 = tmp_path / "b.fastq"
+    p2.write_bytes(b"@r1\nACGT\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        list(_fastq_records_block(str(p2)))
+
+    # record straddling the 4 MB block boundary stays intact
+    import numpy as np
+
+    big_q = b"I" * (1 << 22)  # quality line larger than one block
+    p3 = tmp_path / "c.fastq"
+    p3.write_bytes(
+        b"@r1\n" + b"A" * (1 << 22) + b"\n+\n" + big_q +
+        b"\n@r2\nCC\n+\nII\n"
+    )
+    recs = list(_fastq_records_block(str(p3)))
+    assert len(recs) == 2
+    assert recs[0][0] == b"A" * (1 << 22)
+    assert recs[1][0] == b"CC"
