@@ -488,15 +488,63 @@ class _CanonizedInputs:
         return False
 
 
+def _setop_binary_fast(paths, out_f, op: str, sep: str) -> bool:
+    """C-parsed vectorized intersect/subtract (same semantics as the
+    streaming versions).  Returns False (nothing written) when inputs
+    are exotic — callers then run the Python line path."""
+    import numpy as np
+
+    from findkmer_tpu.io import native
+
+    sep_b = sep.encode()
+    if not native.available() or len(sep_b) != 1:
+        return False
+    k = _infer_k(paths[0], sep_b)
+    if k is None:
+        return False
+    parsed = []
+    for p in paths:
+        pr = _parse_binary(p, k, sep_b)
+        if pr is None:
+            return False
+        parsed.append(pr)
+    codes, counts = parsed[0]
+    if op == "intersect":
+        for oc, on in parsed[1:]:
+            idx = np.searchsorted(oc, codes)
+            np.clip(idx, 0, max(oc.size - 1, 0), out=idx)
+            hit = (oc[idx] == codes) if oc.size else np.zeros(
+                codes.size, bool
+            )
+            codes = codes[hit]
+            counts = np.minimum(counts[hit], on[idx[hit]])
+    else:  # subtract
+        counts = counts.copy()
+        for oc, on in parsed[1:]:
+            if not oc.size:
+                continue
+            idx = np.searchsorted(oc, codes)
+            np.clip(idx, 0, oc.size - 1, out=idx)
+            hit = oc[idx] == codes
+            counts[hit] -= on[idx[hit]]
+        keep = counts > 0
+        codes, counts = codes[keep], counts[keep]
+    _write_codes(out_f, codes, counts, k, sep_b)
+    return True
+
+
 def intersect_sorted_streaming(
     paths, out_f, sep: str = "\t", canonical: bool = False
 ) -> int:
     """k-mers present in EVERY input; count = min across inputs
     (kmc_tools `intersect` semantics).  Streaming, sorted inputs.
-    canonical=True folds every input to revcomp-min form first."""
+    canonical=True folds every input to revcomp-min form first.
+    Clean inputs take the C-parsed vectorized path."""
     if canonical:
         with _CanonizedInputs(paths, sep) as folded:
             return intersect_sorted_streaming(folded, out_f, sep)
+    if _setop_binary_fast(paths, out_f, "intersect", sep):
+        return -1  # fast path doesn't count lines
     sep_b = sep.encode()
 
     def gen():
@@ -512,10 +560,13 @@ def subtract_sorted_streaming(
 ) -> int:
     """First input minus the (summed) others; rows dropped at <= 0
     (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs.
-    canonical=True folds every input to revcomp-min form first."""
+    canonical=True folds every input to revcomp-min form first.
+    Clean inputs take the C-parsed vectorized path."""
     if canonical:
         with _CanonizedInputs(paths, sep) as folded:
             return subtract_sorted_streaming(folded, out_f, sep)
+    if _setop_binary_fast(paths, out_f, "subtract", sep):
+        return -1
     sep_b = sep.encode()
 
     def gen():

@@ -388,3 +388,54 @@ def test_sort_mixed_lengths_and_k32(tmp_path):
     n2 = spectra.sort_spectrum_file(str(p2), out2)
     assert bytes(out2.getvalue()) == f"{big}\t2\n{'T'*33}\t1\n".encode()
     assert n2 == 2
+
+def test_setop_binary_fast_matches_streaming(tmp_path, rng):
+    """Vectorized set-op fast path == the Python line path, on inputs
+    large enough to matter; exotic inputs decline to the line path."""
+    import io
+    import numpy as np
+
+    from findkmer_tpu import spectra
+    from findkmer_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+
+    def write_spec(path, n, seed):
+        r = np.random.default_rng(seed)
+        codes = np.unique(r.integers(0, 4**6, n).astype(np.uint64))
+        counts = r.integers(1, 50, codes.size)
+        lines = []
+        for c, v in zip(codes.tolist(), counts.tolist()):
+            km = "".join("ACGT"[(c >> (2 * (5 - j))) & 3]
+                         for j in range(6))
+            lines.append(f"{km}\t{v}")
+        path.write_text("\n".join(lines) + "\n")
+
+    a, b, c = (tmp_path / f"s{i}.tsv" for i in range(3))
+    write_spec(a, 2000, 1)
+    write_spec(b, 1500, 2)
+    write_spec(c, 500, 3)
+    paths = [str(a), str(b), str(c)]
+    for op in ("intersect", "subtract"):
+        fast = io.BytesIO()
+        ok = spectra._setop_binary_fast(paths, fast, op, "\t")
+        assert ok
+        slow = io.BytesIO()
+        fn = (spectra.intersect_sorted_streaming if op == "intersect"
+              else spectra.subtract_sorted_streaming)
+        # force the line path by feeding a lowercase copy of the same
+        # data (C parser declines lowercase)
+        import os
+
+        lows = []
+        for p in paths:
+            lp = tmp_path / (os.path.basename(p) + ".low")
+            lp.write_text(
+                "".join(line.lower() + "\n" for line in
+                        open(p).read().splitlines())
+            )
+            lows.append(str(lp))
+        fn(lows, slow)
+        assert bytes(fast.getvalue()).decode() == \
+            slow.getvalue().decode().upper()
