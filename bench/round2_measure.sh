@@ -56,8 +56,12 @@ timeout 1800 python bench.py >> $LOG 2>&1
 # 3. chr-scale end-to-end with phase breakdown (input synthesized on
 #    first use — /tmp does not survive across rounds)
 [ -f /tmp/chr_sim.fa ] || timeout 600 python - <<'EOF' >> $LOG 2>&1
+# write-then-rename: a partial file from a killed synth must never be
+# cached as the benchmark input
+import os
 from bench.quick import _synth_fasta
-_synth_fasta("/tmp/chr_sim.fa", 100_000_000)
+_synth_fasta("/tmp/chr_sim.fa.tmp", 100_000_000)
+os.rename("/tmp/chr_sim.fa.tmp", "/tmp/chr_sim.fa")
 print("synthesized /tmp/chr_sim.fa")
 EOF
 ( time timeout 1800 python -m findkmer_tpu.cli count -i /tmp/chr_sim.fa -k 21 \

@@ -189,61 +189,122 @@ class FilterSpec:
 def _fastq_records_block(path) -> Iterator[Tuple[bytes, bytes]]:
     """(seq, verbatim record bytes) per FASTQ read, block-parsed.
 
-    Newlines for a whole 4 MB block are located in one numpy pass and
-    the '@'/'+' structure of every record is validated vectorized —
-    strict 4-line records only (same contract as io/fastq.FastqReader;
-    wrapped sequence/quality is refused, never silently misparsed).
-    ~3x the per-read readline loop."""
+    Newlines are located with one numpy pass PER 4 MB BLOCK (never
+    rescanning carried bytes, so multi-block long-read records stay
+    linear); strict 4-line records only — wrapped sequence/quality is
+    refused, never silently misparsed — with blank lines tolerated
+    where a HEADER is expected (between records; matches
+    io/fastq.FastqReader).  A blank line in the sequence position is a
+    legitimate empty read."""
     from findkmer_tpu.io.fasta import open_maybe_gzip
 
     f, own = open_maybe_gzip(path)
     try:
-        carry = b""
+        parts: list = []       # unconsumed byte chunks, in order
+        nls: list = []         # their newline positions (absolute)
+        base = 0               # total unconsumed bytes
+        n_nl = 0
+        eof = False
         while True:
-            block = f.read(1 << 22)
-            if not block and not carry:
+            if not eof:
+                block = f.read(1 << 22)
+                if block:
+                    arr = np.frombuffer(block, np.uint8)
+                    nl_new = np.flatnonzero(arr == 10).astype(np.int64)
+                    nl_new += base
+                    parts.append(block)
+                    nls.append(nl_new)
+                    base += len(block)
+                    n_nl += nl_new.size
+                else:
+                    eof = True
+                    if base and not parts[-1].endswith(b"\n"):
+                        parts.append(b"\n")  # unterminated final line
+                        nls.append(np.array([base], np.int64))
+                        base += 1
+                        n_nl += 1
+            if base == 0:
                 return
-            data = carry + block if carry else block
-            if not block and not data.endswith(b"\n"):
-                data += b"\n"  # unterminated final line at EOF
-            arr = np.frombuffer(data, np.uint8)
-            nl = np.flatnonzero(arr == 10)
+            if n_nl < 4 and not eof:
+                continue  # no complete record can exist yet
+            data = b"".join(parts)
+            nl = (
+                np.concatenate(nls) if len(nls) > 1
+                else (nls[0] if nls else np.empty(0, np.int64))
+            )
+
+            def line_start(i: int) -> int:
+                return 0 if i == 0 else int(nl[i - 1]) + 1
+
+            li = 0
+            consumed = 0
+            # fast path: when every 4-line group in this flush is a
+            # clean strict record (vectorized '@'/'+' check), group
+            # without the per-line walk; any blank/odd line falls to
+            # the walking loop below, which tolerates blanks at header
+            # positions and raises on true multi-line FASTQ
             nrec = nl.size // 4
-            if nrec == 0:
-                if not block:
-                    if data.strip():
-                        raise ValueError(
-                            f"{path}: truncated FASTQ record"
+            if nrec:
+                arr = np.frombuffer(data, np.uint8)
+                starts = np.empty(4 * nrec, np.int64)
+                starts[0] = 0
+                starts[1:] = nl[: 4 * nrec - 1] + 1
+                if (
+                    (arr[starts[0::4]] == 0x40).all()
+                    and (arr[starts[2::4]] == 0x2B).all()
+                ):
+                    seq_s = starts[1::4]
+                    seq_e = nl[1::4][:nrec]
+                    rec_s = starts[0::4]
+                    rec_e = nl[3::4][:nrec] + 1
+                    for i in range(nrec):
+                        s1, e1 = int(seq_s[i]), int(seq_e[i])
+                        if e1 > s1 and data[e1 - 1] == 0x0D:  # CRLF
+                            e1 -= 1
+                        yield (
+                            data[s1:e1],
+                            data[int(rec_s[i]) : int(rec_e[i])],
                         )
-                    return
-                carry = data
-                continue
-            end = int(nl[4 * nrec - 1]) + 1
-            carry = data[end:]
-            starts = np.empty(4 * nrec, np.int64)
-            starts[0] = 0
-            starts[1:] = nl[: 4 * nrec - 1] + 1
-            hdr = starts[0::4]
-            seq_s = starts[1::4]
-            plus = starts[2::4]
-            seq_e = nl[1::4][:nrec]
-            rec_e = nl[3::4][:nrec] + 1
-            if not (
-                (arr[hdr] == 0x40).all() and (arr[plus] == 0x2B).all()
-            ):
-                raise ValueError(
-                    f"{path}: multi-line FASTQ is not supported "
-                    "(expected @header/seq/+/quality groups)"
-                )
-            for i in range(nrec):
-                s0, s1 = int(seq_s[i]), int(seq_e[i])
-                if s1 > s0 and data[s1 - 1] == 0x0D:  # CRLF
-                    s1 -= 1
-                yield data[s0:s1], data[int(hdr[i]) : int(rec_e[i])]
-            if not block:
-                if carry.strip():
+                    li = 4 * nrec
+                    consumed = int(rec_e[-1])
+            while True:
+                # skip blank lines where a header is expected
+                while li < nl.size:
+                    s0 = line_start(li)
+                    e0 = int(nl[li])
+                    if e0 - s0 == 0 or (
+                        e0 - s0 == 1 and data[s0] == 0x0D
+                    ):
+                        li += 1
+                        consumed = e0 + 1
+                        continue
+                    break
+                if li + 4 > nl.size:
+                    break  # incomplete record: carry the tail
+                s0 = line_start(li)
+                s2 = line_start(li + 2)
+                if data[s0] != 0x40 or data[s2] != 0x2B:
+                    raise ValueError(
+                        f"{path}: multi-line FASTQ is not supported "
+                        "(expected @header/seq/+/quality groups)"
+                    )
+                s1 = line_start(li + 1)
+                e1 = int(nl[li + 1])
+                if e1 > s1 and data[e1 - 1] == 0x0D:  # CRLF
+                    e1 -= 1
+                e3 = int(nl[li + 3]) + 1
+                yield data[s1:e1], data[s0:e3]
+                li += 4
+                consumed = e3
+            if eof:
+                if data[consumed:].strip():
                     raise ValueError(f"{path}: truncated FASTQ record")
                 return
+            rem = data[consumed:]
+            parts = [rem] if rem else []
+            nls = [nl[li:] - consumed] if li < nl.size else []
+            base = len(rem)
+            n_nl = nl.size - li
     finally:
         if own:
             f.close()

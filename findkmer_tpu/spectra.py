@@ -488,25 +488,34 @@ class _CanonizedInputs:
         return False
 
 
-def _setop_binary_fast(paths, out_f, op: str, sep: str) -> bool:
+def _setop_binary_fast(paths, out_f, op: str, sep: str):
     """C-parsed vectorized intersect/subtract (same semantics as the
-    streaming versions).  Returns False (nothing written) when inputs
-    are exotic — callers then run the Python line path."""
+    streaming versions).  Returns the written-line count, or None
+    (nothing written) when inputs are exotic or too large to hold in
+    RAM — callers then run the O(buffers)-memory Python line path."""
+    import os
+
     import numpy as np
 
     from findkmer_tpu.io import native
 
     sep_b = sep.encode()
     if not native.available() or len(sep_b) != 1:
-        return False
+        return None
+    # memory gate: this path holds every input parsed in RAM
+    # (~1.7x file bytes); beyond it the streaming path keeps the
+    # original O(buffers) guarantee
+    limit = int(os.environ.get("FINDKMER_SETOP_FAST_MAX", 1 << 30))
+    if sum(os.path.getsize(p) for p in paths) > limit:
+        return None
     k = _infer_k(paths[0], sep_b)
     if k is None:
-        return False
+        return None
     parsed = []
     for p in paths:
         pr = _parse_binary(p, k, sep_b)
         if pr is None:
-            return False
+            return None
         parsed.append(pr)
     codes, counts = parsed[0]
     if op == "intersect":
@@ -530,7 +539,7 @@ def _setop_binary_fast(paths, out_f, op: str, sep: str) -> bool:
         keep = counts > 0
         codes, counts = codes[keep], counts[keep]
     _write_codes(out_f, codes, counts, k, sep_b)
-    return True
+    return int(codes.size)
 
 
 def intersect_sorted_streaming(
@@ -539,12 +548,14 @@ def intersect_sorted_streaming(
     """k-mers present in EVERY input; count = min across inputs
     (kmc_tools `intersect` semantics).  Streaming, sorted inputs.
     canonical=True folds every input to revcomp-min form first.
-    Clean inputs take the C-parsed vectorized path."""
+    Clean inputs within the memory gate take the C-parsed vectorized
+    path; everything else streams in O(buffers) memory."""
     if canonical:
         with _CanonizedInputs(paths, sep) as folded:
             return intersect_sorted_streaming(folded, out_f, sep)
-    if _setop_binary_fast(paths, out_f, "intersect", sep):
-        return -1  # fast path doesn't count lines
+    n = _setop_binary_fast(paths, out_f, "intersect", sep)
+    if n is not None:
+        return n
     sep_b = sep.encode()
 
     def gen():
@@ -561,12 +572,14 @@ def subtract_sorted_streaming(
     """First input minus the (summed) others; rows dropped at <= 0
     (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs.
     canonical=True folds every input to revcomp-min form first.
-    Clean inputs take the C-parsed vectorized path."""
+    Clean inputs within the memory gate take the C-parsed vectorized
+    path; everything else streams in O(buffers) memory."""
     if canonical:
         with _CanonizedInputs(paths, sep) as folded:
             return subtract_sorted_streaming(folded, out_f, sep)
-    if _setop_binary_fast(paths, out_f, "subtract", sep):
-        return -1
+    n = _setop_binary_fast(paths, out_f, "subtract", sep)
+    if n is not None:
+        return n
     sep_b = sep.encode()
 
     def gen():

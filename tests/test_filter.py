@@ -264,3 +264,36 @@ def test_fastq_block_reader_edges(tmp_path):
     assert len(recs) == 2
     assert recs[0][0] == b"A" * (1 << 22)
     assert recs[1][0] == b"CC"
+
+def test_fastq_block_reader_blank_lines_and_linear(tmp_path):
+    """Blank lines between records are tolerated (FastqReader parity);
+    a record spanning many blocks parses linearly and intact."""
+    from findkmer_tpu.filter import _fastq_records_block
+
+    p = tmp_path / "b.fastq"
+    p.write_bytes(
+        b"\n\n@r1\nACGT\n+\nIIII\n\r\n@r2\nGG\n+\nII\n\n"
+    )
+    recs = list(_fastq_records_block(str(p)))
+    assert [s for s, _ in recs] == [b"ACGT", b"GG"]
+
+    import time
+
+    big = tmp_path / "long.fastq"
+    n = 48 << 20  # 48 MB seq + 48 MB quality: 12+ blocks per line
+    with open(big, "wb") as f:
+        f.write(b"@long\n")
+        f.write(b"A" * n)
+        f.write(b"\n+\n")
+        f.write(b"I" * n)
+        f.write(b"\n@tail\nCC\n+\nII\n")
+    t0 = time.perf_counter()
+    recs = list(_fastq_records_block(str(big)))
+    dt = time.perf_counter() - t0
+    assert len(recs) == 2 and len(recs[0][0]) == n
+    assert recs[1][0] == b"CC"
+    # linear parse of 96 MB is seconds even at this VM's ~17 MB/s
+    # fresh-page fault rate; the quadratic rescan regression this
+    # guards against (re-joining the carry per 4 MB block) takes
+    # minutes.  Generous bound: machine noise must not flake it.
+    assert dt < 60, f"long-read parse took {dt:.1f}s (quadratic?)"
