@@ -96,9 +96,14 @@ class FilterSpec:
             from findkmer_tpu.ops.window import str_to_code
 
             d = spectra.read_spectrum(path, sep)
-            codes = np.fromiter(
-                (str_to_code(km) for km in d), np.uint64, len(d)
-            )
+            try:
+                codes = np.fromiter(
+                    (str_to_code(km) for km in d), np.uint64, len(d)
+                )
+            except KeyError as e:
+                raise ValueError(
+                    f"{path}: non-ACGT k-mer in spectrum: {e}"
+                ) from e
             counts = np.fromiter(d.values(), np.int64, len(d))
         else:
             codes, counts = parsed
