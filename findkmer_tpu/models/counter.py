@@ -644,16 +644,7 @@ class KmerCounter:
             return (hi_h << np.uint64(32)) | np.asarray(chs[1])[:m]
         codes = np.asarray(chs[0])[:m].astype(np.uint64)
         if runs is not None:
-            ridx, rhi = runs
-            e = a + m
-            j0 = max(int(np.searchsorted(ridx, a, side="right")) - 1, 0)
-            j1 = int(np.searchsorted(ridx, e, side="left"))
-            for j in range(j0, j1):
-                s = max(int(ridx[j]), a) - a
-                t = int(ridx[j + 1]) if j + 1 < ridx.size else e
-                t = min(t, e) - a
-                if t > s and rhi[j]:
-                    codes[s:t] |= np.uint64(rhi[j]) << np.uint64(32)
+            sparse_ops.apply_hi_runs(codes, a, runs[0], runs[1])
         return codes
 
     def _finalize_ordered(self, store, timers=None):

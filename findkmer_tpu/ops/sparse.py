@@ -356,6 +356,72 @@ def slice_live_exc_runs(hi, lo, cnt, N: int, E: int, HR: int):
     return loN, ridx, rhi, idx, jnp.take(cntN, idx)
 
 
+@jax.jit
+def row_multi(cnt):
+    """Per-row number of live entries with count > 1 (exception count)."""
+    return jnp.sum(cnt > 1, axis=1)
+
+
+@partial(jax.jit, static_argnames=("N", "E"))
+def wire_rows_exc_2d(store, N: int, E: int):
+    """Per-row coded wire for a squeezed row store (dp_sparse finalize).
+
+    Rows must be live-prefix sorted (squeeze_2d/_squeeze_slice output):
+    entries [0, n_live_g) of row g are sorted distinct codes, the rest
+    sentinel holes.  Returns the code planes sliced to N columns plus
+    per-row count exceptions (positions with count > 1 and their
+    counts; positions past row g's n_multi are fill == N), so the cnt
+    plane never crosses the wire — the multi-chip analog of the
+    single-chip ordered finalize (models/counter.py _ordered_pull)."""
+    cnt = store[-1][:, :N]
+    codes = tuple(c[:, :N] for c in store[:-1])
+    iota = lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
+    ek = jnp.where(cnt > 1, iota, jnp.int32(N))
+    (ek,) = lax.sort((ek,), dimension=1, num_keys=1, is_stable=False)
+    eidx = ek[:, :E]
+    ecnt = jnp.take_along_axis(cnt, jnp.clip(eidx, 0, N - 1), axis=1)
+    return codes, eidx, ecnt
+
+
+@partial(jax.jit, static_argnames=("N", "HR"))
+def hi_runs_2d(hi, N: int, HR: int):
+    """Per-row run coding of the hi plane (sorted rows, 16 <= k <= 26).
+
+    A sorted row's hi word changes at most 4^(k-16) times (+1 for the
+    sentinel hole tail), so the wire carries (run start, hi value)
+    pairs per row instead of 4 B/entry of hi.  Fill entries carry
+    start == N."""
+    hiN = hi[:, :N]
+    G = hiN.shape[0]
+    change = jnp.concatenate(
+        [jnp.ones((G, 1), bool), hiN[:, 1:] != hiN[:, :-1]], axis=1
+    )
+    iota = lax.broadcasted_iota(jnp.int32, hiN.shape, 1)
+    rk = jnp.where(change, iota, jnp.int32(N))
+    (rk,) = lax.sort((rk,), dimension=1, num_keys=1, is_stable=False)
+    ridx = rk[:, :HR]
+    rhi = jnp.take_along_axis(hiN, jnp.clip(ridx, 0, N - 1), axis=1)
+    return ridx, rhi
+
+
+def apply_hi_runs(codes, a: int, ridx, rhi) -> None:
+    """OR run-coded hi words into uint64 `codes` (span [a, a+m)) in place.
+
+    ridx: sorted run start positions (absolute, real entries only);
+    rhi: the hi value of each run.  Only runs overlapping the span are
+    touched — a handful of segment ORs per chunk."""
+    m = codes.shape[0]
+    e = a + m
+    j0 = max(int(np.searchsorted(ridx, a, side="right")) - 1, 0)
+    j1 = int(np.searchsorted(ridx, e, side="left"))
+    for j in range(j0, j1):
+        s = max(int(ridx[j]), a) - a
+        t = int(ridx[j + 1]) if j + 1 < ridx.size else e
+        t = min(t, e) - a
+        if t > s and rhi[j]:
+            codes[s:t] |= np.uint64(rhi[j]) << np.uint64(32)
+
+
 def ladder(n: int, floor: int = 1 << 20) -> int:
     """Smallest padded size >= n from the {1, 1.5} x 2^i ladder.
 

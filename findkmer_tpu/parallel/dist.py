@@ -569,15 +569,83 @@ class DistributedCounter:
                     "Config.route_capacity_factor (skewed input)"
                 )
             return np.asarray(self._finalize(shards))
+        import os
+
         st = self._compact_sparse(state)
         d = np.asarray(st.distinct)
         self._check_capacity(int(d.max()))
-        # squeeze holes/padding to the live ladder before the pull —
-        # same D2H cut as the single-device finalize (25-40% at scale)
         store = st.store
-        Ld = sparse_ops.ladder(int(d.max()), floor=4096)
-        if st.store_len > Ld:
-            store = _squeeze_slice_keep2(store, Ld)
-        return _host_merge_stores(store)
+        if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
+            # legacy wire: squeeze holes/padding to the live ladder and
+            # pull the full (hi, lo, cnt) planes for a host heap merge
+            Ld = sparse_ops.ladder(int(d.max()), floor=4096)
+            if st.store_len > Ld:
+                store = _squeeze_slice_keep2(store, Ld)
+            return _host_merge_stores(store)
+        return self._finalize_sparse_ordered(store, st.store_len, d)
+
+    def _finalize_sparse_ordered(self, store, store_len: int, d):
+        """Coded-wire dp_sparse finalize (multi-chip analog of the
+        single-chip ordered finalize, models/counter.py).
+
+        Each device row is squeezed to a sorted live prefix on device,
+        then only the code planes cross the wire: counts travel as
+        per-row exceptions (positions with count > 1; ~1% at chr scale)
+        and for 16 <= k <= 26 the hi plane travels run-coded
+        (<= 4^(k-16)+1 runs/row) — ~4 B/entry of finalize D2H instead
+        of 12 (wide) / 8 (narrow).  The host decodes each row into a
+        sorted distinct run and heap-merges the n_dev runs in one C
+        pass (BASELINE metric 2: count-table merge)."""
+        k = self.cfg.k
+        n_live = d.astype(np.int64)
+        N = min(
+            sparse_ops.ladder(max(int(n_live.max()), 1), floor=4096),
+            store_len,
+        )
+        # always squeeze: the coded wire needs live-PREFIX rows (holes
+        # from RLE'd duplicates are interspersed after compaction)
+        store = _squeeze_slice_keep2(store, N)
+        n_multi = np.asarray(sparse_ops.row_multi(store[-1]))
+        E = min(
+            sparse_ops.ladder(max(int(n_multi.max()), 1), floor=256), N
+        )
+        wide = len(store) == 3
+        run_coded = wide and k <= 26
+        codes_dev, eidx, ecnt = sparse_ops.wire_rows_exc_2d(store, N, E)
+        runs_dev = None
+        if run_coded:
+            HR = min(4 ** (k - 16) + 2, N)
+            runs_dev = sparse_ops.hi_runs_2d(store[0], N, HR)
+            codes_dev = codes_dev[1:]  # hi rides the run coding
+        # one D2H per plane (the small side tables first)
+        eidx_h = np.asarray(eidx)
+        ecnt_h = np.asarray(ecnt)
+        ridx_h = rhi_h = None
+        if runs_dev is not None:
+            ridx_h = np.asarray(runs_dev[0])
+            rhi_h = np.asarray(runs_dev[1])
+        planes = [np.asarray(c) for c in codes_dev]
+        host_runs = []
+        for g in range(planes[0].shape[0]):
+            nl = int(n_live[g])
+            if nl == 0:
+                continue
+            if len(planes) == 2:  # wide, k > 26: hi pulled per entry
+                codes = (planes[0][g][:nl].astype(np.uint64)
+                         << np.uint64(32)) | planes[1][g][:nl]
+            else:
+                codes = planes[0][g][:nl].astype(np.uint64)
+                if ridx_h is not None:
+                    real = ridx_h[g] < nl  # fills carry start == N
+                    sparse_ops.apply_hi_runs(
+                        codes, 0, ridx_h[g][real].astype(np.int64),
+                        rhi_h[g][real],
+                    )
+            counts = np.ones(nl, np.int64)
+            nm = int(n_multi[g])
+            if nm:
+                counts[eidx_h[g][:nm]] = ecnt_h[g][:nm]
+            host_runs.append((codes, counts))
+        return sparse_ops.merge_host_runs(host_runs)
 
 

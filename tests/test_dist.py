@@ -175,6 +175,35 @@ def test_sparse_dist_repeated_compactions(rng, k):
     assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
 
 
+@pytest.mark.parametrize("k", [12, 21, 31])
+def test_sparse_dist_ordered_finalize_repeats(rng, k):
+    """Coded-wire dp_sparse finalize (ROADMAP: ordered finalize for
+    dp_sparse): repeat-heavy input forces many count exceptions per
+    device row; k=12 covers the narrow wire, k=21 the run-coded hi
+    wire, k=31 the per-entry hi wire."""
+    seq = ("ACGTACGGTTCA" * 120) + random_dna(rng, 3000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=64, batch_rows=8, table_mode="sparse",
+        sparse_capacity=65536,
+    )
+    spectrum = _count_dist(text, cfg, 8)
+    assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
+
+
+def test_sparse_dist_legacy_finalize_matches(rng, monkeypatch):
+    """FINDKMER_ORDERED_FINALIZE=0 restores the full-plane heap-merge
+    wire; both wires must produce identical spectra."""
+    seq = ("ACGT" * 200) + random_dna(rng, 2000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(k=21, chunk_len=64, batch_rows=8, sparse_capacity=65536)
+    ordered = _count_dist(text, cfg, 8)
+    monkeypatch.setenv("FINDKMER_ORDERED_FINALIZE", "0")
+    legacy = _count_dist(text, cfg, 8)
+    np.testing.assert_array_equal(ordered[0], legacy[0])
+    np.testing.assert_array_equal(ordered[1], legacy[1])
+
+
 def test_sparse_dist_capacity_error(rng):
     seq = random_dna(rng, 4000)
     text = ">r\n" + seq + "\n"
