@@ -353,13 +353,19 @@ def cmd_merge(args) -> int:
 
     if args.zeros and args.k <= 0:
         raise ValueError("merge -z needs -k to enumerate all 4^k k-mers")
+    if args.canonical and not args.zeros:
+        raise ValueError(
+            "merge --canonical only affects -z interleaving (a plain "
+            "merge of canonical spectra needs no flag)"
+        )
     zk = args.k if args.zeros else None
     f, close = _open_out(args.output)
     try:
         if args.in_memory:
             counts = spectra.merge_spectra(args.input, sep=args.sep)
             for line in spectra.spectrum_lines(counts, sep=args.sep,
-                                               zeros_k=zk):
+                                               zeros_k=zk,
+                                               canonical=args.canonical):
                 f.write(line.encode() + b"\n")
         elif zk is None and spectra.merge_binary_fast(
             args.input, f, sep=args.sep
@@ -369,7 +375,8 @@ def cmd_merge(args) -> int:
             # streaming k-way merge: O(MB) memory at chr scale (our
             # spectrum writers always emit sorted files)
             spectra.merge_sorted_streaming(args.input, f, sep=args.sep,
-                                           zeros_k=zk)
+                                           zeros_k=zk,
+                                           canonical=args.canonical)
     finally:
         if close:
             f.close()
@@ -592,6 +599,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-k", type=int, default=0,
                     help="k (only needed with -z)")
     pm.add_argument("-z", "--zeros", action="store_true")
+    pm.add_argument("--canonical", action="store_true",
+                    help="with -z: interleave zeros over the CANONICAL "
+                         "code space (kmers with kmer <= revcomp) — for "
+                         "merging spectra counted with --canonical")
     pm.add_argument("--sep", default="\t")
     pm.add_argument("--in-memory", action="store_true",
                     help="dict-based merge (accepts unsorted inputs; "

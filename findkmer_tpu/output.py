@@ -107,9 +107,20 @@ def spectrum_chunks(
     if cfg.zeros:
         for s in range(0, counts.shape[0], chunk):
             e = min(s + chunk, counts.shape[0])
+            codes = np.arange(s, e, dtype=np.uint64)
+            cnts = counts[s:e]
+            if cfg.canonical:
+                # canonical tables fold every count onto min(code,
+                # revcomp): the zero interleave enumerates only that
+                # canonical code space (non-canonical slots are
+                # structural, not observed-zero)
+                from findkmer_tpu.spectra import revcomp_codes_u64
+
+                m = codes <= revcomp_codes_u64(codes, k)
+                codes, cnts = codes[m], cnts[m]
             yield _format_chunk(
-                np.arange(s, e, dtype=np.uint64),
-                counts[s:e],
+                codes,
+                cnts,
                 k,
                 sep,
                 cfg.out_counts_only,

@@ -216,17 +216,28 @@ def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
             prev = kmer
 
 
+_RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _is_canonical_kmer(kmer: bytes) -> bool:
+    return kmer <= kmer.translate(_RC_TABLE)[::-1]
+
+
 def merge_sorted_streaming(
     paths: Iterable[str],
     out_f,
     sep: str = "\t",
     zeros_k: int | None = None,
+    canonical: bool = False,
 ) -> int:
     """K-way heap merge of sorted spectrum files into out_f (binary).
 
     Memory is O(open-file buffers) regardless of spectrum size; counts
     for equal k-mers are summed.  zeros_k interleaves zero-count lines
-    for every absent k-mer of length zeros_k (direct-table semantics).
+    for every absent k-mer of length zeros_k (direct-table semantics);
+    with canonical=True the interleave enumerates the CANONICAL code
+    space (kmers with kmer <= revcomp(kmer)) and inputs are required to
+    be canonical spectra (fold them first with `findkmer canonize`).
     Returns the number of output lines written.
     """
     sep_b = sep.encode()
@@ -235,9 +246,10 @@ def merge_sorted_streaming(
 
     expected = None
     if zeros_k is not None:
-        from oracle.scalar import all_kmers
+        from oracle.scalar import all_kmers, canonical_kmers
 
-        expected = (k_.encode() for k_ in all_kmers(zeros_k))
+        enum = canonical_kmers if canonical else all_kmers
+        expected = (k_.encode() for k_ in enum(zeros_k))
 
     lines = 0
     cur_kmer = None
@@ -247,6 +259,12 @@ def merge_sorted_streaming(
     def _emit(kmer: bytes, count: int):
         nonlocal lines
         if expected is not None:
+            if canonical and not _is_canonical_kmer(kmer):
+                raise ValueError(
+                    f"non-canonical k-mer {kmer.decode()!r} in input of a "
+                    "canonical -z merge; fold inputs with `findkmer "
+                    "canonize` first"
+                )
             for want in expected:
                 if want == kmer:
                     break
@@ -280,16 +298,28 @@ def merge_sorted_streaming(
 
 
 def spectrum_lines(
-    counts: Dict[str, int], sep: str = "\t", zeros_k: int | None = None
+    counts: Dict[str, int], sep: str = "\t", zeros_k: int | None = None,
+    canonical: bool = False,
 ) -> Iterable[str]:
     """Lexicographically ordered output lines.
 
-    zeros_k: if set, emit all 4^k k-mers including zero counts.
+    zeros_k: if set, emit all 4^k k-mers including zero counts —
+    canonical=True enumerates only the canonical (revcomp-min) code
+    space and rejects non-canonical input k-mers.
     """
     if zeros_k is not None:
-        from oracle.scalar import all_kmers
+        from oracle.scalar import all_kmers, canonical_kmers
 
-        for kmer in all_kmers(zeros_k):
+        if canonical:
+            for kmer in counts:
+                if not _is_canonical_kmer(kmer.encode()):
+                    raise ValueError(
+                        f"non-canonical k-mer {kmer!r} in input of a "
+                        "canonical -z merge; fold inputs with "
+                        "`findkmer canonize` first"
+                    )
+        enum = canonical_kmers if canonical else all_kmers
+        for kmer in enum(zeros_k):
             yield f"{kmer}{sep}{counts.get(kmer, 0)}"
     else:
         for kmer in sorted(counts):

@@ -135,19 +135,31 @@ def all_kmers(k: int) -> Iterable[str]:
             yield prefix + b
 
 
+def canonical_kmers(k: int) -> Iterable[str]:
+    """All canonical k-mers (kmer <= revcomp(kmer)) in lexicographic
+    order — the zero-interleave code space of a canonical spectrum."""
+    for kmer in all_kmers(k):
+        if kmer <= revcomp_str(kmer):
+            yield kmer
+
+
 def spectrum_lines(
     counts: Dict[str, int],
     k: int,
     *,
     zeros: bool = False,
     sep: str = "\t",
+    canonical: bool = False,
 ) -> List[str]:
     """Render the spectrum as `KMER<sep>COUNT` lines in lexicographic order.
 
     With zeros=True every one of the 4^k k-mers is emitted (only sensible for
-    small k); otherwise only observed k-mers, still ordered.
+    small k); canonical=True restricts the zero interleave to the canonical
+    (kmer <= revcomp) code space — the enumerable space of a canonical
+    spectrum.  Otherwise only observed k-mers, still ordered.
     Mirrors the reference's ordered output traversal (SURVEY.md §3.1 E4).
     """
     if zeros:
-        return [f"{kmer}{sep}{counts.get(kmer, 0)}" for kmer in all_kmers(k)]
+        enum = canonical_kmers if canonical else all_kmers
+        return [f"{kmer}{sep}{counts.get(kmer, 0)}" for kmer in enum(k)]
     return [f"{kmer}{sep}{counts[kmer]}" for kmer in sorted(counts)]

@@ -109,6 +109,77 @@ def test_streaming_merge_zeros(tmp_path):
     assert [line.split("\t")[0] for line in got] == list(all_kmers(2))
 
 
+def test_streaming_merge_canonical_zeros(tmp_path):
+    """merge -z --canonical interleaves zeros over the canonical code
+    space only (ROADMAP: canonical-aware merge -z)."""
+    import io
+    from findkmer_tpu import spectra
+    from oracle.scalar import canonical_kmers
+
+    p = tmp_path / "s.tsv"
+    p.write_text("AC\t3\nCG\t1\nTA\t2\n")  # all canonical 2-mers
+    buf = io.BytesIO()
+    spectra.merge_sorted_streaming([str(p)], buf, zeros_k=2,
+                                   canonical=True)
+    got = buf.getvalue().decode().splitlines()
+    want_kmers = list(canonical_kmers(2))
+    assert [line.split("\t")[0] for line in got] == want_kmers
+    assert len(want_kmers) == 10  # (16 + 4 palindromes) / 2
+    d = dict(line.split("\t") for line in got)
+    assert d["AC"] == "3" and d["AA"] == "0" and d["TA"] == "2"
+
+    # non-canonical input k-mer -> clean error (GT folds to AC)
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("GT\t1\n")
+    with pytest.raises(ValueError, match="non-canonical"):
+        spectra.merge_sorted_streaming([str(bad)], io.BytesIO(),
+                                       zeros_k=2, canonical=True)
+    with pytest.raises(ValueError, match="non-canonical"):
+        list(spectra.spectrum_lines({"GT": 1}, zeros_k=2, canonical=True))
+
+
+def test_merge_cli_canonical_zeros_matches_count(tmp_path, fixtures_dir):
+    """CLI: merging canonical spectra with -z --canonical equals
+    counting the combined input with -z --canonical (both enumerate
+    the canonical code space); --in-memory path agrees."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    d = os.path.join(fixtures_dir, "debruijn4.fa")
+    for src, out in ((t, "c1.tsv"), (d, "c2.tsv")):
+        r = _cli(["count", "-i", src, "-k", "3", "--canonical",
+                  "-o", out], tmp_path)
+        assert r.returncode == 0, r.stderr
+    rm = _cli(["merge", "-i", "c1.tsv", "c2.tsv", "-k", "3", "-z",
+               "--canonical"], tmp_path)
+    assert rm.returncode == 0, rm.stderr
+    rc = _cli(["count", "-i", t, d, "-k", "3", "--canonical", "-z"],
+              tmp_path)
+    assert rc.returncode == 0, rc.stderr
+    assert rm.stdout == rc.stdout
+    rim = _cli(["merge", "-i", "c1.tsv", "c2.tsv", "-k", "3", "-z",
+                "--canonical", "--in-memory"], tmp_path)
+    assert rim.returncode == 0, rim.stderr
+    assert rim.stdout == rc.stdout
+    # --canonical without -z is a clean error
+    rbad = _cli(["merge", "-i", "c1.tsv", "--canonical"], tmp_path)
+    assert rbad.returncode != 0
+
+
+def test_count_canonical_zeros_space(tmp_path, fixtures_dir):
+    """count -z --canonical emits exactly the canonical code space, in
+    order, matching the oracle's canonical spectrum."""
+    from oracle.scalar import canonical_kmers, count_fasta_file
+    from oracle.scalar import spectrum_lines as oracle_lines
+
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    r = _cli(["count", "-i", t, "-k", "4", "--canonical", "-z"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = r.stdout.splitlines()
+    assert [line.split("\t")[0] for line in got] == list(canonical_kmers(4))
+    want = oracle_lines(count_fasta_file(t, 4, canonical=True), 4,
+                        zeros=True, canonical=True)
+    assert got == want
+
+
 def test_streaming_merge_rejects_unsorted(tmp_path):
     import io
     import pytest
