@@ -56,6 +56,16 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-rows", type=int, default=256)
     p.add_argument("--chunk-len", type=int, default=65536)
     p.add_argument("--sparse-capacity", type=int, default=1 << 22)
+    p.add_argument("--sparse-compact-entries", type=int, default=1 << 28,
+                   help="buffered raw window codes between store "
+                        "compactions (the spill check runs per "
+                        "compaction)")
+    p.add_argument("--spill", default="", metavar="DIR",
+                   help="disk-spill directory (sparse tables): crossing "
+                        "--sparse-capacity distinct k-mers spills sorted "
+                        "runs to DIR instead of erroring; finalize "
+                        "streams a k-way merge — HBM-bounded counting "
+                        "for spectra larger than device memory")
     p.add_argument("--count-dtype", choices=["int32", "int64"],
                    default="int32",
                    help="count dtype (int64 for >2^31 observations of a "
@@ -87,6 +97,9 @@ def _cfg_from_args(args):
         batch_rows=args.batch_rows,
         chunk_len=max(args.chunk_len, args.k),
         sparse_capacity=args.sparse_capacity,
+        sparse_compact_entries=getattr(args, "sparse_compact_entries",
+                                       1 << 28),
+        spill_dir=getattr(args, "spill", ""),
         count_dtype=args.count_dtype,
         devices=args.devices,
         merge=args.merge,
@@ -264,6 +277,10 @@ def cmd_count(args) -> int:
     if getattr(args, "per_input", False) and getattr(args, "per_record",
                                                      False):
         raise ValueError("--per-input and --per-record are exclusive")
+    if cfg.spill_dir and (getattr(args, "per_input", False)
+                          or getattr(args, "per_record", False)):
+        raise ValueError("--spill is for one combined spectrum; it does "
+                         "not compose with --per-input/--per-record")
     if getattr(args, "per_input", False):
         return _count_per_input(args, cfg)
     if getattr(args, "per_record", False):

@@ -62,6 +62,14 @@ class Config:
     # large enough that a human-chr1 run (248M windows) finishes in a
     # SINGLE raw-only compaction (the fast sort2+rle_pos chain), never
     # touching the slower store-carrying path.
+    spill_dir: str = ""
+    # Disk-spill directory ("" = off, sparse mode only).  When set,
+    # crossing sparse_capacity distinct k-mers no longer errors: the
+    # compacted store spills to a sorted run file in spill_dir and the
+    # device store restarts, bounding HBM residency; finalize streams a
+    # k-way merge of all runs (spill.py).  The bound is soft by one
+    # compaction interval (the distinct total is read one compaction
+    # late, same laxity as the capacity error it replaces).
     sparse_expected_entries: int = 0
     # Optional hint: expected total windows (~input bases).  When set
     # (the CLI sets it from input file sizes) the raw buffer is

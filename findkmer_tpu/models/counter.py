@@ -281,6 +281,9 @@ def make_counter(cfg: Config):
     n = cfg.devices
     if n == 0:
         n = len(jax.devices())
+    if n > 1 and cfg.spill_dir:
+        raise ValueError("--spill supports --devices 1 only (per-device "
+                         "disk spill is not implemented)")
     if n <= 1:
         return KmerCounter(cfg)
     from findkmer_tpu.parallel.dist import DistributedCounter
@@ -327,6 +330,23 @@ class KmerCounter:
             self._method = m
             # pallas on non-TPU backends runs in interpreter mode (tests)
             self._pl_interpret = jax.default_backend() != "tpu"
+        self._spill_n = 0
+        if cfg.spill_dir:
+            if self.mode != "sparse":
+                raise ValueError(
+                    "--spill requires a sparse table "
+                    f"(k={cfg.k} resolves to a direct table)"
+                )
+            import os as _os
+
+            _os.makedirs(cfg.spill_dir, exist_ok=True)
+            from findkmer_tpu import spill
+
+            if spill.load_runs(cfg.spill_dir):
+                raise ValueError(
+                    f"spill dir {cfg.spill_dir!r} already contains run "
+                    "files from another count; use an empty directory"
+                )
 
     # ------------------------------------------------------------------
     def put_batch(self, rows):
@@ -467,6 +487,17 @@ class KmerCounter:
         else:
             # previous compaction's per-row scalars: long since resolved
             d = np.asarray(state.distinct)
+            if self.cfg.spill_dir and int(d.sum()) > self.cfg.sparse_capacity:
+                # disk spill (spill.py): persist the sorted store as a
+                # run file and restart it — raw compacts fresh below
+                self._spill_store(state.store)
+                store, drows = _compact_raw_dev(
+                    state.raw, G, cdtype=jnp.dtype(cfg.count_dtype)
+                )
+                return SparseState(
+                    raw=_fresh(cap, self._n_bufs), fill=0, store=store,
+                    store_len=cap // G, distinct=drows,
+                )
             self._check_capacity(int(d.sum()))
             store, store_cols = state.store, state.store_len
             Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
@@ -486,12 +517,28 @@ class KmerCounter:
         return self.compact(state)
 
     def _check_capacity(self, distinct: int):
+        if self.cfg.spill_dir:
+            return  # spilling bounds the store instead of erroring
         if distinct > self.cfg.sparse_capacity:
             raise RuntimeError(
                 f"sparse store exceeded sparse_capacity "
                 f"({distinct} > {self.cfg.sparse_capacity} distinct "
-                "k-mers); raise Config.sparse_capacity"
+                "k-mers); raise Config.sparse_capacity or set --spill"
             )
+
+    def _spill_store(self, store):
+        """Pull the compacted store (ordered finalize: globally sorted
+        distinct codes + counts) and persist it as a spill run."""
+        from findkmer_tpu import spill
+
+        codes, counts = self._finalize_ordered(store)
+        spill.write_run(self.cfg.spill_dir, self._spill_n, codes, counts)
+        self._spill_n += 1
+
+    def _spill_runs(self):
+        from findkmer_tpu import spill
+
+        return spill.load_runs(self.cfg.spill_dir)
 
     def _store_to_host(self, store, timers=None):
         """Row store -> host (codes uint64 sorted distinct, counts).
@@ -540,6 +587,12 @@ class KmerCounter:
             # CLAUDE.md gotcha #3)
             d = np.asarray(state.distinct)
         self._check_capacity(int(d.sum()))
+        if self._spill_n:
+            parts = list(self._merged_spill_chunks(state, ph))
+            return (
+                np.concatenate([c for c, _ in parts]),
+                np.concatenate([n for _, n in parts]),
+            ) if parts else (np.empty(0, np.uint64), np.empty(0, np.int64))
         if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
             with ph("finalize/squeeze"):
                 # squeeze holes out and slice to the live ladder before
@@ -676,6 +729,17 @@ class KmerCounter:
                 counts[exc_idx] = exc_cnt
         return codes, counts
 
+    def _merged_spill_chunks(self, state, ph):
+        """Streaming k-way merge of the spill runs with the residual
+        store (spill.iter_merged); yields sorted distinct host chunks."""
+        from findkmer_tpu import spill
+
+        with ph("finalize/residual_pull"):
+            final = self._finalize_ordered(state.store)
+        runs = self._spill_runs()
+        runs.append(final)
+        yield from spill.iter_merged(runs)
+
     def finalize_chunks(self, state, timers=None):
         """Streaming variant of the sparse finalize: yields host
         (codes u64, counts i64) chunks in globally sorted distinct
@@ -692,6 +756,9 @@ class KmerCounter:
             state = self.compact(state)
             d = np.asarray(state.distinct)
         self._check_capacity(int(d.sum()))
+        if self._spill_n:
+            yield from self._merged_spill_chunks(state, ph)
+            return
         spans, dev_chunks, exc_idx, exc_cnt, n_live, runs = (
             self._ordered_pull(state.store, ph)
         )
@@ -716,6 +783,12 @@ class KmerCounter:
         directly; checkpoints round-trip it through npz unchanged."""
         if self.mode == "direct":
             return state, state
+        if self._spill_n:
+            raise RuntimeError(
+                "checkpointing after a disk spill is unsupported "
+                "(spill runs live outside the table); disable --spill "
+                "or raise sparse_capacity"
+            )
         state = self.compact(state)
         d = np.asarray(state.distinct)
         self._check_capacity(int(d.sum()))

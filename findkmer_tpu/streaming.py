@@ -165,12 +165,22 @@ def run_stream(args) -> int:
     from findkmer_tpu.cli import _cfg_from_args, _open_out
 
     cfg = _cfg_from_args(args)
+    if cfg.spill_dir and args.checkpoint:
+        raise ValueError(
+            "--spill does not compose with --checkpoint (spill runs "
+            "live outside the checkpointed table); pick one"
+        )
     stats = pipeline.StreamStats()
     from findkmer_tpu.parallel.multihost import initialize
 
     num_processes, process_id = initialize(
         args.coordinator, args.num_processes, args.process_id
     )
+    if cfg.spill_dir and num_processes > 1:
+        raise ValueError(
+            "--spill is single-process (per-host spill dirs would "
+            "collide); run per-host counts + `findkmer merge` instead"
+        )
     t0 = time.time()
     from findkmer_tpu.parallel import multihost
 

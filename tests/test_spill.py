@@ -1,0 +1,204 @@
+"""Disk-spill counting (findkmer_tpu/spill.py): HBM-bounded sparse
+stores with sorted run files + streaming k-way finalize merge."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from findkmer_tpu import spill
+from findkmer_tpu.config import Config
+from test_vs_oracle import count_text, oracle_dict, spectrum_to_dict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- unit
+
+def _dict_merge(runs):
+    d = {}
+    for c, n in runs:
+        for ci, ni in zip(c.tolist(), n.tolist()):
+            d[ci] = d.get(ci, 0) + ni
+    return d
+
+
+@pytest.mark.parametrize("block", [7, 64, 1 << 20])
+def test_iter_merged_matches_dict(rng, block):
+    """Block merge == dict merge for overlapping runs at adversarial
+    block sizes (bound straddles duplicates across runs)."""
+    runs = []
+    for _ in range(5):
+        codes = np.unique(
+            rng.integers(0, 500, size=rng.integers(0, 400)).astype(
+                np.uint64
+            )
+        )
+        counts = rng.integers(1, 100, size=codes.size).astype(np.int64)
+        runs.append((codes, counts))
+    got_c, got_n = [], []
+    for c, n in spill.iter_merged(runs, block=block):
+        assert np.all(np.diff(c.astype(np.int64)) > 0)  # sorted distinct
+        got_c.append(c)
+        got_n.append(n)
+    got = dict(
+        zip(
+            np.concatenate(got_c).tolist() if got_c else [],
+            np.concatenate(got_n).tolist() if got_n else [],
+        )
+    )
+    assert got == _dict_merge(runs)
+    # chunk boundaries are globally ordered too
+    allc = np.concatenate(got_c) if got_c else np.empty(0, np.uint64)
+    assert np.all(np.diff(allc.astype(np.int64)) > 0)
+
+
+def test_iter_merged_empty_runs():
+    assert list(spill.iter_merged([])) == []
+    e = np.empty(0, np.uint64)
+    assert list(spill.iter_merged([(e, e.astype(np.int64))])) == []
+
+
+def test_run_roundtrip(tmp_path, rng):
+    codes = np.unique(rng.integers(0, 1 << 40, size=100).astype(np.uint64))
+    counts = rng.integers(1, 9, size=codes.size).astype(np.int64)
+    spill.write_run(str(tmp_path), 0, codes, counts)
+    (run,) = spill.load_runs(str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(run[0]), codes)
+    np.testing.assert_array_equal(np.asarray(run[1]), counts)
+
+
+# ------------------------------------------------------------- engine
+
+@pytest.mark.parametrize("k", [12, 21])
+def test_spill_count_matches_oracle(tmp_path, rng, k):
+    """Tiny sparse_capacity forces multiple spills; the spectrum stays
+    bit-exact vs the oracle and runs actually landed on disk."""
+    seq = random_dna(rng, 12000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=64, batch_rows=8, table_mode="sparse",
+        sparse_capacity=512, sparse_compact_entries=1024,
+        spill_dir=str(tmp_path / "sp"),
+    )
+    spectrum, _ = count_text(text, cfg)
+    assert len(spill.load_runs(cfg.spill_dir)) >= 2
+    assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
+
+
+def test_spill_canonical_matches_oracle(tmp_path, rng):
+    seq = random_dna(rng, 8000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=21, canonical=True, chunk_len=64, batch_rows=8,
+        table_mode="sparse", sparse_capacity=512,
+        sparse_compact_entries=1024, spill_dir=str(tmp_path / "sp"),
+    )
+    spectrum, _ = count_text(text, cfg)
+    assert spill.load_runs(cfg.spill_dir)
+    assert spectrum_to_dict(spectrum, 21) == oracle_dict(
+        text, 21, canonical=True
+    )
+
+
+def test_spill_requires_sparse(tmp_path):
+    from findkmer_tpu.models.counter import KmerCounter
+
+    with pytest.raises(ValueError, match="sparse"):
+        KmerCounter(Config(k=4, spill_dir=str(tmp_path / "sp")))
+
+
+def test_spill_rejects_dirty_dir(tmp_path, rng):
+    from findkmer_tpu.models.counter import KmerCounter
+
+    d = str(tmp_path / "sp")
+    codes = np.array([1, 2], np.uint64)
+    spill.write_run(d, 0, codes, np.array([1, 1], np.int64))
+    with pytest.raises(ValueError, match="already contains"):
+        KmerCounter(Config(k=21, spill_dir=d))
+
+
+def test_spill_rejects_devices(tmp_path):
+    from findkmer_tpu.models.counter import make_counter
+
+    with pytest.raises(ValueError, match="devices 1"):
+        make_counter(Config(k=21, devices=8, spill_dir=str(tmp_path)))
+
+
+def test_spill_checkpoint_guard(tmp_path, rng):
+    """table_state (the checkpoint surface) refuses once a spill
+    happened — spill runs live outside the checkpointed table."""
+    from findkmer_tpu.models.counter import KmerCounter
+
+    cfg = Config(
+        k=21, chunk_len=64, batch_rows=8, table_mode="sparse",
+        sparse_capacity=512, sparse_compact_entries=1024,
+        spill_dir=str(tmp_path / "sp"),
+    )
+    import io as _io
+
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.io.fasta import FastaReader
+
+    text = ">r\n" + random_dna(rng, 12000) + "\n"
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        state = counter.step(state, rows)
+    state = counter.compact(state)
+    state = counter.compact(counter.step(state, rows))  # trigger check
+    if counter._spill_n == 0:
+        pytest.skip("capacity not crossed in this geometry")
+    with pytest.raises(RuntimeError, match="spill"):
+        counter.table_state(state)
+
+
+# ---------------------------------------------------------------- CLI
+
+def _cli(args, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+
+
+def test_spill_cli_byte_identical(tmp_path, fixtures_dir):
+    """count --spill with a tiny capacity == plain count, byte-for-byte
+    (the ecoli fragment has ~30k distinct 21-mers, forcing many runs)."""
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    base = ["count", "-i", src, "-k", "21", "--table-mode", "sparse",
+            "--chunk-len", "1024", "--batch-rows", "8",
+            "--sparse-compact-entries", "8192"]
+    r0 = _cli(base + ["-o", "plain.tsv"], tmp_path)
+    assert r0.returncode == 0, r0.stderr
+    r1 = _cli(
+        base + ["-o", "spilled.tsv", "--spill", "sp",
+                "--sparse-capacity", "4096"],
+        tmp_path,
+    )
+    assert r1.returncode == 0, r1.stderr
+    assert (tmp_path / "plain.tsv").read_bytes() == (
+        tmp_path / "spilled.tsv"
+    ).read_bytes()
+    assert len(spill.load_runs(str(tmp_path / "sp"))) >= 2
+
+
+def test_spill_cli_stream_checkpoint_error(tmp_path, fixtures_dir):
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    r = _cli(
+        ["stream", "-i", src, "-k", "21", "--spill", "sp",
+         "--checkpoint", "ck"],
+        tmp_path,
+    )
+    assert r.returncode != 0
+    assert "spill" in (r.stderr + r.stdout).lower()
