@@ -379,12 +379,13 @@ def cmd_merge(args) -> int:
     f, close = _open_out(args.output)
     try:
         if args.in_memory:
-            counts = spectra.merge_spectra(args.input, sep=args.sep)
+            counts = spectra.merge_spectra(args.input, sep=args.sep,
+                                           op=args.op)
             for line in spectra.spectrum_lines(counts, sep=args.sep,
                                                zeros_k=zk,
                                                canonical=args.canonical):
                 f.write(line.encode() + b"\n")
-        elif zk is None and spectra.merge_binary_fast(
+        elif zk is None and args.op == "sum" and spectra.merge_binary_fast(
             args.input, f, sep=args.sep
         ):
             pass  # C fast path: parse + parallel heap merge + format
@@ -393,7 +394,8 @@ def cmd_merge(args) -> int:
             # spectrum writers always emit sorted files)
             spectra.merge_sorted_streaming(args.input, f, sep=args.sep,
                                            zeros_k=zk,
-                                           canonical=args.canonical)
+                                           canonical=args.canonical,
+                                           op=args.op)
     finally:
         if close:
             f.close()
@@ -411,7 +413,8 @@ def cmd_setop(args) -> int:
                                                canonical=args.canonical)
         else:
             spectra.subtract_sorted_streaming(args.input, f, sep=args.sep,
-                                              canonical=args.canonical)
+                                              canonical=args.canonical,
+                                              mode=args.mode)
     finally:
         if close:
             f.close()
@@ -620,6 +623,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with -z: interleave zeros over the CANONICAL "
                          "code space (kmers with kmer <= revcomp) — for "
                          "merging spectra counted with --canonical")
+    pm.add_argument("--op", choices=["sum", "min", "max"], default="sum",
+                    help="counter operation for k-mers present in "
+                         "several inputs (kmc_tools union counter-"
+                         "calculation modes)")
     pm.add_argument("--sep", default="\t")
     pm.add_argument("--in-memory", action="store_true",
                     help="dict-based merge (accepts unsorted inputs; "
@@ -640,6 +647,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fold every input to canonical (revcomp-min) "
                              "form before the op; plain and canonical "
                              "inputs may be mixed")
+        if op == "subtract":
+            po.add_argument(
+                "--mode", choices=["counters", "kmers"],
+                default="counters",
+                help="counters: subtract the other inputs' counts, drop "
+                     "rows <= 0 (kmc_tools counters_subtract); kmers: "
+                     "drop a k-mer entirely if present in any other "
+                     "input (kmc_tools kmers_subtract)")
         po.set_defaults(fn=cmd_setop)
 
     pso = sub.add_parser(

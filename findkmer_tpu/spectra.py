@@ -37,12 +37,22 @@ def read_spectrum(path, sep: str = "\t") -> Dict[str, int]:
     return out
 
 
-def merge_spectra(paths: Iterable[str], sep: str = "\t") -> Dict[str, int]:
-    """Sum counts across spectrum files (exact; order-independent)."""
+_MERGE_OPS = {"sum": lambda a, b: a + b, "min": min, "max": max}
+
+
+def merge_spectra(
+    paths: Iterable[str], sep: str = "\t", op: str = "sum"
+) -> Dict[str, int]:
+    """Combine counts across spectrum files (exact; order-independent).
+
+    op: counter operation for k-mers present in several inputs — sum
+    (default), min, or max over the PRESENT counters (kmc_tools union
+    counter-calculation modes)."""
+    fn = _MERGE_OPS[op]
     total: Dict[str, int] = {}
     for p in paths:
         for kmer, cnt in read_spectrum(p, sep).items():
-            total[kmer] = total.get(kmer, 0) + cnt
+            total[kmer] = fn(total[kmer], cnt) if kmer in total else cnt
     return total
 
 
@@ -229,11 +239,14 @@ def merge_sorted_streaming(
     sep: str = "\t",
     zeros_k: int | None = None,
     canonical: bool = False,
+    op: str = "sum",
 ) -> int:
     """K-way heap merge of sorted spectrum files into out_f (binary).
 
     Memory is O(open-file buffers) regardless of spectrum size; counts
-    for equal k-mers are summed.  zeros_k interleaves zero-count lines
+    for equal k-mers are combined with `op` (sum/min/max over the
+    present counters — kmc_tools union counter-calculation modes).
+    zeros_k interleaves zero-count lines
     for every absent k-mer of length zeros_k (direct-table semantics);
     with canonical=True the interleave enumerates the CANONICAL code
     space (kmers with kmer <= revcomp(kmer)) and inputs are required to
@@ -276,9 +289,10 @@ def merge_sorted_streaming(
             out_f.write(b"\n".join(buf) + b"\n")
             buf.clear()
 
+    op_fn = _MERGE_OPS[op]
     for kmer, count in merged:
         if kmer == cur_kmer:
-            cur_count += count
+            cur_count = op_fn(cur_count, count)
         else:
             if cur_kmer is not None:
                 _emit(cur_kmer, cur_count)
@@ -518,7 +532,8 @@ class _CanonizedInputs:
         return False
 
 
-def _setop_binary_fast(paths, out_f, op: str, sep: str):
+def _setop_binary_fast(paths, out_f, op: str, sep: str,
+                       mode: str = "counters"):
     """C-parsed vectorized intersect/subtract (same semantics as the
     streaming versions).  Returns the written-line count, or None
     (nothing written) when inputs are exotic or too large to hold in
@@ -557,7 +572,16 @@ def _setop_binary_fast(paths, out_f, op: str, sep: str):
             )
             codes = codes[hit]
             counts = np.minimum(counts[hit], on[idx[hit]])
-    else:  # subtract
+    elif op == "subtract" and mode == "kmers":
+        keep = np.ones(codes.size, bool)
+        for oc, on in parsed[1:]:
+            if not oc.size:
+                continue
+            idx = np.searchsorted(oc, codes)
+            np.clip(idx, 0, oc.size - 1, out=idx)
+            keep &= oc[idx] != codes
+        codes, counts = codes[keep], counts[keep]
+    else:  # subtract, counters mode
         counts = counts.copy()
         for oc, on in parsed[1:]:
             if not oc.size:
@@ -597,17 +621,23 @@ def intersect_sorted_streaming(
 
 
 def subtract_sorted_streaming(
-    paths, out_f, sep: str = "\t", canonical: bool = False
+    paths, out_f, sep: str = "\t", canonical: bool = False,
+    mode: str = "counters",
 ) -> int:
-    """First input minus the (summed) others; rows dropped at <= 0
-    (kmc_tools `kmers_subtract` semantics).  Streaming, sorted inputs.
+    """First input minus the others.  Streaming, sorted inputs.
+
+    mode="counters" (default): counts of the other inputs are
+    subtracted and rows dropped at <= 0 (kmc_tools `counters_subtract`
+    semantics).  mode="kmers": a k-mer is dropped entirely if PRESENT
+    in any other input, counts untouched (kmc_tools `kmers_subtract`).
     canonical=True folds every input to revcomp-min form first.
     Clean inputs within the memory gate take the C-parsed vectorized
     path; everything else streams in O(buffers) memory."""
     if canonical:
         with _CanonizedInputs(paths, sep) as folded:
-            return subtract_sorted_streaming(folded, out_f, sep)
-    n = _setop_binary_fast(paths, out_f, "subtract", sep)
+            return subtract_sorted_streaming(folded, out_f, sep,
+                                             mode=mode)
+    n = _setop_binary_fast(paths, out_f, "subtract", sep, mode=mode)
     if n is not None:
         return n
     sep_b = sep.encode()
@@ -615,6 +645,10 @@ def subtract_sorted_streaming(
     def gen():
         for kmer, counts in _grouped(paths, sep_b):
             if counts[0] is None:
+                continue
+            if mode == "kmers":
+                if all(c is None for c in counts[1:]):
+                    yield kmer, counts[0]
                 continue
             rest = sum(c for c in counts[1:] if c is not None)
             d = counts[0] - rest

@@ -217,6 +217,63 @@ def test_setops_query_topn(tmp_path):
     assert spectra.top_n(str(c), 2) == [("AA", 5), ("AC", 5)]
 
 
+def test_merge_op_min_max(tmp_path):
+    """merge --op min|max (kmc_tools union counter-calculation modes):
+    streaming == in-memory == hand-computed, over PRESENT counters."""
+    import io
+    from findkmer_tpu import spectra
+
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    a.write_text("AA\t3\nAC\t1\nGT\t9\n")
+    b.write_text("AA\t1\nCC\t4\nGT\t2\n")
+    paths = [str(a), str(b)]
+    want = {
+        "min": b"AA\t1\nAC\t1\nCC\t4\nGT\t2\n",
+        "max": b"AA\t3\nAC\t1\nCC\t4\nGT\t9\n",
+        "sum": b"AA\t4\nAC\t1\nCC\t4\nGT\t11\n",
+    }
+    for op, exp in want.items():
+        out = io.BytesIO()
+        spectra.merge_sorted_streaming(paths, out, op=op)
+        assert out.getvalue() == exp, op
+        mem = spectra.merge_spectra(paths, op=op)
+        got = "".join(f"{k}\t{v}\n" for k, v in sorted(mem.items()))
+        assert got.encode() == exp, op
+    # CLI: --op min bypasses the C sum fast path
+    r = _cli(["merge", "-i", str(a), str(b), "--op", "min"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.encode() == want["min"]
+
+
+def test_subtract_mode_kmers(tmp_path):
+    """subtract --mode kmers drops any k-mer present in another input,
+    keeping first-input counts otherwise (kmc_tools kmers_subtract)."""
+    import io
+    from findkmer_tpu import spectra
+
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    a.write_text("AA\t3\nAC\t1\nGT\t9\n")
+    b.write_text("AA\t1\nCC\t4\nGT\t2\n")
+    out = io.BytesIO()
+    spectra.subtract_sorted_streaming([str(a), str(b)], out, mode="kmers")
+    assert out.getvalue() == b"AC\t1\n"
+    # fast binary path agrees (native parser path)
+    from findkmer_tpu.io.native import available
+
+    if available():
+        fast = io.BytesIO()
+        ok = spectra._setop_binary_fast([str(a), str(b)], fast,
+                                        "subtract", "\t", mode="kmers")
+        if ok is not None:
+            assert fast.getvalue() == b"AC\t1\n"
+    r = _cli(["subtract", "-i", str(a), str(b), "--mode", "kmers"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AC\t1\n"
+
+
 def test_merge_binary_fast_matches_streaming(tmp_path, rng):
     """C fast-path merge is byte-identical to the Python streaming
     merge on sorted inputs, and declines exotic inputs."""
