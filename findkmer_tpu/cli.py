@@ -40,7 +40,8 @@ def _enable_compile_cache():
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-i", "--input", required=True, nargs="+",
-                   help="FASTA/FASTQ file(s), optionally gzipped")
+                   help="FASTA/FASTQ file(s), optionally gzipped "
+                        "('-' = stdin)")
     p.add_argument("--format", choices=["auto", "fasta", "fastq"],
                    default="auto", help="input format (auto-sniffed)")
     p.add_argument("-k", type=int, required=True, help="k-mer length (1..31)")
@@ -120,6 +121,8 @@ def _cfg_from_args(args):
         )
     total_bytes = 0
     for path in getattr(args, "input", []) or []:
+        if path == "-":
+            continue  # stdin: size unknown, nothing to stat
         if not os.path.exists(path):
             raise FileNotFoundError(f"input file not found: {path}")
         total_bytes += os.path.getsize(path)

@@ -48,6 +48,11 @@ def open_maybe_gzip(path_or_file):
             f.seek(-len(head), 1)
             if head == b"\x1f\x8b":
                 return gzip.GzipFile(fileobj=f), own
+        elif hasattr(f, "peek"):
+            # non-seekable buffered stream (stdin, pipes): peek doesn't
+            # consume, so gzip detection still works
+            if f.peek(2)[:2] == b"\x1f\x8b":
+                return gzip.GzipFile(fileobj=f), own
     except (OSError, ValueError):
         pass
     return f, own

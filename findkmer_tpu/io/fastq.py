@@ -115,6 +115,15 @@ class FastqReader:
             yield ch.header, ch.data
 
 
+def sniff_head(head: bytes) -> str:
+    """'fasta' | 'fastq' from a peeked prefix (no bytes consumed)."""
+    for i in range(len(head)):
+        b = head[i:i + 1]
+        if not b.isspace():
+            return "fastq" if b == b"@" else "fasta"
+    return "fasta"
+
+
 def sniff_format(path) -> str:
     """'fasta' | 'fastq' by first non-whitespace byte ('@' = FASTQ)."""
     f, own = open_maybe_gzip(path)

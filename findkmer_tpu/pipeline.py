@@ -285,12 +285,28 @@ def _open_reader(path, cfg: Config):
     """(reader, fused) for one input path — the shared front of
     batches_from_file and per_record_spectra."""
     from findkmer_tpu.io import native as native_mod
-    from findkmer_tpu.io.fastq import FastqReader, sniff_format
+    from findkmer_tpu.io.fastq import FastqReader, sniff_format, sniff_head
 
     fmt = cfg.input_format
+    fused = cfg.use_native_encode and native_mod.available()
+    if path == "-":
+        # stdin: one non-seekable stream — gunzip + sniff via peek
+        # (io/fasta.open_maybe_gzip handles the peek-based magic check)
+        import io as _io
+        import sys
+
+        from findkmer_tpu.io.fasta import open_maybe_gzip
+
+        f, _ = open_maybe_gzip(sys.stdin.buffer)
+        if not hasattr(f, "peek"):
+            f = _io.BufferedReader(f)  # GzipFile: give the sniffer peek
+        if fmt == "auto":
+            fmt = sniff_head(f.peek(4096))
+        if fmt == "fastq":
+            return FastqReader(f), fused
+        return FastaReader(f, strip_ws=not fused), fused
     if fmt == "auto":
         fmt = sniff_format(path)
-    fused = cfg.use_native_encode and native_mod.available()
     if fmt == "fastq":
         return FastqReader(path), fused
     return FastaReader(path, strip_ws=not fused), fused

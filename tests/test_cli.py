@@ -239,3 +239,62 @@ def test_bench_phases(tmp_path):
         rep["phases"]
     )
     assert rep["bases_per_s"] > 0
+
+
+def _run_cli_stdin(args, tmp_path, stdin_bytes):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli"] + args,
+        input=stdin_bytes, capture_output=True, env=env,
+        cwd=str(tmp_path), timeout=600,
+    )
+    assert res.returncode == 0, res.stderr.decode()
+    return res.stdout.decode()
+
+
+def test_count_stdin_matches_file(fixtures_dir, tmp_path):
+    """-i - reads FASTA from stdin; output identical to the file path."""
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    want = run_cli(["count", "-i", path, "-k", "4", "--chunk-len", "64",
+                    "--batch-rows", "2"], tmp_path)
+    got = _run_cli_stdin(
+        ["count", "-i", "-", "-k", "4", "--chunk-len", "64",
+         "--batch-rows", "2"],
+        tmp_path, open(path, "rb").read(),
+    )
+    assert got == want
+
+
+def test_count_stdin_gzip_and_fastq(fixtures_dir, tmp_path):
+    """stdin is gunzipped by magic bytes and format-sniffed (FASTQ)."""
+    import gzip as gz
+
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    want = run_cli(["count", "-i", path, "-k", "5"], tmp_path)
+    got = _run_cli_stdin(["count", "-i", "-", "-k", "5"], tmp_path,
+                         gz.compress(open(path, "rb").read()))
+    assert got == want
+
+    fq = b"@r1\nACGTACGTAC\n+\nIIIIIIIIII\n"
+    got_fq = _run_cli_stdin(["count", "-i", "-", "-k", "4"], tmp_path, fq)
+    from oracle.scalar import count_kmers_in_records
+
+    want_fq = spectrum_lines(
+        count_kmers_in_records(["ACGTACGTAC"], 4), 4
+    )
+    assert got_fq.splitlines() == want_fq
+
+
+def test_stats_stdin(fixtures_dir, tmp_path):
+    import json as json_mod
+
+    path = os.path.join(fixtures_dir, "multi.fa")
+    out = _run_cli_stdin(["stats", "-i", "-", "-k", "8"], tmp_path,
+                         open(path, "rb").read())
+    d = json_mod.loads(out)
+    want = json_mod.loads(run_cli(["stats", "-i", path, "-k", "8"],
+                                  tmp_path))
+    assert d == want
