@@ -65,8 +65,21 @@ def load_runs(dir_: str) -> List[Run]:
         i += 1
 
 
-def _merge_block(codes: np.ndarray, counts: np.ndarray) -> Run:
-    """Sum counts of duplicate codes; return sorted distinct arrays."""
+def _merge_block(parts_c, parts_n) -> Run:
+    """Merge per-run sorted distinct slices: sum counts of duplicate
+    codes, return sorted distinct arrays.  One C heap-merge pass when
+    the native lib is built (io/native.fk_merge_runs, same primitive as
+    the device-store finalize); numpy sort fallback."""
+    if len(parts_c) > 1:
+        try:
+            from findkmer_tpu.io import native
+
+            if native.available() and len(parts_c) <= 256:
+                return native.merge_runs(list(zip(parts_c, parts_n)))
+        except Exception:
+            pass
+    codes = np.concatenate(parts_c).astype(np.uint64, copy=False)
+    counts = np.concatenate(parts_n)
     order = np.argsort(codes, kind="stable")
     codes = codes[order]
     counts = counts[order]
@@ -119,7 +132,4 @@ def iter_merged(
                 nxt_pos.append(p)
         act, pos = nxt_act, nxt_pos
         if parts_c:
-            yield _merge_block(
-                np.concatenate(parts_c).astype(np.uint64, copy=False),
-                np.concatenate(parts_n),
-            )
+            yield _merge_block(parts_c, parts_n)

@@ -26,10 +26,16 @@ def _dict_merge(runs):
     return d
 
 
+@pytest.mark.parametrize("native_merge", [True, False])
 @pytest.mark.parametrize("block", [7, 64, 1 << 20])
-def test_iter_merged_matches_dict(rng, block):
+def test_iter_merged_matches_dict(rng, block, native_merge, monkeypatch):
     """Block merge == dict merge for overlapping runs at adversarial
-    block sizes (bound straddles duplicates across runs)."""
+    block sizes (bound straddles duplicates across runs); both the C
+    heap-merge and the numpy-fallback block merges."""
+    if not native_merge:
+        from findkmer_tpu.io import native
+
+        monkeypatch.setattr(native, "available", lambda: False)
     runs = []
     for _ in range(5):
         codes = np.unique(
