@@ -154,6 +154,13 @@ def _cfg_from_args(args):
 def _open_out(path):
     if path == "-":
         return sys.stdout.buffer, False
+    if path.endswith(".gz"):
+        # gzip-compressed output by extension (mirrors gzip input);
+        # bypasses the O_DIRECT writer — compressed bytes are a
+        # fraction of the spectrum, so the page-dirty cost is too
+        import gzip
+
+        return gzip.open(path, "wb", compresslevel=4), True
     if os.environ.get("FINDKMER_DIRECT_OUT", "1") == "1":
         # O_DIRECT writer: dirtying fresh page-cache pages runs at
         # 13-72 MB/s on lazily-backed VMs vs ~128 MB/s direct
@@ -454,10 +461,21 @@ def cmd_canonize(args) -> int:
 def cmd_query(args) -> int:
     from findkmer_tpu import spectra
 
-    counts = spectra.query_spectrum(args.spectrum, args.kmers,
+    kmers = list(args.kmers)
+    if args.kmers_file:
+        f = (sys.stdin if args.kmers_file == "-"
+             else open(args.kmers_file))
+        try:
+            kmers.extend(w for line in f for w in line.split())
+        finally:
+            if f is not sys.stdin:
+                f.close()
+    if not kmers:
+        raise ValueError("no k-mers given (positional or --kmers-file)")
+    counts = spectra.query_spectrum(args.spectrum, kmers,
                                     sep=args.sep,
                                     canonical=args.canonical)
-    for kmer in args.kmers:
+    for kmer in kmers:
         print(f"{kmer.upper()}{args.sep}{counts[kmer.upper()]}")
     return 0
 
@@ -527,25 +545,19 @@ def cmd_filter(args) -> int:
         args.spectrum, sep=args.sep, canonical=args.canonical,
         min_count=args.min_count, max_count=args.max_count,
     )
+    # gz output rides _open_out's extension handling
     f, close = _open_out(args.output)
-    gz = None
-    if args.output != "-" and args.output.endswith(".gz"):
-        import gzip
-
-        gz = gzip.GzipFile(fileobj=f, mode="wb")
     kept = seen = 0
     try:
         for path in args.input:
             k1, s1 = filter_file(
-                path, gz or f, spec, fmt=args.format,
+                path, f, spec, fmt=args.format,
                 min_hits=args.min_hits, min_frac=args.min_frac,
                 invert=args.invert,
             )
             kept += k1
             seen += s1
     finally:
-        if gz is not None:
-            gz.close()
         if close:
             f.close()
     print(f"kept {kept}/{seen} reads (k={spec.k})", file=sys.stderr)
@@ -679,7 +691,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     pq = sub.add_parser("query", help="look up counts of specific k-mers")
     pq.add_argument("spectrum", help="sorted spectrum file")
-    pq.add_argument("kmers", nargs="+", help="k-mers to look up")
+    pq.add_argument("kmers", nargs="*", help="k-mers to look up")
+    pq.add_argument("--kmers-file", default="",
+                    help="file of whitespace-separated k-mers to look "
+                         "up ('-' = stdin); combined with positionals")
     pq.add_argument("--sep", default="\t")
     pq.add_argument("--canonical", action="store_true",
                     help="spectrum is canonical: fold each queried k-mer "

@@ -42,17 +42,25 @@ def open_maybe_gzip(path_or_file):
     else:
         f = path_or_file
         own = False
+    def _wrap(fh):
+        g = gzip.GzipFile(fileobj=fh)
+        if own:
+            # make close() close the file WE opened (the gzip.open
+            # convention: GzipFile only closes `myfileobj`)
+            g.myfileobj = fh
+        return g
+
     try:
         if f.seekable():
             head = f.read(2)
             f.seek(-len(head), 1)
             if head == b"\x1f\x8b":
-                return gzip.GzipFile(fileobj=f), own
+                return _wrap(f), own
         elif hasattr(f, "peek"):
             # non-seekable buffered stream (stdin, pipes): peek doesn't
             # consume, so gzip detection still works
             if f.peek(2)[:2] == b"\x1f\x8b":
-                return gzip.GzipFile(fileobj=f), own
+                return _wrap(f), own
     except (OSError, ValueError):
         pass
     return f, own

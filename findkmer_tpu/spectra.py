@@ -20,17 +20,23 @@ from typing import Dict, Iterable, Iterator, List, Tuple
 
 
 def read_spectrum(path, sep: str = "\t") -> Dict[str, int]:
-    """Parse a KMER<sep>COUNT file into a dict."""
+    """Parse a KMER<sep>COUNT file (plain or gzipped) into a dict."""
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
     out: Dict[str, int] = {}
-    with open(path, "r") as f:
-        for line_no, line in enumerate(f, 1):
-            line = line.rstrip("\n")
-            if not line:
+    sep_b = sep.encode()
+    f, _ = open_maybe_gzip(path)
+    with f:
+        for line_no, raw in enumerate(f, 1):
+            raw = raw.rstrip(b"\r\n")
+            if not raw:
                 continue
             try:
-                kmer, cnt = line.split(sep)
+                kmer_b, cnt = raw.split(sep_b)
+                kmer = kmer_b.decode()
                 out[kmer] = out.get(kmer, 0) + int(cnt)
-            except ValueError as e:
+            except (ValueError, UnicodeDecodeError) as e:
+                line = raw.decode("ascii", "replace")
                 raise ValueError(
                     f"{path}:{line_no}: malformed spectrum line {line!r}"
                 ) from e
@@ -58,7 +64,10 @@ def merge_spectra(
 
 def _infer_k(path, sep_b: bytes) -> int | None:
     """k from the first data line of a spectrum file (None = no data)."""
-    with open(path, "rb") as f:
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
+    f, _ = open_maybe_gzip(path)
+    with f:
         head = f.read(4096)
     for line in head.split(b"\n"):
         if line.strip():
@@ -86,8 +95,11 @@ def _parse_binary(path, k: int, sep_b: bytes):
     size = os.path.getsize(path)
     if size == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
-    buf = np.empty(size, np.uint8)
     with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            return None  # gzipped: line paths handle it in O(buffers)
+        f.seek(0)
+        buf = np.empty(size, np.uint8)
         got = f.readinto(memoryview(buf))
     return native.parse_spectrum(buf[:got], k, sep_b)
 
@@ -203,8 +215,11 @@ def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
     Raises on out-of-order lines — the streaming merge is only exact on
     sorted inputs (every writer in this package emits sorted spectra).
     """
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
     prev = None
-    with open(path, "rb") as f:
+    f, _ = open_maybe_gzip(path)
+    with f:
         for line_no, line in enumerate(f, 1):
             line = line.rstrip(b"\n").rstrip(b"\r")
             if not line:
@@ -419,8 +434,11 @@ def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
         return np.bincount(counts, minlength=max_count + 1).astype(
             np.int64
         )
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
     h = np.zeros(max_count + 1, np.int64)
-    with open(path, "rb") as f:
+    f, _ = open_maybe_gzip(path)
+    with f:
         for line_no, line in enumerate(f, 1):
             line = line.rstrip(b"\r\n")
             if not line:

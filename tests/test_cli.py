@@ -298,3 +298,28 @@ def test_stats_stdin(fixtures_dir, tmp_path):
     want = json_mod.loads(run_cli(["stats", "-i", path, "-k", "8"],
                                   tmp_path))
     assert d == want
+
+
+def test_gzip_output_by_extension(fixtures_dir, tmp_path):
+    """-o file.gz writes gzip; content identical to the plain output."""
+    import gzip as gz
+
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    want = run_cli(["count", "-i", path, "-k", "4"], tmp_path)
+    run_cli(["count", "-i", path, "-k", "4", "-o", "out.tsv.gz"],
+            tmp_path)
+    raw = (tmp_path / "out.tsv.gz").read_bytes()
+    assert raw[:2] == b"\x1f\x8b"
+    assert gz.decompress(raw).decode() == want
+
+
+def test_query_kmers_file(fixtures_dir, tmp_path):
+    path = os.path.join(fixtures_dir, "tiny.fa")
+    run_cli(["count", "-i", path, "-k", "4", "-o", "s.tsv"], tmp_path)
+    (tmp_path / "q.txt").write_text("ACGT\nCGTA TTTT\n")
+    out = run_cli(["query", "s.tsv", "--kmers-file", "q.txt"], tmp_path)
+    lines = dict(l.split("\t") for l in out.splitlines())
+    want = spectrum_lines(count_fasta_file(path, 4), 4)
+    wantd = dict(l.split("\t") for l in want)
+    assert lines["ACGT"] == wantd["ACGT"]
+    assert lines["TTTT"] == wantd.get("TTTT", "0")

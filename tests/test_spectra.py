@@ -567,3 +567,33 @@ def test_setop_binary_fast_matches_streaming(tmp_path, rng):
         fn(lows, slow)
         assert bytes(fast.getvalue()).decode() == \
             slow.getvalue().decode().upper()
+
+
+def test_gzip_spectrum_inputs(tmp_path):
+    """Every spectrum reader accepts gzipped TSVs (magic-byte): merge,
+    set ops, query, topn, histo --from-spectrum, canonize, sort."""
+    import gzip as gz
+
+    a = tmp_path / "a.tsv.gz"
+    b = tmp_path / "b.tsv"
+    a.write_bytes(gz.compress(b"AA\t3\nAC\t1\nGT\t9\n"))
+    b.write_text("AA\t1\nCC\t4\nGT\t2\n")
+    r = _cli(["merge", "-i", str(a), str(b)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AA\t4\nAC\t1\nCC\t4\nGT\t11\n"
+    r = _cli(["merge", "-i", str(a), str(b), "--in-memory"], tmp_path)
+    assert r.stdout == "AA\t4\nAC\t1\nCC\t4\nGT\t11\n"
+    r = _cli(["intersect", "-i", str(a), str(b)], tmp_path)
+    assert r.stdout == "AA\t1\nGT\t2\n"
+    r = _cli(["query", str(a), "GT", "TT"], tmp_path)
+    assert r.stdout == "GT\t9\nTT\t0\n"
+    r = _cli(["topn", str(a), "-n", "1"], tmp_path)
+    assert r.stdout == "GT\t9\n"
+    r = _cli(["histo", "-i", str(a), "--from-spectrum", "-k", "2"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _cli(["canonize", str(a)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AA\t3\nAC\t10\n"  # GT folds onto AC
+    r = _cli(["sort", str(a)], tmp_path)
+    assert r.stdout == "AA\t3\nAC\t1\nGT\t9\n"
