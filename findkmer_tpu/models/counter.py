@@ -281,9 +281,6 @@ def make_counter(cfg: Config):
     n = cfg.devices
     if n == 0:
         n = len(jax.devices())
-    if n > 1 and cfg.spill_dir:
-        raise ValueError("--spill supports --devices 1 only (per-device "
-                         "disk spill is not implemented)")
     if n <= 1:
         return KmerCounter(cfg)
     from findkmer_tpu.parallel.dist import DistributedCounter

@@ -219,6 +219,23 @@ class DistributedCounter:
         if self.mode == "sparse":
             merge = "dp_sparse"
         self.merge = merge
+        self._spill_n = 0
+        if cfg.spill_dir:
+            if merge != "dp_sparse":
+                raise ValueError(
+                    "--spill requires a sparse table "
+                    f"(k={cfg.k} resolves to a dense merge)"
+                )
+            import os as _os
+
+            from findkmer_tpu import spill
+
+            _os.makedirs(cfg.spill_dir, exist_ok=True)
+            if spill.load_runs(cfg.spill_dir):
+                raise ValueError(
+                    f"spill dir {cfg.spill_dir!r} already contains run "
+                    "files from another count; use an empty directory"
+                )
         if merge == "all_to_all":
             if cfg.table_size % self.n_dev != 0:
                 raise ValueError(
@@ -471,7 +488,20 @@ class DistributedCounter:
                 st.raw, L, cdtype=jnp.dtype(self.cfg.count_dtype)
             )
         else:
-            d = int(jnp.max(st.distinct))  # previous compaction's scalar
+            dv = np.asarray(st.distinct)  # previous compaction's scalars
+            d = int(dv.max())
+            if self.cfg.spill_dir and d > self.cfg.sparse_capacity:
+                # per-device disk spill (spill.py): one run per device,
+                # raw compacts fresh below
+                self._spill_stores(st.store, st.store_len, dv)
+                L = sparse_ops.ladder(cap, floor=4096)
+                store, distinct = _compact_raw_dev2(
+                    st.raw, L, cdtype=jnp.dtype(self.cfg.count_dtype)
+                )
+                return DpSparseState(
+                    raw=self._fresh_raw(cap), fill=0, store=store,
+                    store_len=L, distinct=distinct,
+                )
             self._check_capacity(d)
             store, store_len = st.store, st.store_len
             Ld = sparse_ops.ladder(d, floor=4096)
@@ -486,12 +516,24 @@ class DistributedCounter:
         )
 
     def _check_capacity(self, distinct: int):
+        if self.cfg.spill_dir:
+            return  # spilling bounds the stores instead of erroring
         if distinct > self.cfg.sparse_capacity:
             raise RuntimeError(
                 f"sparse store exceeded sparse_capacity "
                 f"({distinct} > {self.cfg.sparse_capacity} distinct "
-                "k-mers on one device); raise Config.sparse_capacity"
+                "k-mers on one device); raise Config.sparse_capacity "
+                "or set --spill"
             )
+
+    def _spill_stores(self, store, store_len: int, d):
+        """Persist every device's sorted store as a spill run."""
+        from findkmer_tpu import spill
+
+        for codes, counts in self._pull_sorted_runs(store, store_len, d):
+            spill.write_run(self.cfg.spill_dir, self._spill_n, codes,
+                            counts)
+            self._spill_n += 1
 
     def put_batch(self, rows):
         """Host batch (rows or (packed, validbits)) -> sharded device."""
@@ -575,6 +617,22 @@ class DistributedCounter:
         d = np.asarray(st.distinct)
         self._check_capacity(int(d.max()))
         store = st.store
+        if self._spill_n:
+            # merge disk runs with the residual per-device runs in a
+            # streaming k-way block merge (spill.iter_merged)
+            from findkmer_tpu import spill
+
+            runs = spill.load_runs(self.cfg.spill_dir)
+            runs.extend(
+                self._pull_sorted_runs(store, st.store_len, d)
+            )
+            parts = list(spill.iter_merged(runs))
+            if not parts:
+                return np.empty(0, np.uint64), np.empty(0, np.int64)
+            return (
+                np.concatenate([c for c, _ in parts]),
+                np.concatenate([n for _, n in parts]),
+            )
         if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
             # legacy wire: squeeze holes/padding to the live ladder and
             # pull the full (hi, lo, cnt) planes for a host heap merge
@@ -586,16 +644,22 @@ class DistributedCounter:
 
     def _finalize_sparse_ordered(self, store, store_len: int, d):
         """Coded-wire dp_sparse finalize (multi-chip analog of the
-        single-chip ordered finalize, models/counter.py).
-
-        Each device row is squeezed to a sorted live prefix on device,
-        then only the code planes cross the wire: counts travel as
-        per-row exceptions (positions with count > 1; ~1% at chr scale)
-        and for 16 <= k <= 26 the hi plane travels run-coded
-        (<= 4^(k-16)+1 runs/row) — ~4 B/entry of finalize D2H instead
-        of 12 (wide) / 8 (narrow).  The host decodes each row into a
-        sorted distinct run and heap-merges the n_dev runs in one C
+        single-chip ordered finalize, models/counter.py): pull one
+        sorted distinct run per device and heap-merge them in one C
         pass (BASELINE metric 2: count-table merge)."""
+        return sparse_ops.merge_host_runs(
+            self._pull_sorted_runs(store, store_len, d)
+        )
+
+    def _pull_sorted_runs(self, store, store_len: int, d):
+        """Per-device coded wire: each device row is squeezed to a
+        sorted live prefix on device, then only the code planes cross
+        the wire — counts travel as per-row exceptions (positions with
+        count > 1; ~1% at chr scale) and for 16 <= k <= 26 the hi plane
+        travels run-coded (<= 4^(k-16)+1 runs/row) — ~4 B/entry of
+        finalize D2H instead of 12 (wide) / 8 (narrow).  Returns one
+        decoded (codes u64 sorted distinct, counts i64) run per device
+        with live entries."""
         k = self.cfg.k
         n_live = d.astype(np.int64)
         N = min(
@@ -646,6 +710,6 @@ class DistributedCounter:
             if nm:
                 counts[eidx_h[g][:nm]] = ecnt_h[g][:nm]
             host_runs.append((codes, counts))
-        return sparse_ops.merge_host_runs(host_runs)
+        return host_runs
 
 

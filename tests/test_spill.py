@@ -127,11 +127,40 @@ def test_spill_rejects_dirty_dir(tmp_path, rng):
         KmerCounter(Config(k=21, spill_dir=d))
 
 
-def test_spill_rejects_devices(tmp_path):
+@pytest.mark.parametrize("k", [12, 21])
+def test_spill_dist_matches_oracle(tmp_path, rng, k):
+    """Per-device disk spill on the 8-device mesh: tiny capacity forces
+    spills of every device store; spectrum stays exact and one run per
+    device lands per spill."""
+    import io as _io
+
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu.parallel import DistributedCounter, make_mesh
+
+    seq = random_dna(rng, 48000, n_prob=0.02)
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=64, batch_rows=8, table_mode="sparse",
+        sparse_capacity=128, sparse_compact_entries=2048,
+        spill_dir=str(tmp_path / "sp"),
+    )
+    dc = DistributedCounter(cfg, make_mesh(8))
+    state = dc.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        state = dc.step(state, rows)
+    spectrum = dc.finalize(state)
+    assert dc._spill_n >= 8  # at least one full spill of all devices
+    assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
+
+
+def test_spill_rejects_dense_dist(tmp_path):
     from findkmer_tpu.models.counter import make_counter
 
-    with pytest.raises(ValueError, match="devices 1"):
-        make_counter(Config(k=21, devices=8, spill_dir=str(tmp_path)))
+    with pytest.raises(ValueError, match="sparse"):
+        make_counter(Config(k=8, devices=8, spill_dir=str(tmp_path / "x")))
 
 
 def test_spill_checkpoint_guard(tmp_path, rng):
