@@ -66,7 +66,9 @@ def _add_common(p: argparse.ArgumentParser):
                         "--sparse-capacity distinct k-mers spills sorted "
                         "runs to DIR instead of erroring; finalize "
                         "streams a k-way merge — HBM-bounded counting "
-                        "for spectra larger than device memory")
+                        "for spectra larger than device memory.  DIR "
+                        "must be empty; consumed run files are deleted "
+                        "after a successful finalize")
     p.add_argument("--count-dtype", choices=["int32", "int64"],
                    default="int32",
                    help="count dtype (int64 for >2^31 observations of a "
@@ -175,16 +177,22 @@ def _open_out(path):
 
 
 def _use_streamed_finalize(counter) -> bool:
-    """Sparse single-engine CLI runs stream the write per D2H chunk
-    (counter.finalize_chunks, ordered finalize).  The documented
-    FINDKMER_ORDERED_FINALIZE=0 escape hatch must disable this too, so
-    the legacy heap-merge finalize is reachable from the CLI."""
+    """Sparse CLI runs stream the write per finalize chunk
+    (counter.finalize_chunks — single-engine ordered finalize, or the
+    dp_sparse k-way merge).  The documented FINDKMER_ORDERED_FINALIZE=0
+    escape hatch must disable this too, so the legacy heap-merge
+    finalize is reachable from the CLI."""
+    if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
+        return False
     from findkmer_tpu.models.counter import KmerCounter
 
+    if isinstance(counter, KmerCounter):
+        return counter.mode != "direct"
+    from findkmer_tpu.parallel.dist import DistributedCounter
+
     return (
-        isinstance(counter, KmerCounter)
-        and counter.mode != "direct"
-        and os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") == "1"
+        isinstance(counter, DistributedCounter)
+        and counter.merge == "dp_sparse"
     )
 
 

@@ -22,6 +22,7 @@ is memory-bandwidth-class, not per-byte Python.
 from __future__ import annotations
 
 import gzip
+import io
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
@@ -56,14 +57,53 @@ def open_maybe_gzip(path_or_file):
             f.seek(-len(head), 1)
             if head == b"\x1f\x8b":
                 return _wrap(f), own
-        elif hasattr(f, "peek"):
-            # non-seekable buffered stream (stdin, pipes): peek doesn't
-            # consume, so gzip detection still works
-            if f.peek(2)[:2] == b"\x1f\x8b":
-                return _wrap(f), own
+        elif f.readable():
+            # non-seekable stream (stdin, pipes): consume the magic
+            # bytes robustly (a single peek may return < 2 bytes from a
+            # dribbling producer) and push them back via a wrapper
+            head = b""
+            while len(head) < 2:
+                b = f.read(2 - len(head))
+                if not b:
+                    break
+                head += b
+            g = pushback_stream(head, f)
+            return (_wrap(g) if head == b"\x1f\x8b" else g), own
     except (OSError, ValueError):
         pass
     return f, own
+
+
+class _PushbackRaw(io.RawIOBase):
+    """Raw stream serving a consumed prefix, then the wrapped stream."""
+
+    def __init__(self, head: bytes, f):
+        self._head = memoryview(bytes(head))
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if self._head:
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        data = self._f.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self):
+        super().close()
+        # ownership stays with the caller; do not close the inner stream
+
+
+def pushback_stream(head: bytes, f) -> io.BufferedReader:
+    """Buffered stream that replays `head` before reading from f."""
+    return io.BufferedReader(_PushbackRaw(head, f), 1 << 16)
 
 # ASCII whitespace stripped from sequence data (space, tab, CR, LF, VT, FF)
 _WS_TABLE = np.zeros(256, dtype=bool)

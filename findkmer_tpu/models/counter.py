@@ -334,16 +334,9 @@ class KmerCounter:
                     "--spill requires a sparse table "
                     f"(k={cfg.k} resolves to a direct table)"
                 )
-            import os as _os
-
-            _os.makedirs(cfg.spill_dir, exist_ok=True)
             from findkmer_tpu import spill
 
-            if spill.load_runs(cfg.spill_dir):
-                raise ValueError(
-                    f"spill dir {cfg.spill_dir!r} already contains run "
-                    "files from another count; use an empty directory"
-                )
+            spill.init_dir(cfg.spill_dir)
 
     # ------------------------------------------------------------------
     def put_batch(self, rows):
@@ -381,6 +374,12 @@ class KmerCounter:
     def init_state(self):
         if self.mode == "direct":
             return table_mod.make_table(self.cfg)
+        if self._spill_n:
+            raise RuntimeError(
+                "this counter already spilled runs for a previous "
+                "state; use a fresh counter (and an empty spill dir) "
+                "per count"
+            )
         return SparseState(raw=_fresh(self._raw_cap0(), self._n_bufs))
 
     def step(self, state, batch):
@@ -728,14 +727,23 @@ class KmerCounter:
 
     def _merged_spill_chunks(self, state, ph):
         """Streaming k-way merge of the spill runs with the residual
-        store (spill.iter_merged); yields sorted distinct host chunks."""
+        store (spill.iter_merged); yields sorted distinct host chunks.
+        Consumed run files are deleted once the merge completes (a
+        SECOND finalize of spilled state is an error, not a silently
+        run-less spectrum)."""
         from findkmer_tpu import spill
 
+        runs = self._spill_runs()
+        if not runs:
+            raise RuntimeError(
+                "spill runs missing (already consumed by a previous "
+                "finalize, or deleted); rerun the count"
+            )
         with ph("finalize/residual_pull"):
             final = self._finalize_ordered(state.store)
-        runs = self._spill_runs()
         runs.append(final)
         yield from spill.iter_merged(runs)
+        spill.remove_runs(self.cfg.spill_dir)  # consumed; free the disk
 
     def finalize_chunks(self, state, timers=None):
         """Streaming variant of the sparse finalize: yields host

@@ -226,16 +226,9 @@ class DistributedCounter:
                     "--spill requires a sparse table "
                     f"(k={cfg.k} resolves to a dense merge)"
                 )
-            import os as _os
-
             from findkmer_tpu import spill
 
-            _os.makedirs(cfg.spill_dir, exist_ok=True)
-            if spill.load_runs(cfg.spill_dir):
-                raise ValueError(
-                    f"spill dir {cfg.spill_dir!r} already contains run "
-                    "files from another count; use an empty directory"
-                )
+            spill.init_dir(cfg.spill_dir)
         if merge == "all_to_all":
             if cfg.table_size % self.n_dev != 0:
                 raise ValueError(
@@ -446,6 +439,12 @@ class DistributedCounter:
                 self._state_sharding,
             )
             return (shards, jnp.zeros((), bool))
+        if self._spill_n:
+            raise RuntimeError(
+                "this counter already spilled runs for a previous "
+                "state; use a fresh counter (and an empty spill dir) "
+                "per count"
+            )
         return DpSparseState(raw=self._fresh_raw(self._raw_cap0()))
 
     # --- dp_sparse helpers (mirror models/counter.py single-chip) -----
@@ -620,13 +619,7 @@ class DistributedCounter:
         if self._spill_n:
             # merge disk runs with the residual per-device runs in a
             # streaming k-way block merge (spill.iter_merged)
-            from findkmer_tpu import spill
-
-            runs = spill.load_runs(self.cfg.spill_dir)
-            runs.extend(
-                self._pull_sorted_runs(store, st.store_len, d)
-            )
-            parts = list(spill.iter_merged(runs))
+            parts = list(self._merged_spill_chunks(st, d))
             if not parts:
                 return np.empty(0, np.uint64), np.empty(0, np.int64)
             return (
@@ -641,6 +634,40 @@ class DistributedCounter:
                 store = _squeeze_slice_keep2(store, Ld)
             return _host_merge_stores(store)
         return self._finalize_sparse_ordered(store, st.store_len, d)
+
+    def _merged_spill_chunks(self, st: "DpSparseState", d):
+        """Streaming k-way merge of disk runs + residual device runs;
+        yields sorted distinct host chunks, then deletes the consumed
+        run files (re-finalizing spilled state is a clean error)."""
+        from findkmer_tpu import spill
+
+        runs = spill.load_runs(self.cfg.spill_dir)
+        if not runs:
+            raise RuntimeError(
+                "spill runs missing (already consumed by a previous "
+                "finalize, or deleted); rerun the count"
+            )
+        runs.extend(self._pull_sorted_runs(st.store, st.store_len, d))
+        yield from spill.iter_merged(runs)
+        spill.remove_runs(self.cfg.spill_dir)  # consumed; free the disk
+
+    def finalize_chunks(self, state, timers=None):
+        """Streaming sparse finalize: yields host (codes u64, counts
+        i64) chunks in globally sorted distinct order (the dp_sparse
+        analog of KmerCounter.finalize_chunks; chunks concatenate to
+        exactly finalize(state)'s output)."""
+        assert self.merge == "dp_sparse", "finalize_chunks is sparse-only"
+        st = self._compact_sparse(state)
+        d = np.asarray(st.distinct)
+        self._check_capacity(int(d.max()))
+        if self._spill_n:
+            yield from self._merged_spill_chunks(st, d)
+            return
+        from findkmer_tpu import spill
+
+        yield from spill.iter_merged(
+            self._pull_sorted_runs(st.store, st.store_len, d)
+        )
 
     def _finalize_sparse_ordered(self, store, store_len: int, d):
         """Coded-wire dp_sparse finalize (multi-chip analog of the

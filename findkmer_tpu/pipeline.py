@@ -290,18 +290,28 @@ def _open_reader(path, cfg: Config):
     fmt = cfg.input_format
     fused = cfg.use_native_encode and native_mod.available()
     if path == "-":
-        # stdin: one non-seekable stream — gunzip + sniff via peek
-        # (io/fasta.open_maybe_gzip handles the peek-based magic check)
-        import io as _io
+        # stdin: one non-seekable stream.  read() (NOT peek — a single
+        # peek may return one byte from a dribbling producer) consumes
+        # a head block for gzip magic + format sniffing; the head is
+        # replayed through a pushback stream.
         import sys
 
-        from findkmer_tpu.io.fasta import open_maybe_gzip
+        from findkmer_tpu.io.fasta import pushback_stream
 
-        f, _ = open_maybe_gzip(sys.stdin.buffer)
-        if not hasattr(f, "peek"):
-            f = _io.BufferedReader(f)  # GzipFile: give the sniffer peek
-        if fmt == "auto":
-            fmt = sniff_head(f.peek(4096))
+        raw = sys.stdin.buffer
+        head = raw.read(4096)
+        if head[:2] == b"\x1f\x8b":
+            import gzip
+
+            f = gzip.GzipFile(fileobj=pushback_stream(head, raw))
+            if fmt == "auto":
+                head2 = f.read(4096)  # decompressed head for the sniff
+                f = pushback_stream(head2, f)
+                fmt = sniff_head(head2)
+        else:
+            f = pushback_stream(head, raw)
+            if fmt == "auto":
+                fmt = sniff_head(head)
         if fmt == "fastq":
             return FastqReader(f), fused
         return FastaReader(f, strip_ws=not fused), fused

@@ -52,6 +52,32 @@ def write_run(dir_: str, idx: int, codes: np.ndarray,
     _save_atomic(cp, np.asarray(codes, dtype=np.uint64))
 
 
+def init_dir(dir_: str) -> None:
+    """Create the spill dir; refuse one that already holds run files
+    (a stale dir would silently merge another count's spectrum in)."""
+    os.makedirs(dir_, exist_ok=True)
+    if load_runs(dir_):
+        raise ValueError(
+            f"spill dir {dir_!r} already contains run files from "
+            "another count; use an empty directory"
+        )
+
+
+def remove_runs(dir_: str) -> None:
+    """Delete every run file (called after a finalize consumed them)."""
+    i = 0
+    while True:
+        cp, np_ = _run_paths(dir_, i)
+        if not os.path.exists(cp):
+            return
+        os.unlink(cp)
+        try:
+            os.unlink(np_)
+        except OSError:
+            pass
+        i += 1
+
+
 def load_runs(dir_: str) -> List[Run]:
     """mmap every run in `dir_` (contiguous run indices from 0)."""
     runs: List[Run] = []
@@ -67,26 +93,12 @@ def load_runs(dir_: str) -> List[Run]:
 
 def _merge_block(parts_c, parts_n) -> Run:
     """Merge per-run sorted distinct slices: sum counts of duplicate
-    codes, return sorted distinct arrays.  One C heap-merge pass when
-    the native lib is built (io/native.fk_merge_runs, same primitive as
-    the device-store finalize); numpy sort fallback."""
-    if len(parts_c) > 1:
-        try:
-            from findkmer_tpu.io import native
+    codes, return sorted distinct arrays.  Delegates to the one shared
+    implementation (ops/sparse.merge_host_runs: C heap-merge pass with
+    numpy fallback — pure numpy, no device work)."""
+    from findkmer_tpu.ops.sparse import merge_host_runs
 
-            if native.available() and len(parts_c) <= 256:
-                return native.merge_runs(list(zip(parts_c, parts_n)))
-        except Exception:
-            pass
-    codes = np.concatenate(parts_c).astype(np.uint64, copy=False)
-    counts = np.concatenate(parts_n)
-    order = np.argsort(codes, kind="stable")
-    codes = codes[order]
-    counts = counts[order]
-    starts = np.flatnonzero(
-        np.concatenate([[True], codes[1:] != codes[:-1]])
-    )
-    return codes[starts], np.add.reduceat(counts, starts)
+    return merge_host_runs(list(zip(parts_c, parts_n)))
 
 
 def iter_merged(

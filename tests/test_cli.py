@@ -323,3 +323,28 @@ def test_query_kmers_file(fixtures_dir, tmp_path):
     wantd = dict(l.split("\t") for l in want)
     assert lines["ACGT"] == wantd["ACGT"]
     assert lines["TTTT"] == wantd.get("TTTT", "0")
+
+
+def test_count_devices_sparse_streamed_finalize(fixtures_dir, tmp_path):
+    """count --devices 8 on a sparse k routes through the dp_sparse
+    streamed finalize (DistributedCounter.finalize_chunks); output is
+    byte-identical to the single-device engine."""
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    one = run_cli(["count", "-i", src, "-k", "21", "--chunk-len", "1024",
+                   "--batch-rows", "8", "-o", "one.tsv"], tmp_path)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-m", "findkmer_tpu.cli", "count", "-i", src,
+         "-k", "21", "--chunk-len", "1024", "--batch-rows", "8",
+         "--devices", "8", "-o", "eight.tsv"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr
+    assert (tmp_path / "one.tsv").read_bytes() == (
+        tmp_path / "eight.tsv"
+    ).read_bytes()

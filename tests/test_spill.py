@@ -79,10 +79,27 @@ def test_run_roundtrip(tmp_path, rng):
 
 # ------------------------------------------------------------- engine
 
+def _count_text_spill(text, cfg):
+    """count_text that also returns the counter (to inspect spills)."""
+    import io as _io
+
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu.models.counter import KmerCounter
+
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        state = counter.step(state, rows)
+    return counter.finalize(state), counter
+
+
 @pytest.mark.parametrize("k", [12, 21])
 def test_spill_count_matches_oracle(tmp_path, rng, k):
     """Tiny sparse_capacity forces multiple spills; the spectrum stays
-    bit-exact vs the oracle and runs actually landed on disk."""
+    bit-exact vs the oracle, and consumed run files are deleted."""
     seq = random_dna(rng, 12000, n_prob=0.02)
     text = ">r\n" + seq + "\n"
     cfg = Config(
@@ -90,9 +107,16 @@ def test_spill_count_matches_oracle(tmp_path, rng, k):
         sparse_capacity=512, sparse_compact_entries=1024,
         spill_dir=str(tmp_path / "sp"),
     )
-    spectrum, _ = count_text(text, cfg)
-    assert len(spill.load_runs(cfg.spill_dir)) >= 2
+    spectrum, counter = _count_text_spill(text, cfg)
+    assert counter._spill_n >= 2
+    assert spill.load_runs(cfg.spill_dir) == []  # consumed + removed
     assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)
+    # a second finalize of spilled state is a clean error, and reusing
+    # the counter for a new state is too
+    with pytest.raises(RuntimeError, match="spill runs missing"):
+        next(iter(counter._merged_spill_chunks(None, None)))
+    with pytest.raises(RuntimeError, match="fresh counter"):
+        counter.init_state()
 
 
 def test_spill_canonical_matches_oracle(tmp_path, rng):
@@ -103,8 +127,8 @@ def test_spill_canonical_matches_oracle(tmp_path, rng):
         table_mode="sparse", sparse_capacity=512,
         sparse_compact_entries=1024, spill_dir=str(tmp_path / "sp"),
     )
-    spectrum, _ = count_text(text, cfg)
-    assert spill.load_runs(cfg.spill_dir)
+    spectrum, counter = _count_text_spill(text, cfg)
+    assert counter._spill_n >= 1
     assert spectrum_to_dict(spectrum, 21) == oracle_dict(
         text, 21, canonical=True
     )
@@ -225,7 +249,8 @@ def test_spill_cli_byte_identical(tmp_path, fixtures_dir):
     assert (tmp_path / "plain.tsv").read_bytes() == (
         tmp_path / "spilled.tsv"
     ).read_bytes()
-    assert len(spill.load_runs(str(tmp_path / "sp"))) >= 2
+    # consumed run files are removed after the successful finalize
+    assert spill.load_runs(str(tmp_path / "sp")) == []
 
 
 def test_spill_cli_stream_checkpoint_error(tmp_path, fixtures_dir):
