@@ -10,6 +10,7 @@ composes this with parallel/ (each host streams its shard of batches).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -177,9 +178,12 @@ def run_stream(args) -> int:
         args.coordinator, args.num_processes, args.process_id
     )
     if cfg.spill_dir and num_processes > 1:
-        raise ValueError(
-            "--spill is single-process (per-host spill dirs would "
-            "collide); run per-host counts + `findkmer merge` instead"
+        # per-process subdir: each host spills and merges its own runs
+        # into its partial spectrum (the collective/file-level merge of
+        # partials is unchanged) — shared filesystems never collide
+        cfg = cfg.replace(
+            spill_dir=os.path.join(cfg.spill_dir,
+                                   f"proc{process_id:03d}")
         )
     t0 = time.time()
     from findkmer_tpu.parallel import multihost

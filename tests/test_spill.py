@@ -253,6 +253,26 @@ def test_spill_cli_byte_identical(tmp_path, fixtures_dir):
     assert spill.load_runs(str(tmp_path / "sp")) == []
 
 
+def test_spill_two_simulated_hosts(tmp_path, fixtures_dir):
+    """stream --num-processes 2 --spill: per-process subdirs; merged
+    per-host partials equal the plain single count."""
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    common = ["-k", "18", "--chunk-len", "1024", "--batch-rows", "8",
+              "--sparse-capacity", "512",
+              "--sparse-compact-entries", "2048"]
+    for pid, out in (("0", "h0.tsv"), ("1", "h1.tsv")):
+        r = _cli(["stream", "-i", src, *common, "--num-processes", "2",
+                  "--process-id", pid, "--spill", "sp", "-o", out],
+                 tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "sp" / f"proc{int(pid):03d}").is_dir()
+    rm = _cli(["merge", "-i", "h0.tsv", "h1.tsv"], tmp_path)
+    assert rm.returncode == 0, rm.stderr
+    rc = _cli(["count", "-i", src, "-k", "18", "--chunk-len", "1024",
+               "--batch-rows", "8"], tmp_path)
+    assert rm.stdout == rc.stdout
+
+
 def test_spill_cli_stream_checkpoint_error(tmp_path, fixtures_dir):
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
     r = _cli(
