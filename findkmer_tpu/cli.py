@@ -446,7 +446,11 @@ def cmd_sort(args) -> int:
 
     f, close = _open_out(args.output)
     try:
-        spectra.sort_spectrum_file(args.input, f, sep=args.sep)
+        spectra.sort_spectrum_file(
+            args.input, f, sep=args.sep,
+            min_count=args.min_count, max_count=args.max_count,
+            set_count=args.set_count, kmers_only=args.kmers_only,
+        )
     finally:
         if close:
             f.close()
@@ -687,6 +691,18 @@ def build_parser() -> argparse.ArgumentParser:
     pso.add_argument("input", help="spectrum file (KMER<sep>COUNT)")
     pso.add_argument("-o", "--output", default="-")
     pso.add_argument("--sep", default="\t")
+    pso.add_argument("--min-count", type=int, default=1, metavar="N",
+                     help="drop k-mers with count < N (kmc_tools "
+                          "transform reduce -ci)")
+    pso.add_argument("--max-count", type=int, default=0, metavar="N",
+                     help="drop k-mers with count > N; 0 = unbounded "
+                          "(kmc_tools transform reduce -cx)")
+    pso.add_argument("--set-count", type=int, default=0, metavar="N",
+                     help="force every surviving counter to N "
+                          "(kmc_tools transform set_counts)")
+    pso.add_argument("--kmers-only", action="store_true",
+                     help="emit only the k-mer column (kmc_tools "
+                          "transform compact)")
     pso.set_defaults(fn=cmd_sort)
 
     pz = sub.add_parser(

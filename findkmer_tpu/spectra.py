@@ -355,23 +355,41 @@ def spectrum_lines(
             yield f"{kmer}{sep}{counts[kmer]}"
 
 
-def _write_codes(out_f, codes, counts, k: int, sep_b: bytes) -> None:
+def _write_codes(out_f, codes, counts, k: int, sep_b: bytes,
+                 kmers_only: bool = False) -> None:
     """Chunked C-formatted write of sorted (codes, counts) arrays."""
     from findkmer_tpu.io import native
 
     chunk = 1 << 20
     for s0 in range(0, codes.size, chunk):
         e = min(s0 + chunk, codes.size)
-        out_f.write(
-            native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
-        )
+        if kmers_only:
+            from findkmer_tpu.output import codes_to_kmer_bytes
+
+            kmers = codes_to_kmer_bytes(codes[s0:e], k)
+            out_f.write(b"\n".join(kmers.tolist()) + b"\n")
+        else:
+            out_f.write(
+                native.format_spectrum(codes[s0:e], counts[s0:e], k, sep_b)
+            )
 
 
-def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
+def sort_spectrum_file(path, out_f, sep: str = "\t", *,
+                       min_count: int = 1, max_count: int = 0,
+                       set_count: int = 0,
+                       kmers_only: bool = False) -> int:
     """Rewrite a spectrum file in lexicographic k-mer order, summing
     duplicate (case-folded) k-mers — normalizes third-party/unsorted
     TSVs for the streaming ops (merge/intersect/subtract need sorted
-    inputs).  Returns distinct k-mers written."""
+    inputs).  Returns distinct k-mers written.
+
+    Transform knobs (kmc_tools `transform` class):
+      min_count/max_count — drop k-mers outside [min_count, max_count]
+        (kmc_tools `reduce -ci/-cx`; max_count 0 = unbounded).
+      set_count — force every surviving counter to this value
+        (kmc_tools `set_counts`).
+      kmers_only — emit only the k-mer column (kmc_tools `compact`).
+    """
     import numpy as np
 
     sep_b = sep.encode()
@@ -380,6 +398,14 @@ def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
     for km, v in raw.items():  # normalize case (same on both paths)
         u = km.upper()
         d[u] = d.get(u, 0) + v
+    if min_count > 1 or max_count:
+        d = {
+            km: v
+            for km, v in d.items()
+            if v >= min_count and (not max_count or v <= max_count)
+        }
+    if set_count:
+        d = {km: set_count for km in d}
     if not d:
         return 0
     from findkmer_tpu.io import native
@@ -407,8 +433,21 @@ def sort_spectrum_file(path, out_f, sep: str = "\t") -> int:
         if codes is not None:
             counts = np.fromiter(d.values(), np.int64, len(d))
             order = np.argsort(codes)
-            _write_codes(out_f, codes[order], counts[order], k, sep_b)
+            _write_codes(out_f, codes[order], counts[order], k, sep_b,
+                         kmers_only=kmers_only)
             return len(d)
+    if kmers_only:
+        n = 0
+        buf: List[bytes] = []
+        for km in sorted(d):
+            buf.append(km.encode())
+            n += 1
+            if len(buf) >= 65536:
+                out_f.write(b"\n".join(buf) + b"\n")
+                buf.clear()
+        if buf:
+            out_f.write(b"\n".join(buf) + b"\n")
+        return n
     return _write_batched(
         out_f,
         ((km.encode(), d[km]) for km in sorted(d)),

@@ -495,6 +495,48 @@ def test_sort_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     assert r.stdout == "AAAA\t2\nTTTT\t1\n"
 
+
+def test_sort_transform_knobs(tmp_path):
+    """sort --min-count/--max-count/--set-count/--kmers-only (kmc_tools
+    transform reduce/set_counts/compact) on both the C-coded and text
+    fallback paths."""
+    import io
+
+    from findkmer_tpu import spectra
+
+    p = tmp_path / "s.tsv"
+    p.write_text("AA\t1\nAC\t3\nGT\t7\nTT\t2\n")
+    out = io.BytesIO()
+    n = spectra.sort_spectrum_file(str(p), out, min_count=2, max_count=3)
+    assert out.getvalue() == b"AC\t3\nTT\t2\n" and n == 2
+    out = io.BytesIO()
+    spectra.sort_spectrum_file(str(p), out, min_count=2, set_count=1)
+    assert out.getvalue() == b"AC\t1\nGT\t1\nTT\t1\n"
+    out = io.BytesIO()
+    spectra.sort_spectrum_file(str(p), out, kmers_only=True)
+    assert out.getvalue() == b"AA\nAC\nGT\nTT\n"
+    # text fallback (non-ACGT forces it) honors the same knobs
+    p2 = tmp_path / "iupac.tsv"
+    p2.write_text("NN\t5\nAC\t1\nGG\t4\n")
+    out = io.BytesIO()
+    spectra.sort_spectrum_file(str(p2), out, min_count=4)
+    assert out.getvalue() == b"GG\t4\nNN\t5\n"
+    out = io.BytesIO()
+    spectra.sort_spectrum_file(str(p2), out, min_count=4, kmers_only=True)
+    assert out.getvalue() == b"GG\nNN\n"
+    # all filtered -> empty output, count 0
+    out = io.BytesIO()
+    assert spectra.sort_spectrum_file(str(p), out, min_count=100) == 0
+    assert out.getvalue() == b""
+    # CLI surface
+    r = _cli(["sort", "s.tsv", "--min-count", "2", "--max-count", "3"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AC\t3\nTT\t2\n"
+    r = _cli(["sort", "s.tsv", "--kmers-only"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "AA\nAC\nGT\nTT\n"
+
 def test_sort_mixed_lengths_and_k32(tmp_path):
     """sort: mixed-length k-mers take the text path (no length-blind
     code corruption); k >= 32 spectra are preserved, never emptied."""
