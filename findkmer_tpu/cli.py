@@ -40,9 +40,10 @@ def _enable_compile_cache():
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-i", "--input", required=True, nargs="+",
-                   help="FASTA/FASTQ file(s), optionally gzipped "
+                   help="FASTA/FASTQ/SAM/BAM file(s), optionally gzipped "
                         "('-' = stdin)")
-    p.add_argument("--format", choices=["auto", "fasta", "fastq"],
+    p.add_argument("--format", choices=["auto", "fasta", "fastq", "sam",
+                                        "bam"],
                    default="auto", help="input format (auto-sniffed)")
     p.add_argument("-k", type=int, required=True, help="k-mer length (1..31)")
     p.add_argument("-o", "--output", default="-", help="output path ('-' = stdout)")

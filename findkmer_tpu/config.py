@@ -105,7 +105,7 @@ class Config:
     # an OUTPUT filter only, counting stays exact
 
     # --- input ---
-    input_format: str = "auto"       # auto | fasta | fastq (gzip is
+    input_format: str = "auto"       # auto | fasta | fastq | sam | bam (gzip is
                                      # detected by magic bytes either way)
 
     # --- runtime ---
@@ -129,7 +129,7 @@ class Config:
             raise ValueError(
                 f"chunk_len ({self.chunk_len}) must be >= k ({self.k})"
             )
-        if self.input_format not in ("auto", "fasta", "fastq"):
+        if self.input_format not in ("auto", "fasta", "fastq", "sam", "bam"):
             raise ValueError(f"bad input_format {self.input_format!r}")
         if self.count_dtype not in ("int32", "int64"):
             raise ValueError(

@@ -325,6 +325,11 @@ def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
 
     if fmt == "auto":
         fmt = sniff_format(path)
+    if fmt in ("sam", "bam"):
+        raise SystemExit(
+            "findkmer filter reads FASTA/FASTQ only (SAM/BAM records "
+            "cannot be re-emitted verbatim); convert first"
+        )
     if fmt == "fastq":
         yield from _fastq_records_block(path)
         return

@@ -1,4 +1,5 @@
 from findkmer_tpu.io.fasta import FastaReader, RecordChunk, read_records
+from findkmer_tpu.io.sam import BamReader, SamReader
 from findkmer_tpu.io.encode import (
     encode_bytes,
     INVALID,
@@ -9,6 +10,8 @@ from findkmer_tpu.io.encode import (
 
 __all__ = [
     "FastaReader",
+    "BamReader",
+    "SamReader",
     "RecordChunk",
     "read_records",
     "encode_bytes",

@@ -115,25 +115,48 @@ class FastqReader:
             yield ch.header, ch.data
 
 
+# SAM header-line tags (SAM spec §1.3); a '@'-line starting with one of
+# these followed by a tab is a SAM header, not a FASTQ read name.
+_SAM_HEADER_TAGS = (b"@HD", b"@SQ", b"@RG", b"@PG", b"@CO")
+
+
 def sniff_head(head: bytes) -> str:
-    """'fasta' | 'fastq' from a peeked prefix (no bytes consumed)."""
-    for i in range(len(head)):
-        b = head[i:i + 1]
-        if not b.isspace():
-            return "fastq" if b == b"@" else "fasta"
+    """'fasta' | 'fastq' | 'sam' | 'bam' from a peeked (decompressed)
+    prefix — no bytes consumed.
+
+    BAM is its magic; '@' is FASTQ unless the first line is a SAM
+    header tag; a headerless SAM is recognized by >= 11 tab fields with
+    numeric FLAG/POS/MAPQ.  Anything else is FASTA (the historical
+    default — an empty/garbage stream yields nothing either way)."""
+    if head[:4] == b"BAM\x01":
+        return "bam"
+    i = 0
+    while i < len(head) and head[i : i + 1].isspace():
+        i += 1
+    b = head[i : i + 1]
+    if not b or b == b">":
+        return "fasta"
+    line = head[i:].split(b"\n", 1)[0]
+    if b == b"@":
+        if line[:3] in _SAM_HEADER_TAGS and line[3:4] in (b"\t", b"\r", b""):
+            return "sam"
+        return "fastq"
+    fields = line.split(b"\t")
+    if (
+        len(fields) >= 11
+        and fields[1].isdigit()
+        and fields[3].isdigit()
+        and fields[4].isdigit()
+    ):
+        return "sam"
     return "fasta"
 
 
 def sniff_format(path) -> str:
-    """'fasta' | 'fastq' by first non-whitespace byte ('@' = FASTQ)."""
+    """Sniff a file's format from its (decompressed) head block."""
     f, own = open_maybe_gzip(path)
     try:
-        while True:
-            b = f.read(1)
-            if not b:
-                return "fasta"  # empty: either parser yields nothing
-            if not b.isspace():
-                return "fastq" if b == b"@" else "fasta"
+        return sniff_head(f.read(8192))
     finally:
         if own:
             f.close()

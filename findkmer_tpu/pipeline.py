@@ -286,6 +286,7 @@ def _open_reader(path, cfg: Config):
     batches_from_file and per_record_spectra."""
     from findkmer_tpu.io import native as native_mod
     from findkmer_tpu.io.fastq import FastqReader, sniff_format, sniff_head
+    from findkmer_tpu.io.sam import BamReader, SamReader
 
     fmt = cfg.input_format
     fused = cfg.use_native_encode and native_mod.available()
@@ -314,11 +315,19 @@ def _open_reader(path, cfg: Config):
                 fmt = sniff_head(head)
         if fmt == "fastq":
             return FastqReader(f), fused
+        if fmt == "sam":
+            return SamReader(f), fused
+        if fmt == "bam":
+            return BamReader(f), fused
         return FastaReader(f, strip_ws=not fused), fused
     if fmt == "auto":
         fmt = sniff_format(path)
     if fmt == "fastq":
         return FastqReader(path), fused
+    if fmt == "sam":
+        return SamReader(path), fused
+    if fmt == "bam":
+        return BamReader(path), fused
     return FastaReader(path, strip_ws=not fused), fused
 
 
