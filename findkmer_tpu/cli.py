@@ -501,6 +501,41 @@ def cmd_topn(args) -> int:
     return 0
 
 
+def _emit_kv(d, as_json: bool) -> None:
+    if as_json:
+        import json
+
+        print(json.dumps(d))
+        return
+    for key, val in d.items():
+        if isinstance(val, float):
+            val = f"{val:.6g}"
+        print(f"{key}\t{val}")
+
+
+def cmd_info(args) -> int:
+    """Summary statistics of a spectrum file (kmc_tools info analog)."""
+    from findkmer_tpu import spectra
+
+    _emit_kv(spectra.info_spectrum_file(args.input, sep=args.sep),
+             args.json)
+    return 0
+
+
+def cmd_similarity(args) -> int:
+    """Jaccard/containment/cosine/Mash between two spectra."""
+    from findkmer_tpu import spectra
+
+    _emit_kv(
+        spectra.similarity_spectra(
+            args.input[0], args.input[1], sep=args.sep,
+            canonical=args.canonical,
+        ),
+        args.json,
+    )
+    return 0
+
+
 def cmd_diff(args) -> int:
     from findkmer_tpu import spectra
 
@@ -743,6 +778,31 @@ def build_parser() -> argparse.ArgumentParser:
                     help="inputs are spectrum TSV files (no recount; "
                          "-k is ignored)")
     ph.set_defaults(fn=cmd_histo)
+
+    pif = sub.add_parser(
+        "info", help="summary statistics of a spectrum file"
+    )
+    pif.add_argument("input", help="spectrum file (KMER<sep>COUNT)")
+    pif.add_argument("--sep", default="\t")
+    pif.add_argument("--json", action="store_true",
+                     help="one JSON object instead of key<TAB>value lines")
+    pif.set_defaults(fn=cmd_info)
+
+    psim = sub.add_parser(
+        "similarity",
+        help="similarity metrics between two spectra (Jaccard, "
+             "containment, weighted Jaccard, cosine, Mash distance)",
+    )
+    psim.add_argument("-i", "--input", required=True, nargs=2,
+                      help="two sorted spectrum files")
+    psim.add_argument("--sep", default="\t")
+    psim.add_argument("--canonical", action="store_true",
+                      help="fold both inputs to revcomp-min form first "
+                           "(plain and canonical spectra may be mixed)")
+    psim.add_argument("--json", action="store_true",
+                      help="one JSON object instead of key<TAB>value "
+                           "lines")
+    psim.set_defaults(fn=cmd_similarity)
 
     pd = sub.add_parser(
         "diff", help="diff two spectrum files (exit 1 when different)"

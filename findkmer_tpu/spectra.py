@@ -757,6 +757,238 @@ def top_n(path, n: int, sep: str = "\t") -> List[Tuple[str, int]]:
     return [(rb.b.decode(), c) for c, rb in out]
 
 
+def info_spectrum_file(path, sep: str = "\t") -> Dict[str, object]:
+    """Summary statistics of a spectrum file, one streaming pass
+    (kmc_tools `info` analog; works on gzipped and third-party files).
+
+    On a sorted unique spectrum (everything this package writes) the
+    stats are exact.  Unsorted files are still summarized line-by-line
+    ("sorted": "no"); duplicate keys are then counted as separate
+    entries, matching what any streaming consumer of that file sees."""
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
+    sep_b = sep.encode()
+
+    # Fast path: C parse (sorted, uppercase, pure-ACGT spectra).
+    k0 = _infer_k(path, sep_b)
+    if k0 is not None:
+        parsed = _parse_binary(path, k0, sep_b)
+        if parsed is not None:
+            import numpy as np
+
+            codes, counts = parsed
+            if codes.size:
+                canon = bool(
+                    np.all(codes <= revcomp_codes_u64(codes, k0))
+                )
+                singles = int((counts == 1).sum())
+                return {
+                    "k": k0,
+                    "distinct": int(codes.size),
+                    "total": int(counts.sum()),
+                    "min_count": int(counts.min()),
+                    "max_count": int(counts.max()),
+                    "mean_count": float(counts.sum() / codes.size),
+                    "singletons": singles,
+                    "canonical": "yes" if canon else "no",
+                    "acgt_only": "yes",
+                    "sorted": "yes",
+                }
+
+    # Line path: any separator/case/order, gz ok.
+    distinct = total = singles = 0
+    min_c = max_c = None
+    k_min = k_max = None
+    srt = True
+    acgt_only = True
+    canonical = True
+    prev = None
+    acgt = frozenset(b"ACGT")
+    f, _ = open_maybe_gzip(path)
+    with f:
+        for line_no, line in enumerate(f, 1):
+            line = line.rstrip(b"\n").rstrip(b"\r")
+            if not line:
+                continue
+            try:
+                kmer, cnt_s = line.rsplit(sep_b, 1)
+                cnt = int(cnt_s)
+            except ValueError as e:
+                raise ValueError(
+                    f"{path}:{line_no}: malformed spectrum line {line!r}"
+                ) from e
+            ku = kmer.upper()
+            if prev is not None and ku < prev:
+                srt = False
+            prev = ku
+            if not set(ku) <= acgt:
+                acgt_only = False
+                canonical = False
+            elif canonical and ku > ku.translate(_RC_TABLE)[::-1]:
+                canonical = False
+            n = len(kmer)
+            k_min = n if k_min is None else min(k_min, n)
+            k_max = n if k_max is None else max(k_max, n)
+            distinct += 1
+            total += cnt
+            singles += cnt == 1
+            min_c = cnt if min_c is None else min(min_c, cnt)
+            max_c = cnt if max_c is None else max(max_c, cnt)
+    return {
+        "k": (k_min if k_min == k_max else f"{k_min}..{k_max}")
+        if k_min is not None else 0,
+        "distinct": distinct,
+        "total": total,
+        "min_count": min_c or 0,
+        "max_count": max_c or 0,
+        "mean_count": (total / distinct) if distinct else 0.0,
+        "singletons": singles,
+        "canonical": "yes" if (canonical and distinct and acgt_only)
+        else "no",
+        "acgt_only": "yes" if acgt_only else "no",
+        "sorted": "yes" if srt else "no",
+    }
+
+
+def _similarity_binary(path_a, path_b, sep_b: bytes):
+    """C-parsed vectorized similarity accumulators, or None (exotic
+    inputs — caller streams)."""
+    import numpy as np
+
+    ka, kb = _infer_k(path_a, sep_b), _infer_k(path_b, sep_b)
+    if ka is None or kb is None or ka != kb:
+        return None
+    pa = _parse_binary(path_a, ka, sep_b)
+    pb = _parse_binary(path_b, kb, sep_b)
+    if pa is None or pb is None:
+        return None
+    ca, na = pa
+    cb, nb = pb
+    na = na.astype(np.float64)
+    nb = nb.astype(np.float64)
+    shared, ia, ib = np.intersect1d(
+        ca, cb, assume_unique=True, return_indices=True
+    )
+    am, bm = na[ia], nb[ib]
+    return {
+        "k": ka,
+        "distinct_a": int(ca.size),
+        "distinct_b": int(cb.size),
+        "shared": int(shared.size),
+        "total_a": int(na.sum()),
+        "total_b": int(nb.sum()),
+        "sum_min": float(np.minimum(am, bm).sum()),
+        # union multiset: max over shared keys + every non-shared count
+        "sum_max": float(
+            np.maximum(am, bm).sum()
+            + (na.sum() - am.sum()) + (nb.sum() - bm.sum())
+        ),
+        "dot": float((am * bm).sum()),
+        "norm_a": float((na * na).sum()),
+        "norm_b": float((nb * nb).sum()),
+    }
+
+
+def similarity_spectra(
+    path_a, path_b, sep: str = "\t", canonical: bool = False
+) -> Dict[str, object]:
+    """Similarity metrics between two sorted spectra (Mash/sourmash
+    tool-class): Jaccard and containment over the distinct k-mer sets,
+    weighted (multiset) Jaccard and cosine over the counts, and the
+    Mash distance estimate -ln(2j/(1+j))/k.
+
+    Streams both files with a two-pointer walk (O(buffers) memory);
+    clean same-k inputs ride the C parser + numpy instead.  With
+    canonical=True both inputs are folded to revcomp-min form first
+    (mixing plain and canonical spectra is then safe)."""
+    import math
+
+    if canonical:
+        with _CanonizedInputs([path_a, path_b], sep) as folded:
+            return similarity_spectra(folded[0], folded[1], sep=sep)
+
+    sep_b = sep.encode()
+    acc = _similarity_binary(path_a, path_b, sep_b)
+    if acc is None:
+        k = None
+        da = db = shared = total_a = total_b = 0
+        sum_min = sum_max = dot = norm_a = norm_b = 0.0
+        ita = _sorted_lines(path_a, sep_b)
+        itb = _sorted_lines(path_b, sep_b)
+        a = next(ita, None)
+        b = next(itb, None)
+        if a is not None:
+            k = len(a[0])
+        elif b is not None:
+            k = len(b[0])
+        while a is not None or b is not None:
+            if b is None or (a is not None and a[0] < b[0]):
+                da += 1
+                total_a += a[1]
+                sum_max += a[1]
+                norm_a += a[1] * a[1]
+                a = next(ita, None)
+            elif a is None or b[0] < a[0]:
+                db += 1
+                total_b += b[1]
+                sum_max += b[1]
+                norm_b += b[1] * b[1]
+                b = next(itb, None)
+            else:
+                da += 1
+                db += 1
+                shared += 1
+                total_a += a[1]
+                total_b += b[1]
+                sum_min += min(a[1], b[1])
+                sum_max += max(a[1], b[1])
+                dot += a[1] * b[1]
+                norm_a += a[1] * a[1]
+                norm_b += b[1] * b[1]
+                a = next(ita, None)
+                b = next(itb, None)
+        acc = {
+            "k": k,
+            "distinct_a": da,
+            "distinct_b": db,
+            "shared": shared,
+            "total_a": total_a,
+            "total_b": total_b,
+            "sum_min": sum_min,
+            "sum_max": sum_max,
+            "dot": dot,
+            "norm_a": norm_a,
+            "norm_b": norm_b,
+        }
+
+    da, db, shared = acc["distinct_a"], acc["distinct_b"], acc["shared"]
+    union = da + db - shared
+    j = shared / union if union else 0.0
+    denom = math.sqrt(acc["norm_a"]) * math.sqrt(acc["norm_b"])
+    k = acc["k"]
+    if j > 0 and k:
+        mash = max(0.0, -math.log(2 * j / (1 + j)) / k)
+    else:
+        mash = 0.0 if (da == 0 and db == 0) else 1.0
+    return {
+        "k": k if k else 0,
+        "distinct_a": da,
+        "distinct_b": db,
+        "shared": shared,
+        "union": union,
+        "total_a": acc["total_a"],
+        "total_b": acc["total_b"],
+        "jaccard": j,
+        "containment_a_in_b": shared / da if da else 0.0,
+        "containment_b_in_a": shared / db if db else 0.0,
+        "weighted_jaccard": (
+            acc["sum_min"] / acc["sum_max"] if acc["sum_max"] else 0.0
+        ),
+        "cosine": acc["dot"] / denom if denom else 0.0,
+        "mash_distance": mash,
+    }
+
+
 class _RevBytes:
     """bytes with reversed ordering (so ties prefer lexicographically
     SMALLER k-mers when evicting from the min-heap)."""

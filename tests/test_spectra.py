@@ -639,3 +639,153 @@ def test_gzip_spectrum_inputs(tmp_path):
     assert r.stdout == "AA\t3\nAC\t10\n"  # GT folds onto AC
     r = _cli(["sort", str(a)], tmp_path)
     assert r.stdout == "AA\t3\nAC\t1\nGT\t9\n"
+
+
+# ---------------------------------------------------------------- info
+
+def _write_spec(tmp_path, name, pairs, sep="\t"):
+    p = tmp_path / name
+    p.write_text("".join(f"{k}{sep}{c}\n" for k, c in pairs))
+    return str(p)
+
+
+def test_info_sorted_spectrum(tmp_path):
+    p = _write_spec(tmp_path, "a.tsv", [
+        ("AAAA", 3), ("AACG", 1), ("CGTT", 7), ("TTTT", 1),
+    ])
+    d = spectra.info_spectrum_file(p)
+    assert d["k"] == 4
+    assert d["distinct"] == 4
+    assert d["total"] == 12
+    assert d["min_count"] == 1 and d["max_count"] == 7
+    assert d["singletons"] == 2
+    assert d["sorted"] == "yes"
+    assert d["acgt_only"] == "yes"
+    assert d["canonical"] == "no"  # TTTT > revcomp AAAA
+
+
+def test_info_canonical_and_unsorted(tmp_path):
+    canon = _write_spec(tmp_path, "c.tsv", [("AAAA", 2), ("AACG", 5)])
+    d = spectra.info_spectrum_file(canon)
+    assert d["canonical"] == "yes"
+    uns = _write_spec(tmp_path, "u.tsv", [("CCCC", 1), ("AAAA", 1)])
+    d = spectra.info_spectrum_file(uns)
+    assert d["sorted"] == "no"
+    assert d["distinct"] == 2
+    mixed = _write_spec(tmp_path, "m.tsv", [("AA", 1), ("AAAN", 2)])
+    d = spectra.info_spectrum_file(mixed)
+    assert d["k"] == "2..4"
+    assert d["acgt_only"] == "no"
+
+
+def test_info_empty(tmp_path):
+    p = tmp_path / "e.tsv"
+    p.write_text("")
+    d = spectra.info_spectrum_file(str(p))
+    assert d["distinct"] == 0 and d["total"] == 0
+
+
+def test_info_cli(tmp_path):
+    p = _write_spec(tmp_path, "a.tsv", [("ACGT", 2), ("TTTT", 1)])
+    r = _cli(["info", p], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = dict(line.split("\t") for line in r.stdout.splitlines())
+    assert got["distinct"] == "2"
+    assert got["total"] == "3"
+    r = _cli(["info", p, "--json"], tmp_path)
+    import json
+    assert json.loads(r.stdout)["distinct"] == 2
+
+
+# ---------------------------------------------------------- similarity
+
+def _brute_similarity(a: dict, b: dict, k: int):
+    import math
+    sa, sb = set(a), set(b)
+    shared = sa & sb
+    union = sa | sb
+    j = len(shared) / len(union) if union else 0.0
+    keys = union
+    smin = sum(min(a.get(x, 0), b.get(x, 0)) for x in keys)
+    smax = sum(max(a.get(x, 0), b.get(x, 0)) for x in keys)
+    dot = sum(a[x] * b[x] for x in shared)
+    na = math.sqrt(sum(v * v for v in a.values()))
+    nb = math.sqrt(sum(v * v for v in b.values()))
+    return {
+        "shared": len(shared), "union": len(union), "jaccard": j,
+        "containment_a_in_b": len(shared) / len(sa) if sa else 0.0,
+        "containment_b_in_a": len(shared) / len(sb) if sb else 0.0,
+        "weighted_jaccard": smin / smax if smax else 0.0,
+        "cosine": dot / (na * nb) if na and nb else 0.0,
+        "mash_distance": (-math.log(2 * j / (1 + j)) / k) if j else 1.0,
+    }
+
+
+def test_similarity_matches_brute_force(tmp_path):
+    import random
+    rng = random.Random(7)
+    kmers = ["".join(rng.choice("ACGT") for _ in range(6))
+             for _ in range(200)]
+    a = {k_: rng.randint(1, 9) for k_ in sorted(set(kmers[:120]))}
+    b = {k_: rng.randint(1, 9) for k_ in sorted(set(kmers[80:]))}
+    pa = _write_spec(tmp_path, "a.tsv", sorted(a.items()))
+    pb = _write_spec(tmp_path, "b.tsv", sorted(b.items()))
+    got = spectra.similarity_spectra(pa, pb)
+    want = _brute_similarity(a, b, 6)
+    for key, val in want.items():
+        assert got[key] == pytest.approx(val), key
+    assert got["distinct_a"] == len(a)
+    assert got["total_b"] == sum(b.values())
+
+
+def test_similarity_streaming_path_matches_binary(tmp_path, monkeypatch):
+    import random
+    rng = random.Random(3)
+    kmers = sorted({"".join(rng.choice("ACGT") for _ in range(5))
+                    for _ in range(100)})
+    a = [(k_, rng.randint(1, 5)) for k_ in kmers[:70]]
+    b = [(k_, rng.randint(1, 5)) for k_ in kmers[40:]]
+    pa = _write_spec(tmp_path, "a.tsv", a)
+    pb = _write_spec(tmp_path, "b.tsv", b)
+    fast = spectra.similarity_spectra(pa, pb)
+    monkeypatch.setattr(spectra, "_similarity_binary",
+                        lambda *a_, **k_: None)
+    slow = spectra.similarity_spectra(pa, pb)
+    for key in fast:
+        assert fast[key] == pytest.approx(slow[key]), key
+
+
+def test_similarity_identical_and_disjoint(tmp_path):
+    pa = _write_spec(tmp_path, "a.tsv", [("AAAA", 2), ("CCCC", 3)])
+    d = spectra.similarity_spectra(pa, pa)
+    assert d["jaccard"] == 1.0 and d["cosine"] == pytest.approx(1.0)
+    assert d["weighted_jaccard"] == 1.0 and d["mash_distance"] == 0.0
+    pb = _write_spec(tmp_path, "b.tsv", [("GGGG", 1), ("TTTT", 4)])
+    d = spectra.similarity_spectra(pa, pb)
+    assert d["jaccard"] == 0.0 and d["shared"] == 0
+    assert d["mash_distance"] == 1.0
+
+
+def test_similarity_canonical_folds_inputs(tmp_path):
+    # plain spectrum vs its canonical fold: identical under --canonical
+    plain = _write_spec(
+        tmp_path, "p.tsv",
+        [("AAAA", 1), ("ACGT", 2), ("GGGG", 5), ("TTTT", 3)],
+    )
+    canon = _write_spec(
+        tmp_path, "c.tsv", [("AAAA", 4), ("ACGT", 2), ("CCCC", 5)],
+    )
+    d = spectra.similarity_spectra(plain, canon, canonical=True)
+    assert d["jaccard"] == 1.0
+    assert d["weighted_jaccard"] == 1.0
+
+
+def test_similarity_cli(tmp_path):
+    pa = _write_spec(tmp_path, "a.tsv", [("AAAA", 2), ("CCCC", 3)])
+    pb = _write_spec(tmp_path, "b.tsv", [("CCCC", 3), ("GTGT", 1)])
+    r = _cli(["similarity", "-i", pa, pb, "--json"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    import json
+    d = json.loads(r.stdout)
+    assert d["shared"] == 1 and d["union"] == 3
+    assert d["jaccard"] == pytest.approx(1 / 3)
