@@ -10,10 +10,14 @@ import os
 import subprocess
 import sys
 
-SUBCOMMANDS = [
-    "count", "stream", "stats", "merge", "intersect", "subtract", "sort",
-    "canonize", "query", "topn", "histo", "diff", "filter", "bench",
-]
+def _subcommands() -> list:
+    """Enumerate subcommands from the live argparse tree so new ones
+    can't fall out of the doc (info/similarity once did)."""
+    from findkmer_tpu.cli import build_parser
+
+    for action in build_parser()._subparsers._group_actions:
+        return list(action.choices)
+    raise SystemExit("no subparsers found")
 
 HEADER = """# findkmer CLI reference
 
@@ -28,9 +32,10 @@ def main() -> int:
     env.setdefault("JAX_PLATFORMS", "cpu")
     env["PYTHONPATH"] = repo
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    sys.path.insert(0, repo)
     out = io.StringIO()
     out.write(HEADER)
-    for cmd in SUBCOMMANDS:
+    for cmd in _subcommands():
         r = subprocess.run(
             [sys.executable, "-m", "findkmer_tpu.cli", cmd, "--help"],
             capture_output=True, text=True, env=env, cwd=repo,

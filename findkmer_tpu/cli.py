@@ -45,6 +45,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--format", choices=["auto", "fasta", "fastq", "sam",
                                         "bam"],
                    default="auto", help="input format (auto-sniffed)")
+    p.add_argument("--min-qual", type=int, default=0, metavar="N",
+                   help="mask bases with phred quality < N to 'N' "
+                        "(FASTQ/SAM/BAM inputs; 0 = off)")
+    p.add_argument("--qual-offset", type=int, default=33,
+                   help="ASCII phred offset for FASTQ/SAM qualities "
+                        "(default 33; BAM is raw phred)")
     p.add_argument("-k", type=int, required=True, help="k-mer length (1..31)")
     p.add_argument("-o", "--output", default="-", help="output path ('-' = stdout)")
     p.add_argument("-z", "--zeros", action="store_true",
@@ -108,6 +114,8 @@ def _cfg_from_args(args):
         devices=args.devices,
         merge=args.merge,
         input_format=args.format,
+        min_qual=getattr(args, "min_qual", 0),
+        qual_offset=getattr(args, "qual_offset", 33),
         zeros=args.zeros,
         sep=args.sep,
         out_counts_only=args.counts_only,
@@ -522,16 +530,102 @@ def cmd_info(args) -> int:
     return 0
 
 
-def cmd_similarity(args) -> int:
-    """Jaccard/containment/cosine/Mash between two spectra."""
+def _compare_pair(path_a, path_b, args):
+    """One similarity comparison, sketch-aware.  A mixed pair sketches
+    the spectrum side on the fly with the sketch's own k/s/canonical so
+    the estimate is well-defined."""
+    from findkmer_tpu import sketch as sketch_mod
     from findkmer_tpu import spectra
 
-    _emit_kv(
-        spectra.similarity_spectra(
-            args.input[0], args.input[1], sep=args.sep,
-            canonical=args.canonical,
-        ),
-        args.json,
+    pair = [path_a, path_b]
+    is_sk = [sketch_mod.is_sketch_file(p) for p in pair]
+    if not any(is_sk):
+        return spectra.similarity_spectra(
+            path_a, path_b, sep=args.sep, canonical=args.canonical
+        )
+    sks = []
+    ref = next(
+        sketch_mod.read_sketch(p) for p, s in zip(pair, is_sk) if s
+    )
+    for path, s in zip(pair, is_sk):
+        if s:
+            sks.append(sketch_mod.read_sketch(path))
+        else:
+            sk = sketch_mod.sketch_spectrum_file(
+                path, s=int(ref["s"]), sep=args.sep,
+                canonical=bool(ref["canonical"]) or args.canonical,
+            )
+            sk["name"] = str(path)
+            sks.append(sk)
+    return sketch_mod.compare_sketches(sks[0], sks[1])
+
+
+def cmd_similarity(args) -> int:
+    """Jaccard/containment/cosine/Mash between spectra or sketches.
+
+    Two inputs: full metric report.  Three or more (mash dist class):
+    one row per unordered pair — jaccard, mash_distance, shared."""
+    if len(args.input) < 2:
+        raise ValueError("similarity needs at least two inputs")
+    if len(args.input) == 2:
+        _emit_kv(_compare_pair(args.input[0], args.input[1], args),
+                 args.json)
+        return 0
+    rows = []
+    for i in range(len(args.input)):
+        for j in range(i + 1, len(args.input)):
+            d = _compare_pair(args.input[i], args.input[j], args)
+            d.setdefault("name_a", str(args.input[i]))
+            d.setdefault("name_b", str(args.input[j]))
+            rows.append(d)
+    if args.json:
+        import json
+
+        print(json.dumps(rows))
+        return 0
+    print("a\tb\tjaccard\tmash_distance\tshared")
+    for d in rows:
+        print(
+            f"{d['name_a']}\t{d['name_b']}\t{d['jaccard']:.6g}"
+            f"\t{d['mash_distance']:.6g}\t{d['shared']}"
+        )
+    return 0
+
+
+def cmd_sketch(args) -> int:
+    """Write a bottom-s MinHash sketch of a sample (Mash tool class).
+
+    With -k the inputs are sequence files (FASTA/FASTQ/SAM/BAM, one
+    sample like `count`); without -k the single input is a spectrum
+    file whose k is inferred."""
+    from findkmer_tpu import sketch as sketch_mod
+
+    if args.k > 0:
+        sk = sketch_mod.sketch_sequences(
+            args.input, args.k, s=args.s, canonical=args.canonical,
+            name=args.name or None,
+        )
+    else:
+        if len(args.input) != 1:
+            raise ValueError(
+                "sketch: without -k, pass exactly one spectrum file "
+                "(use -k K to sketch sequence inputs as one sample)"
+            )
+        sk = sketch_mod.sketch_spectrum_file(
+            args.input[0], s=args.s, sep=args.sep,
+            canonical=args.canonical, name=args.name or None,
+        )
+    out, own = _open_out(args.output)
+    try:
+        sketch_mod.write_sketch(sk, out)
+        out.write(b"\n")
+    finally:
+        if own:
+            out.close()
+    print(
+        f"sketched {sk['n_hashes']} hashes (k={sk['k']}, s={sk['s']}"
+        f"{', canonical' if sk['canonical'] else ''})",
+        file=sys.stderr,
     )
     return 0
 
@@ -793,8 +887,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="similarity metrics between two spectra (Jaccard, "
              "containment, weighted Jaccard, cosine, Mash distance)",
     )
-    psim.add_argument("-i", "--input", required=True, nargs=2,
-                      help="two sorted spectrum files")
+    psim.add_argument("-i", "--input", required=True, nargs="+",
+                      help="two or more spectrum files and/or sketch "
+                           "files (2 = full report; 3+ = pairwise rows, "
+                           "mash dist class)")
     psim.add_argument("--sep", default="\t")
     psim.add_argument("--canonical", action="store_true",
                       help="fold both inputs to revcomp-min form first "
@@ -803,6 +899,30 @@ def build_parser() -> argparse.ArgumentParser:
                       help="one JSON object instead of key<TAB>value "
                            "lines")
     psim.set_defaults(fn=cmd_similarity)
+
+    psk = sub.add_parser(
+        "sketch",
+        help="bottom-s MinHash sketch of a sample (Mash class); compare "
+             "sketches with `findkmer similarity`",
+    )
+    psk.add_argument("-i", "--input", required=True, nargs="+",
+                     help="sequence file(s) (with -k, counted as ONE "
+                          "sample) or one spectrum file (without -k)")
+    psk.add_argument("-k", type=int, default=0,
+                     help="k-mer length — sketch sequence inputs; omit "
+                          "to sketch a spectrum file (k inferred)")
+    psk.add_argument("-o", "--output", default="-",
+                     help="sketch JSON ('-' = stdout; .gz compresses)")
+    psk.add_argument("-s", type=int, default=1000,
+                     help="sketch size: keep the s smallest k-mer "
+                          "hashes (default 1000)")
+    psk.add_argument("--canonical", action="store_true",
+                     help="fold k-mers to revcomp-min before hashing")
+    psk.add_argument("--name", default="",
+                     help="sample name stored in the sketch "
+                          "(default: the input path)")
+    psk.add_argument("--sep", default="\t")
+    psk.set_defaults(fn=cmd_sketch)
 
     pd = sub.add_parser(
         "diff", help="diff two spectrum files (exit 1 when different)"

@@ -107,6 +107,11 @@ class Config:
     # --- input ---
     input_format: str = "auto"       # auto | fasta | fastq | sam | bam (gzip is
                                      # detected by magic bytes either way)
+    min_qual: int = 0                # mask bases with phred < min_qual to N
+                                     # (FASTQ/SAM/BAM; Jellyfish
+                                     # --min-qual-char class; 0 = off)
+    qual_offset: int = 33            # ASCII phred offset for FASTQ/SAM text
+                                     # qualities (BAM is raw phred)
 
     # --- runtime ---
     use_native_encode: bool = True   # prefer the C encoder when built
@@ -135,6 +140,15 @@ class Config:
             raise ValueError(
                 f"count_dtype must be int32 or int64, got "
                 f"{self.count_dtype!r}"
+            )
+        if not 0 <= self.min_qual <= 94:
+            raise ValueError(
+                f"min_qual must be in 0..94 (phred), got {self.min_qual}"
+            )
+        if self.min_qual and self.input_format == "fasta":
+            raise ValueError(
+                "min_qual requires a quality-bearing input format "
+                "(fastq/sam/bam); FASTA has no qualities"
             )
 
     # ------------------------------------------------------------------

@@ -25,6 +25,26 @@ import numpy as np
 from findkmer_tpu.io.fasta import RecordChunk, open_maybe_gzip
 
 
+def mask_low_quality(
+    seq: bytes, qual: bytes, min_qual: int, offset: int = 33
+) -> bytes:
+    """Replace bases with phred score < min_qual by 'N' (Jellyfish
+    --min-qual-char class).  offset=33 for FASTQ/SAM text qualities,
+    0 for BAM's raw phred bytes.  Masked bases behave exactly like N:
+    every window containing one is dropped."""
+    if len(qual) != len(seq):
+        raise ValueError(
+            f"quality length {len(qual)} != sequence length {len(seq)}"
+        )
+    q = np.frombuffer(qual, np.uint8)
+    low = q < (offset + min_qual)
+    if not low.any():
+        return seq
+    s = np.frombuffer(seq, np.uint8).copy()
+    s[low] = 0x4E  # 'N'
+    return s.tobytes()
+
+
 class FastqReader:
     """Block-buffered streaming FASTQ reader, RecordChunk-compatible.
 
@@ -32,9 +52,14 @@ class FastqReader:
     (pipeline.code_stream's INVALID separator) works unchanged.
     """
 
-    def __init__(self, path_or_file, block_size: int = 1 << 22):
+    def __init__(self, path_or_file, block_size: int = 1 << 22,
+                 min_qual: int = 0, qual_offset: int = 33):
         self._f, self._own = open_maybe_gzip(path_or_file)
         self.block_size = int(block_size)
+        # min_qual > 0 defers each yield to the quality line (phase 3)
+        # and masks low-quality bases to 'N' before emitting the read
+        self.min_qual = int(min_qual)
+        self.qual_offset = int(qual_offset)
 
     def close(self):
         if self._own:
@@ -52,6 +77,7 @@ class FastqReader:
         line_idx = 0          # global line counter (record line = idx % 4)
         record_id = -1
         header = ""
+        pending = None        # seq held back for quality masking
         while True:
             block = self._f.read(self.block_size)
             buf = leftover + block
@@ -91,8 +117,13 @@ class FastqReader:
                         )
                     header = line[1:].decode("ascii", "replace").strip()
                 elif phase == 1:
-                    record_id += 1
-                    yield RecordChunk(record_id, header, line, final=True)
+                    if self.min_qual > 0:
+                        pending = line  # yield at the quality line
+                    else:
+                        record_id += 1
+                        yield RecordChunk(
+                            record_id, header, line, final=True
+                        )
                 elif phase == 2:
                     if line[:1] != b"+":
                         raise ValueError(
@@ -100,7 +131,21 @@ class FastqReader:
                             f"expected '+', got {line[:30]!r} "
                             "(multi-line FASTQ is not supported)"
                         )
-                # phase 3: quality line — skipped entirely
+                elif pending is not None:
+                    # phase 3 with min_qual: mask low-quality bases to
+                    # 'N' and emit; otherwise quality is skipped entirely
+                    try:
+                        data = mask_low_quality(
+                            pending, line, self.min_qual, self.qual_offset
+                        )
+                    except ValueError as e_:
+                        raise ValueError(
+                            f"FASTQ parse error at line {line_idx + 1}: "
+                            f"{e_}"
+                        ) from None
+                    record_id += 1
+                    yield RecordChunk(record_id, header, data, final=True)
+                    pending = None
                 line_idx += 1
                 start = e + 1
             if not block:
@@ -108,6 +153,11 @@ class FastqReader:
         if line_idx % 4 not in (0, 2, 3):
             # ended right after a header with no sequence line
             raise ValueError("truncated FASTQ: header without sequence")
+        if pending is not None:
+            raise ValueError(
+                "truncated FASTQ: record ends before its quality line "
+                "(required by --min-qual masking)"
+            )
 
     # ------------------------------------------------------------------
     def records(self):

@@ -62,7 +62,13 @@ class SamReader:
     [!-?A-~]+, which excludes 0x40).
     """
 
-    def __init__(self, path_or_file, block_size: int = 1 << 22):
+    def __init__(self, path_or_file, block_size: int = 1 << 22,
+                 min_qual: int = 0, qual_offset: int = 33):
+        # min_qual > 0 masks bases with phred < min_qual to 'N' (QUAL
+        # column, same orientation as SEQ, so mask before _orient —
+        # complement maps N to N); reads with QUAL '*' pass unmasked
+        self.min_qual = int(min_qual)
+        self.qual_offset = int(qual_offset)
         self._f, self._own = open_maybe_gzip(path_or_file)
         self.block_size = int(block_size)
 
@@ -110,6 +116,12 @@ class SamReader:
                 seq = fields[9]
                 if flag & _SKIP_MASK or seq == b"*":
                     continue
+                if self.min_qual > 0 and fields[10] != b"*":
+                    from findkmer_tpu.io.fastq import mask_low_quality
+
+                    seq = mask_low_quality(
+                        seq, fields[10], self.min_qual, self.qual_offset
+                    )
                 rid += 1
                 yield RecordChunk(
                     record_id=rid,
@@ -133,7 +145,11 @@ class BamReader:
     Accepts plain uncompressed BAM too (open_maybe_gzip sniffs magic).
     """
 
-    def __init__(self, path_or_file):
+    def __init__(self, path_or_file, min_qual: int = 0,
+                 qual_offset: int = 33):
+        # BAM stores RAW phred bytes (no +33): qual_offset is accepted
+        # for interface symmetry but unused; 0xFF-filled qual = absent
+        self.min_qual = int(min_qual)
         self._f, self._own = open_maybe_gzip(path_or_file)
         magic = self._read_exact(4, "BAM magic")
         if magic != b"BAM\x01":
@@ -205,6 +221,13 @@ class BamReader:
             if off + n_packed > len(rec):
                 raise ValueError("corrupt BAM record (seq past block end)")
             seq = self._unpack_seq(rec[off : off + n_packed], l_seq)
+            if self.min_qual > 0:
+                qual = rec[off + n_packed : off + n_packed + l_seq]
+                if len(qual) == l_seq and qual[:1] != b"\xff":
+                    from findkmer_tpu.io.fastq import mask_low_quality
+
+                    seq = mask_low_quality(seq, qual, self.min_qual,
+                                           offset=0)
             rid += 1
             yield RecordChunk(
                 record_id=rid,

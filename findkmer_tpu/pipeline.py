@@ -314,21 +314,37 @@ def _open_reader(path, cfg: Config):
             if fmt == "auto":
                 fmt = sniff_head(head)
         if fmt == "fastq":
-            return FastqReader(f), fused
+            return FastqReader(f, min_qual=cfg.min_qual,
+                               qual_offset=cfg.qual_offset), fused
         if fmt == "sam":
-            return SamReader(f), fused
+            return SamReader(f, min_qual=cfg.min_qual,
+                             qual_offset=cfg.qual_offset), fused
         if fmt == "bam":
-            return BamReader(f), fused
+            return BamReader(f, min_qual=cfg.min_qual,
+                             qual_offset=cfg.qual_offset), fused
+        _check_no_qual(cfg, path)
         return FastaReader(f, strip_ws=not fused), fused
     if fmt == "auto":
         fmt = sniff_format(path)
     if fmt == "fastq":
-        return FastqReader(path), fused
+        return FastqReader(path, min_qual=cfg.min_qual,
+                           qual_offset=cfg.qual_offset), fused
     if fmt == "sam":
-        return SamReader(path), fused
+        return SamReader(path, min_qual=cfg.min_qual,
+                         qual_offset=cfg.qual_offset), fused
     if fmt == "bam":
-        return BamReader(path), fused
+        return BamReader(path, min_qual=cfg.min_qual,
+                         qual_offset=cfg.qual_offset), fused
+    _check_no_qual(cfg, path)
     return FastaReader(path, strip_ws=not fused), fused
+
+
+def _check_no_qual(cfg: Config, path) -> None:
+    if cfg.min_qual:
+        raise ValueError(
+            f"--min-qual set but {path!r} sniffed as FASTA, which has "
+            "no quality scores"
+        )
 
 
 def _batches_from_reader(reader, fused: bool, cfg: Config, *, stats=None):

@@ -23,16 +23,19 @@ def revcomp(s: str) -> str:
 
 
 def make_sam(records, header=True) -> bytes:
-    """records: (qname, flag, seq) triples -> SAM text."""
+    """records: (qname, flag, seq[, qual]) tuples -> SAM text."""
     lines = []
     if header:
         lines += ["@HD\tVN:1.6\tSO:unsorted", "@SQ\tSN:chr1\tLN:100000"]
-    for qname, flag, seq in records:
+    for rec in records:
+        qname, flag, seq = rec[:3]
+        qual = rec[3] if len(rec) > 3 else (
+            "*" if seq == "*" else "I" * len(seq)
+        )
         lines.append(
             "\t".join(
                 [qname, str(flag), "chr1", "1", "60", f"{len(seq)}M"
-                 if seq != "*" else "*", "*", "0", "0", seq,
-                 "*" if seq == "*" else "I" * len(seq)]
+                 if seq != "*" else "*", "*", "0", "0", seq, qual]
             )
         )
     return ("\n".join(lines) + "\n").encode()
@@ -56,7 +59,9 @@ def make_bam(records, bgzf_chunks=1) -> bytes:
     body.write(struct.pack("<i", len(name)))
     body.write(name)
     body.write(struct.pack("<i", 100000))
-    for qname, flag, seq in records:
+    for rec in records:
+        qname, flag, seq = rec[:3]
+        raw_qual = rec[3] if len(rec) > 3 else None  # raw phred bytes
         name_b = qname.encode() + b"\x00"
         if seq == "*":
             l_seq, packed, qual = 0, b"", b""
@@ -71,7 +76,8 @@ def make_bam(records, bgzf_chunks=1) -> bytes:
             packed = bytes(
                 (nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2)
             )
-            qual = b"\xff" * l_seq
+            qual = raw_qual if raw_qual is not None else b"\xff" * l_seq
+            assert len(qual) == l_seq
         cigar = b""
         block = (
             struct.pack(
