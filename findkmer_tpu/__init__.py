@@ -23,7 +23,11 @@ from findkmer_tpu.config import Config
 
 def __getattr__(name):
     # lazy: importing findkmer_tpu must stay cheap (no jax import)
-    if name in ("count", "count_text", "count_per_record", "Spectrum"):
+    # NOTE: no lazy export may share a name with a submodule (e.g.
+    # "sketch"): once the submodule is imported it becomes the package
+    # attribute and would shadow the function — hence sketch_sample
+    if name in ("count", "count_text", "count_per_record", "Spectrum",
+                "sketch_sample", "similarity"):
         from findkmer_tpu import api
 
         return getattr(api, name)
@@ -31,4 +35,4 @@ def __getattr__(name):
 
 
 __all__ = ["Config", "count", "count_text", "count_per_record",
-           "Spectrum", "__version__"]
+           "Spectrum", "sketch_sample", "similarity", "__version__"]

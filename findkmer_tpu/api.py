@@ -190,3 +190,58 @@ def count_text(text: str, k: int, **kw) -> Spectrum:
     ):
         state = counter.step(state, rows)
     return Spectrum.from_engine(counter.finalize(state), cfg)
+
+
+def sketch_sample(
+    inputs: Union[str, Sequence[str]],
+    k: Optional[int] = None,
+    *,
+    s: int = 1000,
+    canonical: bool = False,
+    **config_overrides,
+):
+    """Bottom-s MinHash sketch (dict, sketch.SKETCH_FORMAT).
+
+    With k: sequence input(s), counted as ONE sample like count().
+    Without k: `inputs` is one spectrum file path (k inferred).
+    CLI equivalent: `findkmer sketch`."""
+    from findkmer_tpu import sketch as sketch_mod
+
+    if k is not None:
+        if isinstance(inputs, (str, bytes)):
+            inputs = [inputs]
+        return sketch_mod.sketch_sequences(
+            inputs, k, s=s, canonical=canonical, **config_overrides
+        )
+    if not isinstance(inputs, (str, bytes)):
+        raise ValueError("without k, pass one spectrum file path")
+    return sketch_mod.sketch_spectrum_file(inputs, s=s, canonical=canonical)
+
+
+def similarity(a, b, *, canonical: bool = False, sep: str = "\t"):
+    """Similarity metrics between two spectrum files, or two sketch
+    dicts/files (Mash estimator).  CLI: `findkmer similarity`."""
+    from findkmer_tpu import sketch as sketch_mod
+    from findkmer_tpu import spectra
+
+    def _as_sketch(x):
+        if isinstance(x, dict):
+            return x
+        return sketch_mod.read_sketch(x)
+
+    a_sk = isinstance(a, dict) or (
+        isinstance(a, (str, bytes)) and sketch_mod.is_sketch_file(a)
+    )
+    b_sk = isinstance(b, dict) or (
+        isinstance(b, (str, bytes)) and sketch_mod.is_sketch_file(b)
+    )
+    if a_sk or b_sk:
+        ref = _as_sketch(a if a_sk else b)
+        sa = _as_sketch(a) if a_sk else sketch_mod.sketch_spectrum_file(
+            a, s=int(ref["s"]), sep=sep,
+            canonical=bool(ref["canonical"]) or canonical)
+        sb = _as_sketch(b) if b_sk else sketch_mod.sketch_spectrum_file(
+            b, s=int(ref["s"]), sep=sep,
+            canonical=bool(ref["canonical"]) or canonical)
+        return sketch_mod.compare_sketches(sa, sb)
+    return spectra.similarity_spectra(a, b, sep=sep, canonical=canonical)

@@ -75,3 +75,33 @@ def test_count_per_record_api(fixtures_dir):
         assert [h for h, _ in got] == [h for h, _ in records]
         for (h, spec), (_, seq) in zip(got, records):
             assert spec.to_dict() == count_kmers_in_text(seq, 4), h
+
+
+def test_sketch_and_similarity_api(fixtures_dir, tmp_path):
+    """fk.sketch_sample / fk.similarity round-trip: sequence-input sketch vs
+    spectrum-file sketch, sketch-dict and file comparison, and the
+    exact path when neither side is a sketch."""
+    import os
+
+    import findkmer_tpu as fk
+    from findkmer_tpu import sketch as sketch_mod
+
+    fa = os.path.join(fixtures_dir, "tiny.fa")
+    spec_path = str(tmp_path / "t.tsv")
+    fk.count(fa, 4).write(spec_path)
+
+    sk_seq = fk.sketch_sample(fa, 4, s=500)
+    sk_spec = fk.sketch_sample(spec_path, s=500)
+    assert sk_seq["hashes"] == sk_spec["hashes"]
+
+    d = fk.similarity(sk_seq, sk_spec)
+    assert d["jaccard"] == 1.0
+
+    sk_file = str(tmp_path / "t.sk.json")
+    with open(sk_file, "wb") as f:
+        sketch_mod.write_sketch(sk_seq, f)
+    d = fk.similarity(sk_file, spec_path)  # mixed file inputs
+    assert d["jaccard"] == 1.0
+
+    d = fk.similarity(spec_path, spec_path)  # exact path
+    assert d["jaccard"] == 1.0 and "containment_a_in_b" in d
