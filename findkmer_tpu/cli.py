@@ -597,9 +597,32 @@ def cmd_sketch(args) -> int:
 
     With -k the inputs are sequence files (FASTA/FASTQ/SAM/BAM, one
     sample like `count`); without -k the single input is a spectrum
-    file whose k is inferred."""
+    file whose k is inferred.  --per-input sketches each input as its
+    own sample into <stem>.sketch.json under -o DIR (mash sketch
+    workflow: many samples, then `similarity` on the sketches)."""
     from findkmer_tpu import sketch as sketch_mod
 
+    if args.per_input:
+        if args.k <= 0:
+            raise ValueError("sketch --per-input requires -k")
+        if args.output in ("", "-"):
+            raise ValueError("sketch --per-input requires -o DIR")
+        os.makedirs(args.output, exist_ok=True)
+        for path in args.input:
+            sk = sketch_mod.sketch_sequences(
+                [path], args.k, s=args.s, canonical=args.canonical,
+            )
+            stem = os.path.basename(path)
+            for ext in (".gz", ".fa", ".fasta", ".fastq", ".fq",
+                        ".sam", ".bam"):
+                if stem.endswith(ext):
+                    stem = stem[: -len(ext)]
+            out_path = os.path.join(args.output, stem + ".sketch.json")
+            with open(out_path, "wb") as f:
+                sketch_mod.write_sketch(sk, f)
+                f.write(b"\n")
+            print(f"{out_path}: {sk['n_hashes']} hashes", file=sys.stderr)
+        return 0
     if args.k > 0:
         sk = sketch_mod.sketch_sequences(
             args.input, args.k, s=args.s, canonical=args.canonical,
@@ -921,6 +944,10 @@ def build_parser() -> argparse.ArgumentParser:
     psk.add_argument("--name", default="",
                      help="sample name stored in the sketch "
                           "(default: the input path)")
+    psk.add_argument("--per-input", action="store_true",
+                     help="one sketch per input file, written to "
+                          "<stem>.sketch.json under -o DIR "
+                          "(requires -k)")
     psk.add_argument("--sep", default="\t")
     psk.set_defaults(fn=cmd_sketch)
 

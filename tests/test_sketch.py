@@ -210,6 +210,26 @@ def test_cli_similarity_pairwise_matrix(tmp_path, fixtures_dir):
     assert r.returncode != 0 and "at least two" in r.stderr
 
 
+def test_cli_sketch_per_input(tmp_path, fixtures_dir):
+    fa = os.path.join(fixtures_dir, "tiny.fa")
+    db = os.path.join(fixtures_dir, "debruijn4.fa")
+    r = _cli(["sketch", "-i", fa, db, "-k", "4", "--per-input",
+              "-o", "sk"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    a = tmp_path / "sk" / "tiny.sketch.json"
+    b = tmp_path / "sk" / "debruijn4.sketch.json"
+    assert a.exists() and b.exists()
+    assert sk.read_sketch(str(a))["name"] == fa
+    # per-input sketches equal individually-made sketches
+    one = sk.sketch_sequences([fa], 4, s=1000)
+    assert sk.read_sketch(str(a))["hashes"] == one["hashes"]
+    # guards: missing -k, missing -o DIR
+    r = _cli(["sketch", "-i", fa, "--per-input", "-o", "sk"], tmp_path)
+    assert r.returncode != 0 and "requires -k" in r.stderr
+    r = _cli(["sketch", "-i", fa, "-k", "4", "--per-input"], tmp_path)
+    assert r.returncode != 0 and "-o DIR" in r.stderr
+
+
 def test_cli_sketch_errors(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     r = _cli(["sketch", "-i", fa, "x"], tmp_path)  # two inputs, no -k
