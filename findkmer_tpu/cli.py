@@ -522,9 +522,17 @@ def _emit_kv(d, as_json: bool) -> None:
 
 
 def cmd_info(args) -> int:
-    """Summary statistics of a spectrum file (kmc_tools info analog)."""
+    """Summary statistics of a spectrum file (kmc_tools info analog),
+    or of a sketch file (format/name/k/s/canonical/n_hashes)."""
+    from findkmer_tpu import sketch as sketch_mod
     from findkmer_tpu import spectra
 
+    if sketch_mod.is_sketch_file(args.input):
+        sk = sketch_mod.read_sketch(args.input)
+        _emit_kv({key: sk[key] for key in
+                  ("format", "name", "k", "s", "canonical", "n_hashes")},
+                 args.json)
+        return 0
     _emit_kv(spectra.info_spectrum_file(args.input, sep=args.sep),
              args.json)
     return 0

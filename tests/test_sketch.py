@@ -230,6 +230,18 @@ def test_cli_sketch_per_input(tmp_path, fixtures_dir):
     assert r.returncode != 0 and "-o DIR" in r.stderr
 
 
+def test_cli_info_on_sketch(tmp_path, fixtures_dir):
+    fa = os.path.join(fixtures_dir, "tiny.fa")
+    r = _cli(["sketch", "-i", fa, "-k", "4", "-o", "a.json",
+              "--name", "tiny"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _cli(["info", "a.json", "--json"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    d = json.loads(r.stdout)
+    assert d["format"] == sk.SKETCH_FORMAT
+    assert d["name"] == "tiny" and d["k"] == 4 and d["n_hashes"] > 0
+
+
 def test_cli_sketch_errors(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     r = _cli(["sketch", "-i", fa, "x"], tmp_path)  # two inputs, no -k
