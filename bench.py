@@ -34,6 +34,33 @@ def main() -> int:
     jax = setup_jax()
     dev = jax.devices()[0]
 
+    # Tunnel-health probe (stderr): a 4 MB D2H pull.  Healthy windows
+    # finish in ~0.04 s; degraded ones take seconds and depress every
+    # number below through no fault of the code (bench/RESULTS.md
+    # "session-4 sweep"), so the driver-captured bench is only
+    # interpretable alongside this line (VERDICT.md round-2 weak #2).
+    import time
+
+    import numpy as np
+
+    x = jax.device_put(np.ones((1, 1 << 20), np.uint32))
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    _ = np.asarray(x)
+    health_s = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "tunnel_health_d2h_4mb",
+                "value": health_s,
+                "unit": "s",
+                "healthy": health_s < 1.0,
+                "device": str(dev),
+            }
+        ),
+        file=sys.stderr,
+    )
+
     k8_bps, k8_dt = bench_dense_step(jax, k=8)
     k21_bps, k21_dt = bench_sparse_step(jax, k=21)
     k15_bps, k15_dt = bench_sparse_step(jax, k=15)

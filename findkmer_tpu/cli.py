@@ -126,9 +126,15 @@ def _cfg_from_args(args):
     # fail fast, before any counting happens
     cfg.resolved_table_mode
     if cfg.zeros and cfg.resolved_table_mode != "direct":
+        hint = (
+            " (pass --table-mode direct to force a dense 4^k table; "
+            "valid up to k=15)"
+            if cfg.table_mode == "auto" and cfg.k <= 15
+            else ""
+        )
         raise ValueError(
             "-z/--zeros requires a direct (dense) table; "
-            f"k={cfg.k} resolves to a sparse table"
+            f"k={cfg.k} resolves to a sparse table{hint}"
         )
     total_bytes = 0
     for path in getattr(args, "input", []) or []:
@@ -555,13 +561,22 @@ def _compare_pair(path_a, path_b, args):
     ref = next(
         sketch_mod.read_sketch(p) for p, s in zip(pair, is_sk) if s
     )
+    if args.canonical and not bool(ref["canonical"]):
+        # folding only the spectrum side would always fail
+        # compare_sketches' canonical-mismatch guard AFTER doing the
+        # sketch work — reject the flag combination up front instead
+        raise ValueError(
+            "--canonical cannot apply to a non-canonical sketch "
+            f"({ref.get('name', '?')}); re-sketch it with --canonical "
+            "or drop the flag"
+        )
     for path, s in zip(pair, is_sk):
         if s:
             sks.append(sketch_mod.read_sketch(path))
         else:
             sk = sketch_mod.sketch_spectrum_file(
                 path, s=int(ref["s"]), sep=args.sep,
-                canonical=bool(ref["canonical"]) or args.canonical,
+                canonical=bool(ref["canonical"]),
             )
             sk["name"] = str(path)
             sks.append(sk)
@@ -610,12 +625,18 @@ def cmd_sketch(args) -> int:
     workflow: many samples, then `similarity` on the sketches)."""
     from findkmer_tpu import sketch as sketch_mod
 
+    if args.s < 1:
+        raise ValueError(f"sketch size -s must be >= 1, got {args.s}")
     if args.per_input:
         if args.k <= 0:
             raise ValueError("sketch --per-input requires -k")
         if args.output in ("", "-"):
             raise ValueError("sketch --per-input requires -o DIR")
         os.makedirs(args.output, exist_ok=True)
+        # basename stems collide across directories (run1/s1.fa and
+        # run2/s1.fa); de-collide with .2/.3 suffixes like count
+        # --per-input does, so no sample's sketch is silently overwritten
+        seen: dict = {}
         for path in args.input:
             sk = sketch_mod.sketch_sequences(
                 [path], args.k, s=args.s, canonical=args.canonical,
@@ -625,6 +646,10 @@ def cmd_sketch(args) -> int:
                         ".sam", ".bam"):
                 if stem.endswith(ext):
                     stem = stem[: -len(ext)]
+            n = seen.get(stem, 0) + 1
+            seen[stem] = n
+            if n > 1:
+                stem = f"{stem}.{n}"
             out_path = os.path.join(args.output, stem + ".sketch.json")
             with open(out_path, "wb") as f:
                 sketch_mod.write_sketch(sk, f)

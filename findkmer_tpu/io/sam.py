@@ -223,7 +223,17 @@ class BamReader:
             seq = self._unpack_seq(rec[off : off + n_packed], l_seq)
             if self.min_qual > 0:
                 qual = rec[off + n_packed : off + n_packed + l_seq]
-                if len(qual) == l_seq and qual[:1] != b"\xff":
+                if len(qual) < l_seq:
+                    # same strictness as the seq-past-block-end check:
+                    # a short qual slice is a truncated record, not a
+                    # reason to silently count the read unmasked
+                    raise ValueError(
+                        "corrupt BAM record (qual past block end)"
+                    )
+                # BAM spec: absent quality = ALL bytes 0xFF; a real
+                # qual string can start with 0xFF-free values only, so
+                # per-spec absence is the all-bytes test, not qual[:1]
+                if qual.count(0xFF) != l_seq:
                     from findkmer_tpu.io.fastq import mask_low_quality
 
                     seq = mask_low_quality(seq, qual, self.min_qual,

@@ -50,15 +50,22 @@ def hash_codes_u64(codes) -> np.ndarray:
 def sketch_codes(codes, s: int) -> np.ndarray:
     """Sorted bottom-s hash values of the given (not necessarily unique)
     codes."""
+    s = int(s)
+    if s < 1:
+        # s=0 would make every pair of samples compare as identical
+        # (empty vs empty -> jaccard 1.0); negative s would silently
+        # drop the LARGEST hashes via the h[:s] slice
+        raise ValueError(f"sketch size s must be >= 1, got {s}")
     h = np.unique(hash_codes_u64(codes))  # sorts; dedups shared codes
-    return h[: int(s)]
+    return h[:s]
 
 
 def _codes_of_spectrum_file(path, sep: str) -> tuple:
     """(k, distinct uint64 codes) of a spectrum file.
 
     Rides the C parser on clean sorted files; the line path handles
-    gzip/unsorted/lowercase inputs."""
+    gzip/unsorted/lowercase inputs (order-insensitive: hashes are
+    re-sorted by the sketch anyway, so no sort check applies)."""
     from findkmer_tpu import spectra
 
     sep_b = sep.encode()
@@ -89,7 +96,7 @@ def _codes_of_spectrum_file(path, sep: str) -> tuple:
         chunks.append(arr.astype(np.uint64) @ w)
         batch.clear()
 
-    for kmer, _cnt in spectra._sorted_lines(path, sep_b):
+    for kmer, _cnt in spectra._spectrum_lines(path, sep_b):
         if kk is None:
             kk = len(kmer)
             if kk > 31:

@@ -209,15 +209,14 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     return True
 
 
-def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
-    """Yield (kmer, count) pairs from a sorted spectrum file.
+def _spectrum_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
+    """Yield (kmer, count) pairs from a spectrum file, in file order.
 
-    Raises on out-of-order lines — the streaming merge is only exact on
-    sorted inputs (every writer in this package emits sorted spectra).
-    """
+    No sort-order requirement — order-insensitive consumers (sketching,
+    dict loads) use this directly; order-sensitive streaming merges go
+    through _sorted_lines."""
     from findkmer_tpu.io.fasta import open_maybe_gzip
 
-    prev = None
     f, _ = open_maybe_gzip(path)
     with f:
         for line_no, line in enumerate(f, 1):
@@ -231,14 +230,25 @@ def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
                 raise ValueError(
                     f"{path}:{line_no}: malformed spectrum line {line!r}"
                 ) from e
-            if prev is not None and kmer < prev:
-                raise ValueError(
-                    f"{path}:{line_no}: input not sorted "
-                    f"({kmer!r} after {prev!r}); streaming merge needs "
-                    "sorted spectra — use merge --in-memory for unsorted "
-                    "inputs"
-                )
-            prev = kmer
+
+
+def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
+    """Yield (kmer, count) pairs from a sorted spectrum file.
+
+    Raises on out-of-order lines — the streaming merge is only exact on
+    sorted inputs (every writer in this package emits sorted spectra).
+    """
+    prev = None
+    for kmer, cnt in _spectrum_lines(path, sep_b):
+        yield kmer, cnt
+        if prev is not None and kmer < prev:
+            raise ValueError(
+                f"{path}: input not sorted "
+                f"({kmer!r} after {prev!r}); streaming merge needs "
+                "sorted spectra — use merge --in-memory for unsorted "
+                "inputs"
+            )
+        prev = kmer
 
 
 _RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
