@@ -111,11 +111,25 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
     Packed batches skip the byte unpack entirely: window_codes_packed
     extracts codes straight from the 2-bit wire words (~1 op/window vs
     ~4k for the slice-OR chain); its residue-interleaved order is fine
-    here because the sparse store sorts everything anyway."""
+    here because the sparse store sorts everything anyway.
+
+    For 16 <= k <= 23 the hi plane is narrowed to uint16
+    (sparse_ops.hi_dtype): the truncating cast maps the uint32
+    sentinel to 0xFFFF and real hi words (< 2^14) losslessly, fuses
+    into the extraction jit for free, and cuts both the ingest append
+    and every compaction sort from 8 to 6 B/window
+    (bench/probe_hisort.py)."""
+    hdt = sparse_ops.hi_dtype(k)
+
+    def _narrow_hi(parts):
+        if k > 15 and hdt != np.uint32:
+            return (parts[0].astype(hdt),) + tuple(parts[1:])
+        return parts
+
     if isinstance(batch, (tuple, list)):
-        return window_ops.window_codes_packed(
+        return _narrow_hi(window_ops.window_codes_packed(
             batch[0], batch[1], k, canonical, R=R
-        )
+        ))
     rows = batch
     sent = jnp.uint32(sparse_ops.SENTINEL)
     if k <= 15:
@@ -124,10 +138,10 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
             jnp.where(valid, codes.astype(jnp.uint32), sent).reshape(-1),
         )
     whi, wlo, valid = window_ops.window_codes_wide(rows, k, canonical)
-    return (
+    return _narrow_hi((
         jnp.where(valid, whi, sent).reshape(-1),
         jnp.where(valid, wlo, sent).reshape(-1),
-    )
+    ))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -159,15 +173,18 @@ def _ingest(bufs, batch, offset, k: int, canonical: bool, R: int):
 def _grow(bufs, new_cap: int):
     return tuple(
         jnp.concatenate(
-            [b, jnp.full((new_cap - b.shape[0],), SENT32, b.dtype)]
+            [b, jnp.full((new_cap - b.shape[0],),
+                         sparse_ops.sent_of(b.dtype), b.dtype)]
         )
         for b in bufs
     )
 
 
-@partial(jax.jit, static_argnames=("cap", "n"))
-def _fresh(cap: int, n: int):
-    return tuple(jnp.full((cap,), SENT32, jnp.uint32) for _ in range(n))
+@partial(jax.jit, static_argnames=("cap", "dtypes"))
+def _fresh(cap: int, dtypes):
+    return tuple(
+        jnp.full((cap,), sparse_ops.sent_of(dt), dt) for dt in dtypes
+    )
 
 
 # Rows of the log-structured store.  The compaction sort runs row-wise:
@@ -209,20 +226,22 @@ def _compact_counted_dev(store, bufs, Lc: int, G: int):
     cdt = store[-1].dtype  # count dtype follows the store
     ones = jnp.ones((G, rawG), cdt)
     zpad = jnp.zeros((G, max(pad, 0)), cdt)
-    spad = [jnp.full((G, pad), SENT32, jnp.uint32)] if pad else []
+
+    def cat(s, b):
+        parts = [s, b.reshape(G, -1)]
+        if pad:
+            parts.append(
+                jnp.full((G, pad), sparse_ops.sent_of(s.dtype), s.dtype)
+            )
+        return jnp.concatenate(parts, axis=1)
+
     if len(bufs) == 1:
-        lo = jnp.concatenate(
-            [store[0], bufs[0].reshape(G, -1)] + spad, axis=1
-        )
+        lo = cat(store[0], bufs[0])
         cnt = jnp.concatenate([store[1], ones, zpad], axis=1)
         lo, cnt, drows = sparse_ops.compact_counted_narrow_2d(lo, cnt)
         return (lo, cnt), drows
-    hi = jnp.concatenate(
-        [store[0], bufs[0].reshape(G, -1)] + spad, axis=1
-    )
-    lo = jnp.concatenate(
-        [store[1], bufs[1].reshape(G, -1)] + spad, axis=1
-    )
+    hi = cat(store[0], bufs[0])
+    lo = cat(store[1], bufs[1])
     cnt = jnp.concatenate([store[2], ones, zpad], axis=1)
     hi, lo, cnt, drows = sparse_ops.compact_counted_2d(hi, lo, cnt)
     return (hi, lo, cnt), drows
@@ -351,6 +370,15 @@ class KmerCounter:
     def _n_bufs(self) -> int:
         return 1 if self.cfg.k <= 15 else 2
 
+    @property
+    def _buf_dtypes(self):
+        """Raw code-buffer dtypes: (lo,) narrow; (hi, lo) wide with the
+        hi plane narrowed to uint16 for 16 <= k <= 23 (sparse_ops
+        .hi_dtype — 25% fewer sort/append bytes; probe_hisort.py)."""
+        if self.cfg.k <= 15:
+            return (np.uint32,)
+        return (sparse_ops.hi_dtype(self.cfg.k), np.uint32)
+
     def _raw_cap0(self) -> int:
         """Initial raw-buffer capacity: the expected-size hint when the
         caller knows it (one shape compiles), else a couple of batches'
@@ -380,7 +408,7 @@ class KmerCounter:
                 "state; use a fresh counter (and an empty spill dir) "
                 "per count"
             )
-        return SparseState(raw=_fresh(self._raw_cap0(), self._n_bufs))
+        return SparseState(raw=_fresh(self._raw_cap0(), self._buf_dtypes))
 
     def step(self, state, batch):
         """One batch update.
@@ -491,7 +519,7 @@ class KmerCounter:
                     state.raw, G, cdtype=jnp.dtype(cfg.count_dtype)
                 )
                 return SparseState(
-                    raw=_fresh(cap, self._n_bufs), fill=0, store=store,
+                    raw=_fresh(cap, self._buf_dtypes), fill=0, store=store,
                     store_len=cap // G, distinct=drows,
                 )
             self._check_capacity(int(d.sum()))
@@ -504,7 +532,7 @@ class KmerCounter:
             Lc = sparse_ops.ladder(store_cols + cap // G, floor=COL_FLOOR)
             store, drows = _compact_counted_dev(store, state.raw, Lc, G)
         return SparseState(
-            raw=_fresh(cap, self._n_bufs), fill=0,
+            raw=_fresh(cap, self._buf_dtypes), fill=0,
             store=store, store_len=Lc, distinct=drows,
         )
 
@@ -852,15 +880,16 @@ class KmerCounter:
                 jnp.asarray(cnt2.reshape(G, Lc)),
             )
         else:
-            hi2 = np.full((G * Lc,), SENT32, np.uint32)
-            hi2[:n] = (codes >> np.uint64(32)).astype(np.uint32)
+            hdt = sparse_ops.hi_dtype(self.cfg.k)
+            hi2 = np.full((G * Lc,), sparse_ops.sent_of(hdt), hdt)
+            hi2[:n] = (codes >> np.uint64(32)).astype(hdt)
             store = (
                 jnp.asarray(hi2.reshape(G, Lc)),
                 jnp.asarray(lo2.reshape(G, Lc)),
                 jnp.asarray(cnt2.reshape(G, Lc)),
             )
         return SparseState(
-            raw=_fresh(self._raw_cap0(), self._n_bufs), fill=0,
+            raw=_fresh(self._raw_cap0(), self._buf_dtypes), fill=0,
             store=store, store_len=Lc, distinct=drows,
         )
 
@@ -890,7 +919,8 @@ class KmerCounter:
             if pad:
                 parts = tuple(
                     jnp.concatenate(
-                        [p, jnp.full((pad,), SENT32, p.dtype)]
+                        [p, jnp.full((pad,), sparse_ops.sent_of(p.dtype),
+                                     p.dtype)]
                     )
                     for p in parts
                 )

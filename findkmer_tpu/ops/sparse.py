@@ -47,6 +47,26 @@ from jax import lax
 import numpy as np
 
 SENTINEL = np.uint32(0xFFFFFFFF)
+SENTINEL16 = np.uint16(0xFFFF)
+
+
+def hi_dtype(k: int):
+    """Device dtype of the hi code plane for k > 15.
+
+    16 <= k <= 23: the hi word has 2k-32 <= 14 meaningful bits, so a
+    real hi can never reach 0xFFFF and the plane fits uint16 with the
+    all-ones sentinel intact.  Round-3 probe (bench/probe_hisort.py,
+    real v5e): the (u16, u32) 2-key row sort runs 617 vs 570 Melem/s
+    (u32 hi), and ingest appends 6 B/window instead of 8 — together
+    the difference between ~345 and ~400+ Mbase/s at k=21.  k = 24
+    needs exactly 16 bits (sentinel would collide); k >= 24 stays
+    uint32."""
+    return np.uint16 if 16 <= k <= 23 else np.uint32
+
+
+def sent_of(dtype) -> np.integer:
+    """The all-ones sentinel value of an unsigned code-plane dtype."""
+    return np.dtype(dtype).type(np.iinfo(np.dtype(dtype)).max)
 
 
 # ----------------------------------------------------------------------
@@ -55,7 +75,7 @@ SENTINEL = np.uint32(0xFFFFFFFF)
 
 def _adj_flags(hi, lo):
     """(is_start, is_end) of equal-code runs in sorted (hi, lo)."""
-    s1h = jnp.full((1,), SENTINEL, hi.dtype)
+    s1h = jnp.full((1,), sent_of(hi.dtype), hi.dtype)
     s1l = jnp.full((1,), SENTINEL, jnp.uint32)
     is_start = (hi != jnp.concatenate([s1h, hi[:-1]])) | (
         lo != jnp.concatenate([s1l, lo[:-1]])
@@ -69,13 +89,14 @@ def _adj_flags(hi, lo):
 def _is_sent(hi, lo, wide: bool):
     """Sentinel test for (hi, lo) code arrays.
 
-    Wide stores (k >= 16) mark holes as hi = lo = SENTINEL, and a REAL
-    code's hi can never be SENTINEL (hi < 2^30 for k <= 31) — but its
-    lo CAN be 0xFFFFFFFF (any k-mer ending in 16 T's, e.g. a poly-T
-    homopolymer run), so the hole test must key on hi.  Narrow stores
-    (k <= 15) carry a dummy all-zero hi and codes < 2^30, so there lo
-    is the discriminating word."""
-    return (hi == SENTINEL) if wide else (lo == SENTINEL)
+    Wide stores (k >= 16) mark holes as hi = lo = all-ones, and a REAL
+    code's hi can never be all-ones (hi < 2^14 for the uint16 plane at
+    k <= 23, < 2^30 for uint32 up to k <= 31) — but its lo CAN be
+    0xFFFFFFFF (any k-mer ending in 16 T's, e.g. a poly-T homopolymer
+    run), so the hole test must key on hi.  Narrow stores (k <= 15)
+    carry a dummy all-zero hi and codes < 2^30, so there lo is the
+    discriminating word."""
+    return (hi == sent_of(hi.dtype)) if wide else (lo == SENTINEL)
 
 
 def rle_pos(hi, lo, wide: bool = True):
@@ -164,7 +185,7 @@ def squeeze(hi, lo, cnt):
     entries sorted by code at the front.  Used before checkpointing /
     re-entering so store arrays can be sliced to their live ladder."""
     live = cnt > 0
-    khi = jnp.where(live, hi, SENTINEL)
+    khi = jnp.where(live, hi, sent_of(hi.dtype))
     klo = jnp.where(live, lo, SENTINEL)
     return lax.sort((khi, klo, cnt), num_keys=2, is_stable=False)
 
@@ -185,7 +206,7 @@ def squeeze_narrow(lo, cnt):
 
 def _adj_flags_2d(hi, lo):
     G = hi.shape[0]
-    sh = jnp.full((G, 1), SENTINEL, hi.dtype)
+    sh = jnp.full((G, 1), sent_of(hi.dtype), hi.dtype)
     sl = jnp.full((G, 1), SENTINEL, jnp.uint32)
     is_start = (hi != jnp.concatenate([sh, hi[:, :-1]], axis=1)) | (
         lo != jnp.concatenate([sl, lo[:, :-1]], axis=1)
@@ -255,7 +276,7 @@ def compact_counted_narrow_2d(lo, cnt):
 def squeeze_2d(hi, lo, cnt):
     """Row-wise squeeze: push zero-count holes to each row's end."""
     live = cnt > 0
-    khi = jnp.where(live, hi, SENTINEL)
+    khi = jnp.where(live, hi, sent_of(hi.dtype))
     klo = jnp.where(live, lo, SENTINEL)
     return lax.sort(
         (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
@@ -289,14 +310,15 @@ def global_compact_wide(hi, lo, cnt):
     Returns flat (hi, lo, cnt) with a globally sorted, distinct live
     prefix, plus n_live and n_multi (live entries with count > 1)."""
     hi, lo, cnt = (a.reshape(-1) for a in (hi, lo, cnt))
+    sh = sent_of(hi.dtype)
     live = cnt > 0
-    hi = jnp.where(live, hi, SENTINEL)
+    hi = jnp.where(live, hi, sh)
     lo = jnp.where(live, lo, SENTINEL)
     hi, lo, cnt = lax.sort((hi, lo, cnt), num_keys=2, is_stable=False)
     cnt = rle_val(hi, lo, cnt)
     live = cnt > 0
     hi, lo, cnt = lax.sort(
-        (jnp.where(live, hi, SENTINEL), jnp.where(live, lo, SENTINEL),
+        (jnp.where(live, hi, sh), jnp.where(live, lo, SENTINEL),
          cnt),
         num_keys=2, is_stable=False,
     )

@@ -65,8 +65,8 @@ def _append2d(bufs, parts, offset):
 def _grow2d(bufs, new_cap: int):
     return tuple(
         jnp.concatenate(
-            [b, jnp.full((b.shape[0], new_cap - b.shape[1]), _SENT,
-                         b.dtype)],
+            [b, jnp.full((b.shape[0], new_cap - b.shape[1]),
+                         sparse_ops.sent_of(b.dtype), b.dtype)],
             axis=1,
         )
         for b in bufs
@@ -78,7 +78,10 @@ def _compact_raw_dev2(bufs, L: int, cdtype=jnp.int32):
     G = bufs[0].shape[0]
     pad = L - bufs[0].shape[1]
     padded = tuple(
-        jnp.concatenate([b, jnp.full((G, pad), _SENT, b.dtype)], axis=1)
+        jnp.concatenate(
+            [b, jnp.full((G, pad), sparse_ops.sent_of(b.dtype), b.dtype)],
+            axis=1,
+        )
         if pad
         else b
         for b in bufs
@@ -104,7 +107,9 @@ def _compact_counted_dev2(store, bufs, L: int):
     def cat(s, b):
         parts = [s, b]
         if pad:
-            parts.append(jnp.full((G, pad), _SENT, b.dtype))
+            parts.append(
+                jnp.full((G, pad), sparse_ops.sent_of(b.dtype), b.dtype)
+            )
         return jnp.concatenate(parts, axis=1)
 
     if len(bufs) == 1:
@@ -129,7 +134,7 @@ def _squeeze_slice_impl(store, Ld: int):
         return lo[:, :Ld], cnt[:, :Ld]
     hi, lo, cnt = store
     live = cnt > 0
-    khi = jnp.where(live, hi, _SENT)
+    khi = jnp.where(live, hi, sparse_ops.sent_of(hi.dtype))
     klo = jnp.where(live, lo, _SENT)
     hi, lo, cnt = lax.sort(
         (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
@@ -389,12 +394,21 @@ class DistributedCounter:
             self._nb = 1 if narrow else 2
             self._w_local = (cfg.batch_rows // n_dev) * cfg.window_len
 
+            hdt = sparse_ops.hi_dtype(k)
+
+            def narrow_hi(parts):
+                # uint16 hi plane for 16 <= k <= 23 (see counter.py
+                # _batch_codes: truncating cast maps SENT -> 0xFFFF)
+                if not narrow and hdt != np.uint32:
+                    return (parts[0].astype(hdt),) + tuple(parts[1:])
+                return parts
+
             def extract(rows):
                 if isinstance(rows, (tuple, list)):
                     # straight-from-wire extraction (see _batch_codes)
-                    parts = window_ops.window_codes_packed(
+                    parts = narrow_hi(window_ops.window_codes_packed(
                         rows[0], rows[1], k, canonical, R=cfg.row_len
-                    )
+                    ))
                     return tuple(p.reshape(1, -1) for p in parts)
                 urows = rows
                 sent = jnp.uint32(sparse_ops.SENTINEL)
@@ -410,9 +424,11 @@ class DistributedCounter:
                 whi, wlo, valid = window_ops.window_codes_wide(
                     urows, k, canonical
                 )
-                return (
-                    jnp.where(valid, whi, sent).reshape(1, -1),
-                    jnp.where(valid, wlo, sent).reshape(1, -1),
+                return tuple(
+                    p.reshape(1, -1) for p in narrow_hi((
+                        jnp.where(valid, whi, sent),
+                        jnp.where(valid, wlo, sent),
+                    ))
                 )
 
             self._extract = jax.jit(
@@ -469,9 +485,13 @@ class DistributedCounter:
         return sparse_ops.ladder(per_dev, floor=4096)
 
     def _fresh_raw(self, cap: int):
+        if self._narrow:
+            dts = (np.uint32,)
+        else:
+            dts = (sparse_ops.hi_dtype(self.cfg.k), np.uint32)
         arrs = tuple(
-            jnp.full((self.n_dev, cap), sparse_ops.SENTINEL, jnp.uint32)
-            for _ in range(self._nb)
+            jnp.full((self.n_dev, cap), sparse_ops.sent_of(dt), dt)
+            for dt in dts
         )
         return tuple(
             jax.device_put(a, self._state_sharding) for a in arrs

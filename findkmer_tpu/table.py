@@ -47,7 +47,8 @@ class DenseTable:
 
 @dataclass
 class SparseTable:
-    hi: jnp.ndarray      # (cap,) uint32, SENTINEL in empty slots
+    hi: jnp.ndarray      # (cap,) uint16 (16<=k<=23) or uint32; all-ones
+    #                      sentinel in empty slots (ops/sparse.hi_dtype)
     lo: jnp.ndarray      # (cap,) uint32
     cnt: jnp.ndarray     # (cap,) int32
     overflow: jnp.ndarray  # () bool — sticky overflow flag
