@@ -687,16 +687,38 @@ def cmd_sketch(args) -> int:
 
 
 def cmd_diff(args) -> int:
+    """Diff two spectrum files.  Default: the streaming two-pointer
+    walk (O(buffers) memory — chr-scale 2.4 GB spectra never fit the
+    dict path).  --in-memory restores the dict path for unsorted
+    inputs."""
     from findkmer_tpu import spectra
 
-    a = spectra.read_spectrum(args.input[0], sep=args.sep)
-    b = spectra.read_spectrum(args.input[1], sep=args.sep)
-    diffs = spectra.diff_spectra(a, b)
-    for d in diffs[:args.limit]:
-        print(d)
-    if len(diffs) > args.limit:
-        print(f"... and {len(diffs) - args.limit} more")
-    return 1 if diffs else 0
+    if args.in_memory:
+        a = spectra.read_spectrum(args.input[0], sep=args.sep)
+        b = spectra.read_spectrum(args.input[1], sep=args.sep)
+        lines = iter(spectra.diff_spectra(a, b))
+    else:
+        lines = spectra.diff_sorted_streaming(
+            args.input[0], args.input[1], sep=args.sep
+        )
+    shown = extra = 0
+    try:
+        for d in lines:
+            if shown < args.limit:
+                print(d)
+                shown += 1
+            else:
+                extra += 1
+    except ValueError as e:
+        if "not sorted" in str(e):
+            raise ValueError(
+                f"{e} — or rerun with `diff --in-memory` "
+                "(loads both spectra into RAM)"
+            ) from e
+        raise
+    if extra:
+        print(f"... and {extra} more")
+    return 1 if (shown or extra) else 0
 
 
 def cmd_histo(args) -> int:
@@ -990,6 +1012,10 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("-i", "--input", required=True, nargs=2)
     pd.add_argument("--sep", default="\t")
     pd.add_argument("--limit", type=int, default=50)
+    pd.add_argument("--in-memory", action="store_true",
+                    help="dict-based diff (unsorted inputs; loads both "
+                         "spectra into RAM — default streams sorted "
+                         "inputs in O(buffers) memory)")
     pd.set_defaults(fn=cmd_diff)
 
     pf = sub.add_parser(
@@ -1048,11 +1074,13 @@ def main(argv=None) -> int:
         return args.fn(args)
     except (ValueError, FileNotFoundError, RuntimeError) as e:
         # clean one-line errors for expected failure modes; set
-        # FINDKMER_TRACEBACK=1 to debug with the full stack
+        # FINDKMER_TRACEBACK=1 to debug with the full stack.  Exit 2
+        # (GNU convention: 1 is data-level "different"/"rejected" for
+        # diff/filter; 2 is trouble), matching argparse usage errors.
         if os.environ.get("FINDKMER_TRACEBACK") == "1":
             raise
         print(f"findkmer: error: {e}", file=sys.stderr)
-        return 1
+        return 2
     except BrokenPipeError:
         return 0  # e.g. `findkmer count ... | head`
 

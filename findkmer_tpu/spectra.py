@@ -513,6 +513,24 @@ def diff_spectra(a: Dict[str, int], b: Dict[str, int]) -> List[str]:
     return out
 
 
+def diff_sorted_streaming(
+    path_a, path_b, sep: str = "\t"
+) -> Iterator[str]:
+    """Yield diff_spectra-format lines for two SORTED spectrum files.
+
+    The chr-scale diff: the two-pointer walk the other set ops use
+    (_grouped), O(buffers) memory instead of two full Python dicts —
+    a 2.4 GB chr-scale spectrum does not fit read_spectrum.  Raises
+    the standard not-sorted error on unsorted inputs (route those
+    through `findkmer sort` or `diff --in-memory`)."""
+    sep_b = sep.encode()
+    for kmer, (ca, cb) in _grouped([path_a, path_b], sep_b):
+        ca = 0 if ca is None else ca
+        cb = 0 if cb is None else cb
+        if ca != cb:
+            yield f"{kmer.decode()}: {ca} != {cb}"
+
+
 def _grouped(paths, sep_b: bytes):
     """Iterate sorted inputs as (kmer, [count_or_None per input]) groups.
 

@@ -224,7 +224,7 @@ def test_per_input_needs_dir(fixtures_dir, tmp_path):
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=600,
     )
-    assert res.returncode == 1
+    assert res.returncode == 2  # trouble (GNU convention), not diff's 1
     assert "directory" in res.stderr
 
 def test_bench_phases(tmp_path):
