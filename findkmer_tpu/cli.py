@@ -773,7 +773,7 @@ def cmd_filter(args) -> int:
             k1, s1 = filter_file(
                 path, f, spec, fmt=args.format,
                 min_hits=args.min_hits, min_frac=args.min_frac,
-                invert=args.invert,
+                invert=args.invert, engine=args.engine,
             )
             kept += k1
             seen += s1
@@ -1047,6 +1047,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "read k-mers to revcomp-min form")
     pf.add_argument("--invert", action="store_true",
                     help="keep the complement (reads that do NOT pass)")
+    pf.add_argument("--engine", choices=["auto", "host", "device"],
+                    default="auto",
+                    help="membership scorer: host = OpenMP C scan, "
+                         "device = TPU sort-merge probe (auto picks "
+                         "device on a real accelerator)")
     pf.add_argument("--sep", default="\t")
     pf.set_defaults(fn=cmd_filter)
 

@@ -6,12 +6,15 @@ windows (or a `min_frac` fraction) are present in the given spectrum
 file.  The tool-class envelope feature of KMC/kmc_tools (PAPERS.md
 landscape); the reference has nothing comparable (SURVEY.md §2.1).
 
-Host-side and vectorized: filtering is IO-bound per read (like the
-reference's R1/R2 file plumbing, SURVEY.md §2.1, Python/numpy is the
-appropriate tier); window codes are built with a numpy rolling
-shift-or per record and membership is one searchsorted against the
-sorted spectrum code array.  FASTQ quality lines are preserved
-verbatim on output.
+Two interchangeable scoring engines (filter_file `engine=`):
+  * host — vectorized numpy / OpenMP C scan (src/native/encode.c
+    fk_filter_hits): codes by rolling shift-or, one-probe bit-table
+    prefilter, exact searchsorted on survivors.
+  * device — TPU sort-merge membership probe (filter_device.py): the
+    counting engine's packed wire + window extraction, one unstable
+    sort of [spectrum | windows] per batch.  `auto` picks it on a real
+    accelerator.
+FASTQ quality lines are preserved verbatim on output.
 """
 
 from __future__ import annotations
@@ -49,6 +52,32 @@ def window_codes_host(seq: bytes, k: int):
 
 
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _read_spans(seqs, hit: np.ndarray, valid: np.ndarray, k: int):
+    """Per-read (hits, valid windows) from per-window hit/valid arrays
+    of the 'N'-joined stream (window i starts at joined position i).
+
+    Shared by the host scorer (filter.py) and the device scorer
+    (filter_device.py) so the two engines attribute identically."""
+    n = len(seqs)
+    hits = np.zeros(n, np.int64)
+    windows = np.zeros(n, np.int64)
+    size = int(valid.size)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: the separator
+    bounds = np.minimum(starts, size)
+    seg = np.append(bounds, size)
+    cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    ch = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+    # windows starting within read i occupy [bounds[i], end_i) where
+    # end_i = min(starts[i] + len_i, next bound)
+    ends = np.minimum(np.minimum(starts + lens, seg[1:]), size)
+    ends = np.maximum(ends, bounds)
+    windows[:] = cv[ends] - cv[bounds]
+    hits[:] = ch[ends] - ch[bounds]
+    return hits, windows
 
 
 @dataclass
@@ -173,22 +202,7 @@ class FilterSpec:
                 hit[maybe] = self.codes[idx] == cand
         # read i's windows START in [starts[i], starts[i] + len_i);
         # spanning windows are already invalid via the 'N' separator
-        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
-        starts = np.zeros(n, np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: the separator
-        bounds = np.minimum(starts, codes.size)
-        seg = np.append(bounds, codes.size)
-        cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
-        ch = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
-        # windows starting within read i occupy [bounds[i], end_i) where
-        # end_i = min(starts[i] + len_i, next bound)
-        ends = np.minimum(
-            np.minimum(starts + lens, seg[1:]), codes.size
-        )
-        ends = np.maximum(ends, bounds)
-        windows[:] = cv[ends] - cv[bounds]
-        hits[:] = ch[ends] - ch[bounds]
-        return hits, windows
+        return _read_spans(seqs, hit, valid, k)
 
 
 def _fastq_records_block(path) -> Iterator[Tuple[bytes, bytes]]:
@@ -340,6 +354,23 @@ def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
             yield seq, raw
 
 
+def _resolve_engine(engine: str) -> str:
+    """auto -> device on a real accelerator, host otherwise.
+
+    The device scorer pays jit compiles and per-batch sort work that
+    only the TPU path amortizes (bench/RESULTS.md round 3); on the CPU
+    backend the OpenMP C scan is the faster engine, so auto keeps it."""
+    if engine != "auto":
+        return engine
+    try:
+        import jax
+
+        return "device" if jax.default_backend() not in ("cpu",) \
+            else "host"
+    except Exception:
+        return "host"
+
+
 def filter_file(
     path,
     out_f,
@@ -349,6 +380,7 @@ def filter_file(
     min_hits: int = 1,
     min_frac: Optional[float] = None,
     invert: bool = False,
+    engine: str = "auto",
 ) -> Tuple[int, int]:
     """Stream reads from `path`, write passing records to out_f.
 
@@ -356,7 +388,21 @@ def filter_file(
     hits/valid_windows >= min_frac); --invert keeps the complement.
     Reads are scored in multi-MB batches (FilterSpec.hits_batch) so the
     per-read Python cost is one list append, not a numpy pipeline.
+    engine: "host" (OpenMP C scan / numpy), "device" (TPU sort-merge
+    membership, filter_device.py), or "auto" (device on a real
+    accelerator).  Both engines are bit-for-bit interchangeable.
     Returns (reads kept, reads seen)."""
+    engine = _resolve_engine(engine)
+    if engine == "device":
+        from findkmer_tpu.filter_device import DeviceFilter
+
+        scorer = DeviceFilter(spec)
+        batch_bytes = scorer.need + (1 << 20)  # fill device batches
+    elif engine == "host":
+        scorer = spec
+        batch_bytes = 8 << 20
+    else:
+        raise ValueError(f"unknown filter engine {engine!r}")
     kept = seen = 0
     batch_seqs: list = []
     batch_raws: list = []
@@ -366,7 +412,7 @@ def filter_file(
         nonlocal kept, nbytes
         if not batch_seqs:
             return
-        hits, windows = spec.hits_batch(batch_seqs)
+        hits, windows = scorer.hits_batch(batch_seqs)
         for raw, h, w in zip(batch_raws, hits, windows):
             ok = h >= min_hits
             if ok and min_frac is not None:
@@ -383,7 +429,7 @@ def filter_file(
         batch_seqs.append(seq)
         batch_raws.append(raw)
         nbytes += len(seq)
-        if nbytes >= (8 << 20) or len(batch_seqs) >= 65536:
+        if nbytes >= batch_bytes or len(batch_seqs) >= 65536:
             flush()
     flush()
     return kept, seen

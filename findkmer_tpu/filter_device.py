@@ -1,0 +1,223 @@
+"""Device (TPU) read-filtering engine: spectrum membership on-chip.
+
+`findkmer filter --engine device` scores reads with the same machinery
+the counter uses (VERDICT round-2 item 2: "read filtering should ride
+the existing packed H2D wire + a device membership probe"):
+
+  host   reads -> 'N'-joined stream -> packed 2-bit wire (0.375 B/base,
+         pipeline._numpy_pack_rows / native pack_rows)
+  device window_codes_packed extraction (the counting kernel), then a
+         SORT-MERGE membership probe: [spectrum codes | window codes]
+         are sorted together with an int32 payload (member = -1, query
+         = its window slot); a member sorts FIRST within its equal-code
+         run, so "query hits" is one forward cummax scan — no gathers,
+         no binary search (searchsorted would cost ~25 gather passes at
+         124 Melem/s each, bench/RESULTS.md probe table; one extra sort
+         at 400-600 Melem/s wins by >10x).
+  unsort one 1-key sort of (slot << 1 | hit) restores window order (the
+         hit bit rides the key's LSB), then 32 bits pack per uint32
+         word -> the D2H wire carries 1 bit/window.
+  host   per-read attribution: unpack the bitmap, cumsum, span sums —
+         identical arithmetic to the host engine (filter.py), so the
+         two engines are bit-for-bit interchangeable.
+
+Validity never crosses the wire: a read's VALID window count depends
+only on its bases, so the host computes it locally; invalid windows
+extract as all-ones sentinel codes, which no spectrum member can equal
+(member hi < 2^14 wide / code < 2^30 narrow), so their hit bits are
+structurally 0.
+
+The reference has no filtering tool (SURVEY.md §2.1); this implements
+the kmc_tools `filter` class (PAPERS.md landscape) TPU-natively.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from findkmer_tpu.ops import sparse as sparse_ops
+
+# unsort key for non-query rows (members, padding): int32 max sorts
+# after every real (slot << 1 | hit) key, slot < 2^30
+_KEY_MAX = np.int32(2**31 - 1)
+_PAD_PAY = np.int32(2**30)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "R", "L"))
+def _filter_step(members, packed, validbits, k: int, canonical: bool,
+                 R: int, L: int):
+    """One device batch -> (B*L//32,) uint32 hit bitmap in window order.
+
+    members: ((hi,)? lo, pay) spectrum planes, pay == -1 for real
+    members (pads carry _PAD_PAY and sentinel codes).  Window slot s of
+    row b covers the joined stream position b*L + s - (k-1) relative to
+    this batch's first owned base."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from findkmer_tpu.ops import window as window_ops
+
+    parts = window_ops.window_codes_packed(
+        packed, validbits, k, canonical, R=R
+    )
+    B = packed.shape[0]
+    NW = parts[0].shape[0] // (16 * B)
+    # element (r, b, w) of the residue-interleaved layout is the window
+    # starting at row position s = 16*w + r (window.py docstring); only
+    # s <= R - k (= L - 1) are real windows, the rest are padding
+    shape = (16, B, NW)
+    r_idx = lax.broadcasted_iota(jnp.int32, shape, 0)
+    b_idx = lax.broadcasted_iota(jnp.int32, shape, 1)
+    w_idx = lax.broadcasted_iota(jnp.int32, shape, 2)
+    s = 16 * w_idx + r_idx
+    slot = jnp.where(s < L, b_idx * jnp.int32(L) + s, _PAD_PAY)
+    slot = slot.reshape(-1)
+
+    if len(parts) == 1:
+        lo = jnp.concatenate([members[0], parts[0]])
+        pay = jnp.concatenate([members[1], slot])
+        lo, pay = lax.sort((lo, pay), num_keys=2, is_stable=False)
+        hi = jnp.zeros_like(lo)
+        wide = False
+    else:
+        hi = jnp.concatenate([members[0], parts[0]])
+        lo = jnp.concatenate([members[1], parts[1]])
+        pay = jnp.concatenate([members[2], slot])
+        hi, lo, pay = lax.sort((hi, lo, pay), num_keys=3,
+                               is_stable=False)
+        wide = True
+
+    # member-first runs: payload is the last sort key and members carry
+    # -1, so a run containing a member has it at the run START; one
+    # monotone cummax propagates "my run starts with a member"
+    n = hi.shape[0]
+    is_start, _ = sparse_ops._adj_flags(hi, lo)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
+    mpos = lax.cummax(jnp.where(is_start & (pay < 0), idx, -1), axis=0)
+    is_query = (pay >= 0) & (pay < _PAD_PAY)
+    hit = (mpos == spos) & is_query
+    del wide
+
+    key = jnp.where(
+        is_query, (pay << 1) | hit.astype(jnp.int32), _KEY_MAX
+    )
+    (key,) = lax.sort((key,), num_keys=1, is_stable=False)
+    bits = (key[: B * L] & 1).astype(jnp.uint32)
+    shifts = lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    return jnp.sum(
+        bits.reshape(-1, 32) << shifts, axis=1, dtype=jnp.uint32
+    )
+
+
+class DeviceFilter:
+    """Device-resident membership scorer with FilterSpec.hits_batch's
+    exact contract: per-read (hits, valid windows) over a batch of
+    reads, reads isolated by 'N' separators."""
+
+    def __init__(self, spec, batch_rows: int = 64,
+                 chunk_len: int = 65536):
+        import jax
+        import jax.numpy as jnp
+
+        self.spec = spec
+        self.k = k = spec.k
+        self.canonical = spec.canonical
+        self.B, self.L = batch_rows, chunk_len
+        self.R = chunk_len + k - 1
+        self.R8 = (self.R + 7) // 8 * 8
+        self.need = self.B * self.L  # owned bases per device batch
+
+        codes = spec.codes  # sorted distinct uint64
+        ns = int(codes.size)
+        NS = sparse_ops.ladder(max(ns, 1), floor=4096)
+        pay = np.full(NS, -1, np.int32)
+        pay[ns:] = _PAD_PAY
+        if k <= 15:
+            lo = np.full(NS, sparse_ops.SENTINEL, np.uint32)
+            lo[:ns] = codes.astype(np.uint32)
+            planes = (lo, pay)
+        else:
+            hdt = sparse_ops.hi_dtype(k)
+            hi = np.full(NS, sparse_ops.sent_of(hdt), hdt)
+            lo = np.full(NS, sparse_ops.SENTINEL, np.uint32)
+            hi[:ns] = (codes >> np.uint64(32)).astype(hdt)
+            lo[:ns] = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            planes = (hi, lo, pay)
+        dev = jax.local_devices()[0]
+        self.members = tuple(
+            jax.device_put(jnp.asarray(p), dev) for p in planes
+        )
+        self._dev = dev
+
+    # ------------------------------------------------------------------
+    def _device_bitmaps(self, work: np.ndarray):
+        """work: (k-1 halo ++ owned stream ++ INVALID pad) uint8 codes,
+        length k-1 + n_batches*need.  Returns the concatenated hit
+        bitmap as a host bool array over window-start positions
+        [-(k-1), n_batches*need - k + 1)."""
+        import jax
+        import jax.numpy as jnp
+
+        from findkmer_tpu.io import native as native_mod
+        from findkmer_tpu.pipeline import _numpy_pack_rows
+
+        k, B, L, R, R8 = self.k, self.B, self.L, self.R, self.R8
+        halo = k - 1
+        n_batches = (work.size - halo) // self.need
+        outs = []
+        for i in range(n_batches):
+            chunk = work[i * self.need : i * self.need + halo
+                         + self.need]
+            if native_mod.available():
+                packed, validbits = native_mod.pack_rows(chunk, B, L, R)
+            else:
+                packed, validbits = _numpy_pack_rows(chunk, B, L, R, R8)
+            bm = _filter_step(
+                self.members,
+                jax.device_put(jnp.asarray(packed), self._dev),
+                jax.device_put(jnp.asarray(validbits), self._dev),
+                k, self.canonical, R, L,
+            )
+            outs.append(bm)  # keep device arrays in flight (async)
+        hostbits = [np.asarray(o) for o in outs]
+        words = (
+            np.concatenate(hostbits) if len(hostbits) > 1 else
+            hostbits[0]
+        )
+        return np.unpackbits(
+            words.view(np.uint8), bitorder="little"
+        ).astype(bool)
+
+    def hits_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        from findkmer_tpu.filter import _CODE_LUT, _read_spans
+
+        k = self.k
+        n = len(seqs)
+        hits = np.zeros(n, np.int64)
+        windows = np.zeros(n, np.int64)
+        if n == 0:
+            return hits, windows
+        joined = b"N".join(seqs)
+        b = _CODE_LUT[np.frombuffer(joined, np.uint8)]
+        nw = b.size - k + 1
+        if nw <= 0:
+            return hits, windows
+        # validity is a pure function of the read bases — host-side
+        bad = (b > 3).astype(np.int32)
+        cbad = np.concatenate([[0], np.cumsum(bad)])
+        valid = (cbad[k:] - cbad[:-k]) == 0
+
+        halo = k - 1
+        n_batches = -(-b.size // self.need)
+        work = np.full(halo + n_batches * self.need, 4, np.uint8)
+        work[halo : halo + b.size] = np.where(b > 3, 4, b)
+        allbits = self._device_bitmaps(work)
+        # window starting at joined position p sits at bitmap index
+        # p + halo (row 0's first halo slots cover p < 0)
+        hit = allbits[halo : halo + nw]
+        return _read_spans(seqs, hit & valid, valid, k)

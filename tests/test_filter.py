@@ -160,14 +160,14 @@ def test_filter_gz_output_and_multiline_rejection(tmp_path):
     bad = tmp_path / "wrapped.fastq"
     bad.write_text("@r1\nACGT\nACGT\n+\nIIII\nIIII\n")
     r = _cli(["filter", "-i", "wrapped.fastq", "--spectrum", "spec.tsv"],
-             tmp_path, expect_rc=1)
+             tmp_path, expect_rc=2)
     assert "multi-line FASTQ" in r.stderr
 
     # typo'd input must not truncate an existing output file
     out = tmp_path / "precious.fastq"
     out.write_text("@old\nAAAA\n+\nIIII\n")
     r = _cli(["filter", "-i", "missing.fastq", "--spectrum", "spec.tsv",
-              "-o", "precious.fastq"], tmp_path, expect_rc=1)
+              "-o", "precious.fastq"], tmp_path, expect_rc=2)
     assert out.read_text() == "@old\nAAAA\n+\nIIII\n"
 
 
@@ -297,3 +297,84 @@ def test_fastq_block_reader_blank_lines_and_linear(tmp_path):
     # guards against (re-joining the carry per 4 MB block) takes
     # minutes.  Generous bound: machine noise must not flake it.
     assert dt < 60, f"long-read parse took {dt:.1f}s (quadratic?)"
+
+
+# ---------------------------------------------------------------------
+# device engine (filter_device.py): bit-for-bit vs the host scorer
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("k,canonical", [
+    (5, False), (8, True), (15, False), (16, False),
+    (21, False), (21, True), (24, False),
+])
+def test_device_filter_matches_host(rng, k, canonical):
+    """The TPU sort-merge scorer == the host scan over every k mode
+    (narrow u32, wide u16-hi, wide u32-hi) incl. canonical folding and
+    the multi-device-batch path (tiny batch geometry forces several
+    _filter_step launches per call)."""
+    import numpy as np
+
+    from findkmer_tpu import spectra
+    from findkmer_tpu.filter import FilterSpec
+    from findkmer_tpu.filter_device import DeviceFilter
+    from findkmer_tpu.ops.window import str_to_code
+
+    kms = {"".join(rng.choice(list("ACGT")) for _ in range(k))
+           for _ in range(150)}
+    codes = np.array(sorted(str_to_code(s) for s in kms), np.uint64)
+    if canonical:
+        codes = np.unique(
+            np.minimum(codes, spectra.revcomp_codes_u64(codes, k))
+        )
+    spec = FilterSpec(k=k, codes=codes, canonical=canonical)
+    reads = []
+    for _ in range(200):
+        L = int(rng.integers(1, 220))
+        r = "".join(rng.choice(list("ACGTN")) for _ in range(L))
+        if L > k and rng.random() < 0.5:  # embed a member k-mer
+            km = sorted(kms)[int(rng.integers(0, len(kms)))]
+            p = int(rng.integers(0, L - k))
+            r = r[:p] + km + r[p + k:]
+        reads.append(r.encode())
+    hh, wh = spec.hits_batch(reads)
+    dev = DeviceFilter(spec, batch_rows=2, chunk_len=4096)
+    hd, wd = dev.hits_batch(reads)
+    assert (hh == hd).all() and (wh == wd).all()
+    assert hh.sum() > 0  # embedded members actually hit
+
+
+def test_device_filter_edges(rng):
+    import numpy as np
+
+    from findkmer_tpu.filter import FilterSpec
+    from findkmer_tpu.filter_device import DeviceFilter
+
+    spec0 = FilterSpec(k=8, codes=np.empty(0, np.uint64))
+    d0 = DeviceFilter(spec0, batch_rows=2, chunk_len=4096)
+    h, w = d0.hits_batch([b"ACGTACGTACGT"])
+    assert int(h[0]) == 0 and int(w[0]) == 5
+    d1 = DeviceFilter(FilterSpec(k=8, codes=np.array([0], np.uint64)),
+                      batch_rows=2, chunk_len=4096)
+    h, w = d1.hits_batch([])
+    assert h.size == 0
+    h, w = d1.hits_batch([b"ACG", b"N" * 50, b"A" * 50])
+    assert list(w) == [0, 0, 43] and list(h) == [0, 0, 43]
+
+
+def test_filter_cli_engine_device(tmp_path):
+    """--engine device produces byte-identical output to --engine host
+    at the CLI surface (CPU backend exercises the same jit)."""
+    reads = [
+        ("@r1", "ACGTACGTAC", "IIIIIIIIII"),
+        ("@r2", "GGGGGGGGGG", "JJJJJJJJJJ"),
+        ("@r3", "NNACGTANNN", "KKKKKKKKKK"),
+    ]
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(f"{h}\n{s}\n+\n{q}\n" for h, s, q in reads))
+    (tmp_path / "spec.tsv").write_text("ACGTA\t3\n")
+    _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+          "--engine", "host", "-o", "h.fastq"], tmp_path)
+    _cli(["filter", "-i", "r.fastq", "--spectrum", "spec.tsv",
+          "--engine", "device", "-o", "d.fastq"], tmp_path)
+    assert (tmp_path / "h.fastq").read_bytes() == \
+        (tmp_path / "d.fastq").read_bytes()
