@@ -119,7 +119,7 @@ class DeviceFilter:
     exact contract: per-read (hits, valid windows) over a batch of
     reads, reads isolated by 'N' separators."""
 
-    def __init__(self, spec, batch_rows: int = 64,
+    def __init__(self, spec, batch_rows: int = 256,
                  chunk_len: int = 65536):
         import jax
         import jax.numpy as jnp
@@ -161,7 +161,6 @@ class DeviceFilter:
         bitmap as a host bool array over window-start positions
         [-(k-1), n_batches*need - k + 1)."""
         import jax
-        import jax.numpy as jnp
 
         from findkmer_tpu.io import native as native_mod
         from findkmer_tpu.pipeline import _numpy_pack_rows
@@ -179,11 +178,18 @@ class DeviceFilter:
                 packed, validbits = _numpy_pack_rows(chunk, B, L, R, R8)
             bm = _filter_step(
                 self.members,
-                jax.device_put(jnp.asarray(packed), self._dev),
-                jax.device_put(jnp.asarray(validbits), self._dev),
+                jax.device_put(packed, self._dev),
+                jax.device_put(validbits, self._dev),
                 k, self.canonical, R, L,
             )
-            outs.append(bm)  # keep device arrays in flight (async)
+            # start the bitmap's D2H immediately: the tunnel round trip
+            # is ~150 ms of LATENCY (bench/RESULTS.md round 3), so every
+            # batch's pull must be in flight while later batches compute
+            try:
+                bm.copy_to_host_async()
+            except Exception:
+                pass
+            outs.append(bm)
         hostbits = [np.asarray(o) for o in outs]
         words = (
             np.concatenate(hostbits) if len(hostbits) > 1 else

@@ -353,9 +353,12 @@ class KmerCounter:
                     "--spill requires a sparse table "
                     f"(k={cfg.k} resolves to a direct table)"
                 )
-            from findkmer_tpu import spill
+            # the stale-run refusal happens in init_state (fresh count)
+            # or adopt_spill_runs (checkpoint resume), not here — the
+            # constructor cannot know which path follows
+            import os
 
-            spill.init_dir(cfg.spill_dir)
+            os.makedirs(cfg.spill_dir, exist_ok=True)
 
     # ------------------------------------------------------------------
     def put_batch(self, rows):
@@ -408,7 +411,39 @@ class KmerCounter:
                 "state; use a fresh counter (and an empty spill dir) "
                 "per count"
             )
+        if self.cfg.spill_dir:
+            from findkmer_tpu import spill
+
+            spill.init_dir(self.cfg.spill_dir)  # refuses stale runs
         return SparseState(raw=_fresh(self._raw_cap0(), self._buf_dtypes))
+
+    def adopt_spill_runs(self, n_runs: int):
+        """Checkpoint-resume adoption of disk-spill runs.
+
+        The checkpoint manifest records how many spill runs belong to
+        its prefix (streaming.py); runs past that index were written by
+        a later, crashed stream whose batches will be REPLAYED — they
+        are deleted here, or the spectrum would double-count them.
+        Fewer runs than the manifest promises is unrecoverable."""
+        if n_runs and not self.cfg.spill_dir:
+            raise ValueError(
+                f"checkpoint recorded {n_runs} spill runs but --spill "
+                "is off; rerun with the original --spill DIR"
+            )
+        if not self.cfg.spill_dir:
+            return
+        from findkmer_tpu import spill
+
+        have = len(spill.load_runs(self.cfg.spill_dir))
+        if have < n_runs:
+            raise RuntimeError(
+                f"checkpoint expects {n_runs} spill runs in "
+                f"{self.cfg.spill_dir!r} but only {have} exist; the "
+                "spill dir was truncated — restart the count"
+            )
+        if have > n_runs:
+            spill.remove_runs_from(self.cfg.spill_dir, n_runs)
+        self._spill_n = n_runs
 
     def step(self, state, batch):
         """One batch update.
@@ -816,12 +851,6 @@ class KmerCounter:
         directly; checkpoints round-trip it through npz unchanged."""
         if self.mode == "direct":
             return state, state
-        if self._spill_n:
-            raise RuntimeError(
-                "checkpointing after a disk spill is unsupported "
-                "(spill runs live outside the table); disable --spill "
-                "or raise sparse_capacity"
-            )
         state = self.compact(state)
         d = np.asarray(state.distinct)
         self._check_capacity(int(d.sum()))

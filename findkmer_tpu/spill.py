@@ -65,7 +65,16 @@ def init_dir(dir_: str) -> None:
 
 def remove_runs(dir_: str) -> None:
     """Delete every run file (called after a finalize consumed them)."""
-    i = 0
+    remove_runs_from(dir_, 0)
+
+
+def remove_runs_from(dir_: str, start: int) -> None:
+    """Delete run files with index >= start.
+
+    Resume path: runs spilled AFTER the checkpoint being restored come
+    from batches the resumed stream will replay — keeping them would
+    double-count (streaming.py adopt_spill_runs)."""
+    i = start
     while True:
         cp, np_ = _run_paths(dir_, i)
         if not os.path.exists(cp):

@@ -89,8 +89,11 @@ def _stream_state(
     if checkpoint_dir is not None:
         loaded = ckpt_mod.load_latest(checkpoint_dir, cfg)
         if loaded is not None:
-            start_batch, table, saved_stats = loaded
+            start_batch, table, saved_stats, extra = loaded
             state = counter.restore_state(table)
+            # spill composition: adopt the runs the checkpoint's prefix
+            # wrote; delete any spilled after it (their batches replay)
+            counter.adopt_spill_runs(int(extra.get("spill_runs", 0)))
             log.info("resuming from checkpoint at batch %d", start_batch)
     if state is None:
         state = counter.init_state()
@@ -149,12 +152,17 @@ def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
     jax.block_until_ready(
         table.counts if hasattr(table, "counts") else table.cnt
     )
+    # spill runs written so far (table_state's compaction may have just
+    # spilled one) belong to this checkpoint's prefix — record them so
+    # resume adopts exactly these and deletes later ones
+    n_spill = int(getattr(counter, "_spill_n", 0))
     ckpt_mod.save(
         checkpoint_dir,
         cfg,
         batch_index,
         table,
         stats.as_dict() if stats is not None else {},
+        extra={"spill_runs": n_spill} if n_spill else None,
     )
     log.info("checkpoint @ batch %d", batch_index)
     return state
@@ -166,11 +174,6 @@ def run_stream(args) -> int:
     from findkmer_tpu.cli import _cfg_from_args, _open_out
 
     cfg = _cfg_from_args(args)
-    if cfg.spill_dir and args.checkpoint:
-        raise ValueError(
-            "--spill does not compose with --checkpoint (spill runs "
-            "live outside the checkpointed table); pick one"
-        )
     stats = pipeline.StreamStats()
     from findkmer_tpu.parallel.multihost import initialize
 

@@ -27,8 +27,13 @@ from findkmer_tpu import table as table_mod
 
 
 def save(
-    ckpt_dir, cfg: Config, batch_index: int, state, stats_dict: dict
+    ckpt_dir, cfg: Config, batch_index: int, state, stats_dict: dict,
+    extra: Optional[dict] = None,
 ) -> Path:
+    """extra: small JSON-able side state recorded in the manifest —
+    e.g. {"spill_runs": N}, the number of disk-spill run files that
+    belong to this checkpoint's prefix (spill runs are atomic sorted
+    artifacts outside the npz; see streaming.py)."""
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
     arrays = {}
@@ -59,6 +64,7 @@ def save(
         "stats": stats_dict,
         "mode": mode,
         "file": path.name,
+        "extra": extra or {},
     }
     tmp = d / "latest.json.tmp"
     tmp.write_text(json.dumps(meta))
@@ -66,8 +72,11 @@ def save(
     return path
 
 
-def load_latest(ckpt_dir, cfg: Config) -> Optional[Tuple[int, object, dict]]:
-    """Return (batch_index, state, stats_dict) or None if no checkpoint.
+def load_latest(
+    ckpt_dir, cfg: Config
+) -> Optional[Tuple[int, object, dict, dict]]:
+    """Return (batch_index, state, stats_dict, extra) or None if no
+    checkpoint.
 
     Raises if the checkpoint's config is incompatible (different k,
     canonical, table mode, or batch geometry — resuming under different
@@ -103,4 +112,5 @@ def load_latest(ckpt_dir, cfg: Config) -> Optional[Tuple[int, object, dict]]:
             overflow=jnp.asarray(data["overflow"]),
             k=cfg.k,
         )
-    return meta["batch_index"], state, meta.get("stats", {})
+    return meta["batch_index"], state, meta.get("stats", {}), \
+        meta.get("extra", {})

@@ -70,3 +70,59 @@ def test_sigkill_mid_stream_resume_bit_identical(tmp_path, fixtures_dir):
     )
     full = _cli(["count", "-i", src, *common], tmp_path)
     assert resumed == full
+
+
+def test_sigkill_mid_spill_resume_bit_identical(tmp_path, fixtures_dir):
+    """--spill composed with --checkpoint (VERDICT round-2 item 4): kill
+    a spilling, checkpointing stream once both a checkpoint AND at least
+    one spill run exist; resume must produce the bit-identical spectrum
+    (runs spilled after the adopted checkpoint are discarded and their
+    batches replayed)."""
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    common = ["-k", "16", "--chunk-len", "512", "--batch-rows", "2",
+              "--sparse-capacity", "2048",
+              "--sparse-compact-entries", "4096"]
+    ck = tmp_path / "ck"
+    sp = tmp_path / "sp"
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "findkmer_tpu.cli", "stream", "-i", src,
+         *common, "--spill", str(sp), "--checkpoint", str(ck),
+         "--checkpoint-every", "2", "-o", str(tmp_path / "never.tsv")],
+        env=_env(), cwd=str(tmp_path),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 240
+
+    def spilled():
+        return sp.exists() and any(
+            p.name.endswith(".codes.npy") for p in sp.iterdir()
+        )
+
+    try:
+        while time.time() < deadline:
+            if (ck / "latest.json").exists() and spilled():
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.05)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    if proc.returncode != -signal.SIGKILL and not (
+        (ck / "latest.json").exists()
+    ):
+        pytest.skip("run finished before any checkpoint was written")
+
+    resumed = _cli(
+        ["stream", "-i", src, *common, "--spill", str(sp),
+         "--checkpoint", str(ck)], tmp_path
+    )
+    # reference: a plain full count (capacity knobs never change output)
+    full = _cli(["count", "-i", src, "-k", "16", "--chunk-len", "512",
+                 "--batch-rows", "2"], tmp_path)
+    assert resumed == full

@@ -142,13 +142,16 @@ def test_spill_requires_sparse(tmp_path):
 
 
 def test_spill_rejects_dirty_dir(tmp_path, rng):
+    """A FRESH count (init_state) refuses a spill dir holding another
+    count's runs; checkpoint resume adopts them instead
+    (adopt_spill_runs)."""
     from findkmer_tpu.models.counter import KmerCounter
 
     d = str(tmp_path / "sp")
     codes = np.array([1, 2], np.uint64)
     spill.write_run(d, 0, codes, np.array([1, 1], np.int64))
     with pytest.raises(ValueError, match="already contains"):
-        KmerCounter(Config(k=21, spill_dir=d))
+        KmerCounter(Config(k=21, spill_dir=d)).init_state()
 
 
 @pytest.mark.parametrize("k", [12, 21])
@@ -187,9 +190,10 @@ def test_spill_rejects_dense_dist(tmp_path):
         make_counter(Config(k=8, devices=8, spill_dir=str(tmp_path / "x")))
 
 
-def test_spill_checkpoint_guard(tmp_path, rng):
-    """table_state (the checkpoint surface) refuses once a spill
-    happened — spill runs live outside the checkpointed table."""
+def test_spill_checkpoint_composes(tmp_path, rng):
+    """table_state after a spill: snapshot the RESIDUAL store, adopt
+    the spilled runs on restore, finalize bit-exact (VERDICT round-2
+    item 4 — the old fence error is gone)."""
     from findkmer_tpu.models.counter import KmerCounter
 
     cfg = Config(
@@ -210,11 +214,26 @@ def test_spill_checkpoint_guard(tmp_path, rng):
     ):
         state = counter.step(state, rows)
     state = counter.compact(state)
-    state = counter.compact(counter.step(state, rows))  # trigger check
+    state = counter.compact(counter.step(state, rows))  # spill trigger
     if counter._spill_n == 0:
         pytest.skip("capacity not crossed in this geometry")
-    with pytest.raises(RuntimeError, match="spill"):
-        counter.table_state(state)
+    n_runs = counter._spill_n
+    state, table = counter.table_state(state)  # must not raise anymore
+    # restore into a fresh counter adopting the on-disk runs
+    c2 = KmerCounter(cfg)
+    st2 = c2.restore_state(table)
+    c2.adopt_spill_runs(n_runs)
+    got = c2.finalize(st2)
+    # reference: same stream, no spill/checkpoint
+    c3 = KmerCounter(cfg.replace(spill_dir="", sparse_capacity=1 << 22))
+    st3 = c3.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        st3 = c3.step(st3, rows)
+    st3 = c3.step(st3, rows)  # the extra batch the spill path counted
+    want = c3.finalize(st3)
+    assert (got[0] == want[0]).all() and (got[1] == want[1]).all()
 
 
 # ---------------------------------------------------------------- CLI
@@ -273,12 +292,49 @@ def test_spill_two_simulated_hosts(tmp_path, fixtures_dir):
     assert rm.stdout == rc.stdout
 
 
-def test_spill_cli_stream_checkpoint_error(tmp_path, fixtures_dir):
+def test_spill_cli_stream_checkpoint_composes(tmp_path, fixtures_dir):
+    """stream --spill --checkpoint runs to completion and matches a
+    plain count byte-for-byte (the round-2 fence error is gone)."""
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
     r = _cli(
         ["stream", "-i", src, "-k", "21", "--spill", "sp",
-         "--checkpoint", "ck"],
+         "--checkpoint", "ck", "--checkpoint-every", "4",
+         "--sparse-capacity", "4096",
+         "--sparse-compact-entries", "8192",
+         "--chunk-len", "1024", "--batch-rows", "4", "-o", "s.tsv"],
         tmp_path,
     )
-    assert r.returncode != 0
-    assert "spill" in (r.stderr + r.stdout).lower()
+    assert r.returncode == 0, r.stderr
+    r2 = _cli(["count", "-i", src, "-k", "21", "--chunk-len", "1024",
+               "--batch-rows", "4", "-o", "c.tsv"], tmp_path)
+    assert r2.returncode == 0, r2.stderr
+    assert (tmp_path / "s.tsv").read_bytes() == \
+        (tmp_path / "c.tsv").read_bytes()
+
+
+def test_adopt_spill_runs_truncates_and_validates(tmp_path):
+    """Resume-time run adoption: runs past the checkpoint manifest are
+    deleted (their batches replay); a truncated dir is unrecoverable."""
+    import numpy as np
+
+    from findkmer_tpu import spill
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+
+    sp = tmp_path / "sp"
+    for i in range(3):
+        spill.write_run(str(sp), i,
+                        np.array([i + 1], np.uint64),
+                        np.array([1], np.int64))
+    cfg = Config(k=21, spill_dir=str(sp))
+    c = KmerCounter(cfg)
+    c.adopt_spill_runs(2)
+    assert c._spill_n == 2
+    assert len(spill.load_runs(str(sp))) == 2  # run 2 deleted
+    c2 = KmerCounter(cfg)
+    with pytest.raises(RuntimeError, match="expects 5 spill runs"):
+        c2.adopt_spill_runs(5)
+    # spill off but manifest promises runs -> clear error
+    c3 = KmerCounter(Config(k=21))
+    with pytest.raises(ValueError, match="--spill is off"):
+        c3.adopt_spill_runs(1)
