@@ -39,6 +39,12 @@ def run_scaling(n_devices_list, merge="psum", k=8, batch_rows=64,
             k=k, batch_rows=batch_rows * n, chunk_len=chunk_len, merge=merge,
             packed_h2d=False,  # synthetic raw rows
             table_mode="sparse" if merge == "dp_sparse" else "auto",
+            # pre-size the raw buffers for the whole timed run: buffer
+            # growth compiles fresh shapes, which must never land inside
+            # the timed region
+            sparse_expected_entries=(
+                batch_rows * n * chunk_len * (steps + 2)
+            ),
         )
         mesh = make_mesh(n)
         dc = DistributedCounter(cfg, mesh)
@@ -47,14 +53,22 @@ def run_scaling(n_devices_list, merge="psum", k=8, batch_rows=64,
         )
 
         def _sync(st):
-            leaf = st.raw[0] if hasattr(st, "raw") else (
-                jax.tree_util.tree_leaves(st)[0]
-            )
-            jax.block_until_ready(leaf)
+            # after a flush the compaction's output is st.store; syncing
+            # on st.raw would wait on the FRESH (already-ready) buffer
+            # and let the timed region end before the sort ran
+            if getattr(st, "store", None) is not None:
+                jax.block_until_ready(st.store[-1])
+            elif hasattr(st, "raw"):
+                jax.block_until_ready(st.raw[0])
+            else:
+                jax.block_until_ready(jax.tree_util.tree_leaves(st)[0])
 
+        # warm cycle identical to the timed cycle so every shape
+        # (ingest fills, compaction, merge) compiles before timing
         state = dc.init_state()
-        state = dc.step(state, rows)  # compile
-        state = dc.flush(state)       # compile sparse compaction too
+        for _ in range(steps):
+            state = dc.step(state, rows)
+        state = dc.flush(state)
         _sync(state)
         state = dc.init_state()
         t0 = time.perf_counter()

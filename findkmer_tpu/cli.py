@@ -756,7 +756,8 @@ def cmd_histo(args) -> int:
 
 def cmd_filter(args) -> int:
     """Keep/drop reads by spectrum membership (kmc_tools filter class)."""
-    from findkmer_tpu.filter import FilterSpec, filter_file
+    from findkmer_tpu.filter import (FilterSpec, filter_file,
+                                     filter_file_paired)
 
     for path in args.input:  # before the output is created/truncated
         if not os.path.exists(path):
@@ -765,6 +766,34 @@ def cmd_filter(args) -> int:
         args.spectrum, sep=args.sep, canonical=args.canonical,
         min_count=args.min_count, max_count=args.max_count,
     )
+    if args.paired:
+        if len(args.input) != 2:
+            raise ValueError(
+                "--paired takes exactly two inputs (R1 R2), got "
+                f"{len(args.input)}"
+            )
+        outs = (args.output or "").split(",")
+        if len(outs) != 2 or not all(outs) or "-" in outs:
+            raise ValueError(
+                "--paired writes two files: -o OUT_R1,OUT_R2"
+            )
+        f1, c1 = _open_out(outs[0])
+        f2, c2 = _open_out(outs[1])
+        try:
+            kept, seen = filter_file_paired(
+                args.input[0], args.input[1], f1, f2, spec,
+                fmt=args.format, min_hits=args.min_hits,
+                min_frac=args.min_frac, invert=args.invert,
+                engine=args.engine, pair_mode=args.pair_mode,
+            )
+        finally:
+            if c1:
+                f1.close()
+            if c2:
+                f2.close()
+        print(f"kept {kept}/{seen} read pairs (k={spec.k})",
+              file=sys.stderr)
+        return 0
     # gz output rides _open_out's extension handling
     f, close = _open_out(args.output)
     kept = seen = 0
@@ -1052,6 +1081,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="membership scorer: host = OpenMP C scan, "
                          "device = TPU sort-merge probe (auto picks "
                          "device on a real accelerator)")
+    pf.add_argument("--paired", action="store_true",
+                    help="paired-end mode: -i R1 R2, pairs kept/dropped "
+                         "together, -o OUT_R1,OUT_R2 (outputs stay "
+                         "index-synchronized)")
+    pf.add_argument("--pair-mode", choices=["any", "both"],
+                    default="any",
+                    help="pair passes when ANY mate passes (default) "
+                         "or only when BOTH do")
     pf.add_argument("--sep", default="\t")
     pf.set_defaults(fn=cmd_filter)
 

@@ -433,3 +433,89 @@ def filter_file(
             flush()
     flush()
     return kept, seen
+
+
+def filter_file_paired(
+    path1,
+    path2,
+    out1_f,
+    out2_f,
+    spec: FilterSpec,
+    *,
+    fmt: str = "auto",
+    min_hits: int = 1,
+    min_frac: Optional[float] = None,
+    invert: bool = False,
+    engine: str = "auto",
+    pair_mode: str = "any",
+) -> Tuple[int, int]:
+    """Paired-end filtering: R1/R2 streamed in lockstep, PAIRS kept or
+    dropped together (a kept pair writes mate 1 to out1_f and mate 2 to
+    out2_f, so the outputs stay index-synchronized — the BBDuk/seqkit
+    paired contract).
+
+    pair_mode: "any" keeps the pair when EITHER mate passes the
+    min_hits/min_frac rule (the usual keep-if-matches semantics);
+    "both" requires both mates to pass.  --invert keeps the complement
+    of the pair-level decision.  Returns (pairs kept, pairs seen);
+    raises on files with different read counts."""
+    if pair_mode not in ("any", "both"):
+        raise ValueError(f"unknown pair mode {pair_mode!r}")
+    engine = _resolve_engine(engine)
+    if engine == "device":
+        from findkmer_tpu.filter_device import DeviceFilter
+
+        scorer = DeviceFilter(spec)
+        batch_bytes = scorer.need + (1 << 20)
+    else:
+        scorer = spec
+        batch_bytes = 8 << 20
+    kept = seen = 0
+    b_seqs: list = []   # interleaved mate1, mate2, mate1, ...
+    b_raws: list = []
+    nbytes = 0
+
+    def passes(h, w):
+        ok = h >= min_hits
+        if ok and min_frac is not None:
+            ok = w > 0 and h / w >= min_frac
+        return bool(ok)
+
+    def flush():
+        nonlocal kept, nbytes
+        if not b_seqs:
+            return
+        hits, windows = scorer.hits_batch(b_seqs)
+        for i in range(0, len(b_seqs), 2):
+            p1 = passes(hits[i], windows[i])
+            p2 = passes(hits[i + 1], windows[i + 1])
+            ok = (p1 or p2) if pair_mode == "any" else (p1 and p2)
+            if ok != invert:
+                out1_f.write(b_raws[i])
+                out2_f.write(b_raws[i + 1])
+                kept += 1
+        b_seqs.clear()
+        b_raws.clear()
+        nbytes = 0
+
+    it1 = _records_with_raw(path1, fmt)
+    it2 = _records_with_raw(path2, fmt)
+    while True:
+        r1 = next(it1, None)
+        r2 = next(it2, None)
+        if r1 is None and r2 is None:
+            break
+        if r1 is None or r2 is None:
+            raise ValueError(
+                f"paired inputs differ in read count ({path1} vs "
+                f"{path2}); pair {seen + 1} is unmatched"
+            )
+        seen += 1
+        for seq, raw in (r1, r2):
+            b_seqs.append(seq)
+            b_raws.append(raw)
+            nbytes += len(seq)
+        if nbytes >= batch_bytes or len(b_seqs) >= 65536:
+            flush()
+    flush()
+    return kept, seen

@@ -138,6 +138,11 @@ def histogram_pallas(
     assert k <= 10, "pallas histogram accumulator limited to k <= 10"
     hi_bits, lo_bits = _split_bits(k)
     T1, T2 = 1 << hi_bits, 1 << lo_bits
+    if k >= 10 and n_chunk > 1024:
+        # scoped VMEM is 16 MiB: the k=10 4 MiB accumulator plus two
+        # (1024, n_chunk) one-hots overflows it at n_chunk=2048
+        # (measured on-chip OOM, 17.95M > 16M; bench/tpu_smoke round 3)
+        n_chunk = 1024
 
     # narrow planes, flattened and re-tiled (histograms are
     # order-invariant); uint16 when a half exceeds 8 bits (k in 9..10)

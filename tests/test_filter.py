@@ -378,3 +378,90 @@ def test_filter_cli_engine_device(tmp_path):
           "--engine", "device", "-o", "d.fastq"], tmp_path)
     assert (tmp_path / "h.fastq").read_bytes() == \
         (tmp_path / "d.fastq").read_bytes()
+
+
+# ---------------------------------------------------------------------
+# paired-end filtering
+# ---------------------------------------------------------------------
+
+def _write_fastq(path, reads):
+    path.write_text(
+        "".join(f"{h}\n{s}\n+\n{'I' * len(s)}\n" for h, s in reads)
+    )
+
+
+def test_filter_paired_any_both_invert(tmp_path):
+    """Pairs are kept/dropped together; outputs stay index-synced."""
+    # spectrum k-mer ACGTA; pair1: only R1 hits; pair2: neither;
+    # pair3: both hit
+    r1 = [("@p1/1", "ACGTAGGGGG"), ("@p2/1", "GGGGGGGGGG"),
+          ("@p3/1", "ACGTACCCCC")]
+    r2 = [("@p1/2", "TTTTTTTTTT"), ("@p2/2", "CCCCCCCCCC"),
+          ("@p3/2", "AAACGTAAAA")]
+    _write_fastq(tmp_path / "R1.fastq", r1)
+    _write_fastq(tmp_path / "R2.fastq", r2)
+    (tmp_path / "spec.tsv").write_text("ACGTA\t1\n")
+
+    def run(extra):
+        res = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+                    "--spectrum", "spec.tsv",
+                    "-o", "o1.fastq,o2.fastq"] + extra, tmp_path)
+        return ((tmp_path / "o1.fastq").read_text(),
+                (tmp_path / "o2.fastq").read_text(), res.stderr)
+
+    o1, o2, err = run([])
+    assert "@p1/1" in o1 and "@p3/1" in o1 and "@p2/1" not in o1
+    assert "@p1/2" in o2 and "@p3/2" in o2 and "@p2/2" not in o2
+    assert "kept 2/3 read pairs" in err
+    o1, o2, err = run(["--pair-mode", "both"])
+    assert "@p3/1" in o1 and "@p1/1" not in o1
+    assert "kept 1/3 read pairs" in err
+    o1, o2, _ = run(["--invert"])
+    assert "@p2/1" in o1 and "@p1/1" not in o1 and "@p3/1" not in o1
+    # quality lines preserved verbatim in both mates
+    assert "+\nIIIIIIIIII\n" in o1 and "+\nIIIIIIIIII\n" in o2
+
+
+def test_filter_paired_errors(tmp_path):
+    _write_fastq(tmp_path / "R1.fastq", [("@a/1", "ACGTA")])
+    _write_fastq(tmp_path / "R2.fastq",
+                 [("@a/2", "ACGTA"), ("@b/2", "ACGTA")])
+    (tmp_path / "spec.tsv").write_text("ACGTA\t1\n")
+    r = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+              "--spectrum", "spec.tsv", "-o", "a.fq,b.fq"],
+             tmp_path, expect_rc=2)
+    assert "differ in read count" in r.stderr
+    r = _cli(["filter", "-i", "R1.fastq", "--paired",
+              "--spectrum", "spec.tsv", "-o", "a.fq,b.fq"],
+             tmp_path, expect_rc=2)
+    assert "exactly two inputs" in r.stderr
+    r = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+              "--spectrum", "spec.tsv"], tmp_path, expect_rc=2)
+    assert "OUT_R1,OUT_R2" in r.stderr
+
+
+def test_filter_paired_device_matches_host(tmp_path, rng):
+    import numpy as np
+
+    reads1, reads2 = [], []
+    for i in range(60):
+        s1 = "".join(rng.choice(list("ACGTN"))
+                     for _ in range(int(rng.integers(6, 80))))
+        s2 = "".join(rng.choice(list("ACGTN"))
+                     for _ in range(int(rng.integers(6, 80))))
+        reads1.append((f"@r{i}/1", s1))
+        reads2.append((f"@r{i}/2", s2))
+    _write_fastq(tmp_path / "R1.fastq", reads1)
+    _write_fastq(tmp_path / "R2.fastq", reads2)
+    (tmp_path / "spec.tsv").write_text("ACGTA\t1\nGGGGG\t2\n")
+    for mode in ("any", "both"):
+        _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+              "--pair-mode", mode, "--spectrum", "spec.tsv",
+              "--engine", "host", "-o", "h1.fq,h2.fq"], tmp_path)
+        _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+              "--pair-mode", mode, "--spectrum", "spec.tsv",
+              "--engine", "device", "-o", "d1.fq,d2.fq"], tmp_path)
+        assert (tmp_path / "h1.fq").read_bytes() == \
+            (tmp_path / "d1.fq").read_bytes()
+        assert (tmp_path / "h2.fq").read_bytes() == \
+            (tmp_path / "d2.fq").read_bytes()

@@ -462,3 +462,45 @@ def test_multi_chunk_finalize_pull(monkeypatch, rng):
         c1, n1 = run(k, False)
         assert np.array_equal(c8, c1), k
         assert np.array_equal(n8, n1), k
+
+
+def test_chr_shaped_compaction_ordered_finalize(rng):
+    """Chr-scale-SHAPED store exercise (VERDICT round-2 item 6): one
+    ladder-size raw buffer (4M slots) through the row compaction and
+    the ordered finalize chain, vs a numpy dict.  On the real chip
+    (FINDKMER_TESTS_ON_TPU=1, bench/tpu_smoke.sh) this validates the
+    remote Mosaic/XLA lowering of the production-size sort shapes."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+
+    k = 21
+    n = 1 << 22  # one production ladder rung (4M raw slots)
+    hi = rng.integers(0, 1 << 10, n).astype(np.uint64)
+    lo = rng.integers(0, 1 << 32, n).astype(np.uint64)
+    codes = (hi << np.uint64(32)) | lo
+    # salt in heavy duplicates so RLE totals and count exceptions fire
+    codes[: n // 4] = codes[0]
+    cfg = Config(k=k, sparse_capacity=n,
+                 sparse_expected_entries=n)
+    c = KmerCounter(cfg)
+    st = c.init_state()
+    # inject raw codes directly (the extraction path is covered by the
+    # oracle tests; this test targets the compaction/finalize shapes)
+    import jax.numpy as jnp
+
+    from findkmer_tpu.models.counter import _append
+    from findkmer_tpu.ops import sparse as sparse_ops
+
+    hdt = sparse_ops.hi_dtype(k)
+    parts = (
+        jnp.asarray((codes >> np.uint64(32)).astype(hdt)),
+        jnp.asarray((codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    st = st.__class__(raw=_append(st.raw, parts, jnp.int32(0)),
+                      fill=n)
+    got_c, got_n = c.finalize(st)
+    want_c, want_n = np.unique(codes, return_counts=True)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n.astype(np.int64))
