@@ -64,9 +64,12 @@ def main() -> int:
     k8_bps, k8_dt = bench_dense_step(jax, k=8)
     k21_bps, k21_dt = bench_sparse_step(jax, k=21)
     k15_bps, k15_dt = bench_sparse_step(jax, k=15)
+    # BASELINE config 4 is CANONICAL k=21 — measure it explicitly
+    k21c_bps, k21c_dt = bench_sparse_step(jax, k=21, canonical=True)
 
     for name, bps, dt in (
         ("bases_per_s_per_chip_k21_sparse", k21_bps, k21_dt),
+        ("bases_per_s_per_chip_k21_canonical", k21c_bps, k21c_dt),
         ("bases_per_s_per_chip_k15_sparse", k15_bps, k15_dt),
     ):
         print(

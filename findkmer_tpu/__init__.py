@@ -27,7 +27,7 @@ def __getattr__(name):
     # "sketch"): once the submodule is imported it becomes the package
     # attribute and would shadow the function — hence sketch_sample
     if name in ("count", "count_text", "count_per_record", "Spectrum",
-                "sketch_sample", "similarity"):
+                "sketch_sample", "similarity", "filter_reads"):
         from findkmer_tpu import api
 
         return getattr(api, name)
@@ -35,4 +35,5 @@ def __getattr__(name):
 
 
 __all__ = ["Config", "count", "count_text", "count_per_record",
-           "Spectrum", "sketch_sample", "similarity", "__version__"]
+           "Spectrum", "sketch_sample", "similarity", "filter_reads",
+           "__version__"]

@@ -218,6 +218,65 @@ def sketch_sample(
     return sketch_mod.sketch_spectrum_file(inputs, s=s, canonical=canonical)
 
 
+def filter_reads(
+    inputs: Union[str, Sequence[str]],
+    spectrum: str,
+    output: Union[str, Sequence[str]],
+    *,
+    paired: bool = False,
+    min_hits: int = 1,
+    min_frac: Optional[float] = None,
+    invert: bool = False,
+    canonical: bool = False,
+    min_count: int = 0,
+    max_count: int = 0,
+    engine: str = "auto",
+    pair_mode: str = "any",
+    fmt: str = "auto",
+    sep: str = "\t",
+):
+    """Filter reads by spectrum membership.  CLI: `findkmer filter`.
+
+    Single-end: inputs = path or list of paths, output = one path.
+    Paired (paired=True): inputs = (R1, R2), output = (OUT1, OUT2);
+    pairs are kept/dropped together (pair_mode "any" or "both").
+    engine: "host" (OpenMP C scan) / "device" (TPU sort-merge probe) /
+    "auto".  Returns (reads_or_pairs_kept, seen)."""
+    from findkmer_tpu.filter import (FilterSpec, filter_file,
+                                     filter_file_paired)
+
+    spec = FilterSpec.load(
+        spectrum, sep=sep, canonical=canonical,
+        min_count=min_count, max_count=max_count,
+    )
+    if paired:
+        ins = list(inputs)
+        outs = list(output)
+        if len(ins) != 2 or len(outs) != 2:
+            raise ValueError(
+                "paired filtering takes inputs=(R1, R2) and "
+                "output=(OUT1, OUT2)"
+            )
+        with open(outs[0], "wb") as f1, open(outs[1], "wb") as f2:
+            return filter_file_paired(
+                ins[0], ins[1], f1, f2, spec, fmt=fmt,
+                min_hits=min_hits, min_frac=min_frac, invert=invert,
+                engine=engine, pair_mode=pair_mode,
+            )
+    if isinstance(inputs, (str, bytes)):
+        inputs = [inputs]
+    kept = seen = 0
+    with open(output, "wb") as f:
+        for path in inputs:
+            k1, s1 = filter_file(
+                path, f, spec, fmt=fmt, min_hits=min_hits,
+                min_frac=min_frac, invert=invert, engine=engine,
+            )
+            kept += k1
+            seen += s1
+    return kept, seen
+
+
 def similarity(a, b, *, canonical: bool = False, sep: str = "\t"):
     """Similarity metrics between two spectrum files, or two sketch
     dicts/files (Mash estimator).  CLI: `findkmer similarity`."""

@@ -105,3 +105,30 @@ def test_sketch_and_similarity_api(fixtures_dir, tmp_path):
 
     d = fk.similarity(spec_path, spec_path)  # exact path
     assert d["jaccard"] == 1.0 and "containment_a_in_b" in d
+
+
+def test_filter_reads_api(tmp_path, fixtures_dir):
+    """fk.filter_reads: single-end + paired, both matching the CLI
+    semantics (engine-agnostic; host engine on CPU)."""
+    import findkmer_tpu as fk
+
+    fq = tmp_path / "r.fastq"
+    fq.write_text("@r1\nACGTACGTAC\n+\nIIIIIIIIII\n"
+                  "@r2\nGGGGGGGGGG\n+\nJJJJJJJJJJ\n")
+    (tmp_path / "spec.tsv").write_text("ACGTA\t3\n")
+    kept, seen = fk.filter_reads(
+        str(fq), str(tmp_path / "spec.tsv"), str(tmp_path / "out.fq")
+    )
+    assert (kept, seen) == (1, 2)
+    assert "@r1" in (tmp_path / "out.fq").read_text()
+    # paired
+    r1 = tmp_path / "R1.fq"
+    r2 = tmp_path / "R2.fq"
+    r1.write_text("@a/1\nACGTA\n+\nIIIII\n@b/1\nGGGGG\n+\nIIIII\n")
+    r2.write_text("@a/2\nTTTTT\n+\nIIIII\n@b/2\nCCCCC\n+\nIIIII\n")
+    kept, seen = fk.filter_reads(
+        (str(r1), str(r2)), str(tmp_path / "spec.tsv"),
+        (str(tmp_path / "o1.fq"), str(tmp_path / "o2.fq")), paired=True,
+    )
+    assert (kept, seen) == (1, 2)
+    assert "@a/2" in (tmp_path / "o2.fq").read_text()
