@@ -1108,8 +1108,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import warnings
+
     from findkmer_tpu.utils.shmalloc import ensure_shared_alloc
 
+    # jax warns when a donated buffer's shape doesn't match any output
+    # (ladder growth steps legitimately change store shapes); donation
+    # is a best-effort optimization here, not a correctness knob, and
+    # the warning only confuses CLI users
+    warnings.filterwarnings(
+        "ignore", message="Some donated buffers were not usable"
+    )
     ensure_shared_alloc()  # before any large host buffer is allocated
     args = build_parser().parse_args(argv)
     try:

@@ -160,27 +160,32 @@ class DeviceFilter:
         length k-1 + n_batches*need.  Returns the concatenated hit
         bitmap as a host bool array over window-start positions
         [-(k-1), n_batches*need - k + 1)."""
-        import jax
-
         from findkmer_tpu.io import native as native_mod
-        from findkmer_tpu.pipeline import _numpy_pack_rows
+        from findkmer_tpu.pipeline import _numpy_pack_rows, \
+            prefetch_to_device
 
         k, B, L, R, R8 = self.k, self.B, self.L, self.R, self.R8
         halo = k - 1
         n_batches = (work.size - halo) // self.need
+
+        def host_batches():
+            for i in range(n_batches):
+                chunk = work[i * self.need : i * self.need + halo
+                             + self.need]
+                if native_mod.available():
+                    yield native_mod.pack_rows(chunk, B, L, R)
+                else:
+                    yield _numpy_pack_rows(chunk, B, L, R, R8)
+
         outs = []
-        for i in range(n_batches):
-            chunk = work[i * self.need : i * self.need + halo
-                         + self.need]
-            if native_mod.available():
-                packed, validbits = native_mod.pack_rows(chunk, B, L, R)
-            else:
-                packed, validbits = _numpy_pack_rows(chunk, B, L, R, R8)
+        # producer-thread prefetch: batch i+1's pack + H2D (the ~60 ms
+        # tunnel transfer) overlaps batch i's device sort, the same
+        # double-buffering the counting pipeline uses
+        for dp, dv in prefetch_to_device(
+            host_batches(), 2, device=self._dev
+        ):
             bm = _filter_step(
-                self.members,
-                jax.device_put(packed, self._dev),
-                jax.device_put(validbits, self._dev),
-                k, self.canonical, R, L,
+                self.members, dp, dv, k, self.canonical, R, L,
             )
             # start the bitmap's D2H immediately: the tunnel round trip
             # is ~150 ms of LATENCY (bench/RESULTS.md round 3), so every
