@@ -242,6 +242,7 @@ def filter_reads(
     pairs are kept/dropped together (pair_mode "any" or "both").
     engine: "host" (OpenMP C scan) / "device" (TPU sort-merge probe) /
     "auto".  Returns (reads_or_pairs_kept, seen)."""
+    from findkmer_tpu.cli import _open_out  # gz-by-extension, like the CLI
     from findkmer_tpu.filter import (FilterSpec, filter_file,
                                      filter_file_paired)
 
@@ -257,16 +258,29 @@ def filter_reads(
                 "paired filtering takes inputs=(R1, R2) and "
                 "output=(OUT1, OUT2)"
             )
-        with open(outs[0], "wb") as f1, open(outs[1], "wb") as f2:
+        f1, c1 = _open_out(outs[0])
+        try:
+            f2, c2 = _open_out(outs[1])
+        except BaseException:
+            if c1:
+                f1.close()
+            raise
+        try:
             return filter_file_paired(
                 ins[0], ins[1], f1, f2, spec, fmt=fmt,
                 min_hits=min_hits, min_frac=min_frac, invert=invert,
                 engine=engine, pair_mode=pair_mode,
             )
+        finally:
+            if c1:
+                f1.close()
+            if c2:
+                f2.close()
     if isinstance(inputs, (str, bytes)):
         inputs = [inputs]
     kept = seen = 0
-    with open(output, "wb") as f:
+    f, close = _open_out(output)
+    try:
         for path in inputs:
             k1, s1 = filter_file(
                 path, f, spec, fmt=fmt, min_hits=min_hits,
@@ -274,6 +288,9 @@ def filter_reads(
             )
             kept += k1
             seen += s1
+    finally:
+        if close:
+            f.close()
     return kept, seen
 
 

@@ -778,7 +778,12 @@ def cmd_filter(args) -> int:
                 "--paired writes two files: -o OUT_R1,OUT_R2"
             )
         f1, c1 = _open_out(outs[0])
-        f2, c2 = _open_out(outs[1])
+        try:
+            f2, c2 = _open_out(outs[1])
+        except BaseException:
+            if c1:
+                f1.close()  # OUT_R2 failed to open: release R1's writer
+            raise
         try:
             kept, seen = filter_file_paired(
                 args.input[0], args.input[1], f1, f2, spec,
@@ -793,7 +798,7 @@ def cmd_filter(args) -> int:
                 f2.close()
         print(f"kept {kept}/{seen} read pairs (k={spec.k})",
               file=sys.stderr)
-        return 0
+        return 0 if kept else 1  # grep convention: 1 = nothing kept
     # gz output rides _open_out's extension handling
     f, close = _open_out(args.output)
     kept = seen = 0
@@ -810,7 +815,7 @@ def cmd_filter(args) -> int:
         if close:
             f.close()
     print(f"kept {kept}/{seen} reads (k={spec.k})", file=sys.stderr)
-    return 0
+    return 0 if kept else 1  # grep convention: 1 = nothing kept
 
 
 def cmd_bench(args) -> int:
@@ -1050,6 +1055,8 @@ def build_parser() -> argparse.ArgumentParser:
     pf = sub.add_parser(
         "filter",
         help="keep/drop reads by spectrum membership (kmc_tools filter)",
+        epilog="exit status: 0 = some reads kept, 1 = none kept "
+               "(grep convention), 2 = trouble",
     )
     pf.add_argument("-i", "--input", required=True, nargs="+",
                     help="FASTA/FASTQ file(s), optionally gzipped")

@@ -397,7 +397,10 @@ def filter_file(
         from findkmer_tpu.filter_device import DeviceFilter
 
         scorer = DeviceFilter(spec)
-        batch_bytes = scorer.need + (1 << 20)  # fill device batches
+        # one device batch per flush: the joined stream (bases +
+        # separators) must stay <= scorer.need or _device_bitmaps pays
+        # a SECOND full sort + H2D that is ~94% padding
+        batch_bytes = scorer.need
     elif engine == "host":
         scorer = spec
         batch_bytes = 8 << 20
@@ -426,10 +429,15 @@ def filter_file(
 
     for seq, raw in _records_with_raw(path, fmt):
         seen += 1
+        # flush BEFORE appending once this read would overflow the
+        # batch (joined size = bases + one 'N' separator per joint), so
+        # a flush's joined stream never exceeds batch_bytes
+        if batch_seqs and nbytes + len(batch_seqs) + len(seq) > batch_bytes:
+            flush()
         batch_seqs.append(seq)
         batch_raws.append(raw)
         nbytes += len(seq)
-        if nbytes >= batch_bytes or len(batch_seqs) >= 65536:
+        if len(batch_seqs) >= 65536:
             flush()
     flush()
     return kept, seen
@@ -466,7 +474,7 @@ def filter_file_paired(
         from findkmer_tpu.filter_device import DeviceFilter
 
         scorer = DeviceFilter(spec)
-        batch_bytes = scorer.need + (1 << 20)
+        batch_bytes = scorer.need  # one device batch per flush (above)
     else:
         scorer = spec
         batch_bytes = 8 << 20
@@ -511,11 +519,16 @@ def filter_file_paired(
                 f"{path2}); pair {seen + 1} is unmatched"
             )
         seen += 1
+        pair_bases = len(r1[0]) + len(r2[0])
+        # flush before the pair that would overflow one device batch
+        # (joined size = bases + separators); pairs are never split
+        if b_seqs and nbytes + len(b_seqs) + 1 + pair_bases > batch_bytes:
+            flush()
         for seq, raw in (r1, r2):
             b_seqs.append(seq)
             b_raws.append(raw)
             nbytes += len(seq)
-        if nbytes >= batch_bytes or len(b_seqs) >= 65536:
+        if len(b_seqs) >= 65536:
             flush()
     flush()
     return kept, seen

@@ -84,7 +84,13 @@ def _filter_step(members, packed, validbits, k: int, canonical: bool,
         hi = jnp.zeros_like(lo)
         wide = False
     else:
-        hi = jnp.concatenate([members[0], parts[0]])
+        # narrow the window hi plane to the member plane's dtype BEFORE
+        # concatenate (16<=k<=23: uint16; the truncating cast maps the
+        # uint32 sentinel to 0xFFFF losslessly, counter.py _narrow_hi) —
+        # otherwise jnp.concatenate promotes the members back to uint32
+        # and the 3-key sort runs at 8 B/elem instead of 6
+        hi = jnp.concatenate([members[0],
+                              parts[0].astype(members[0].dtype)])
         lo = jnp.concatenate([members[1], parts[1]])
         pay = jnp.concatenate([members[2], slot])
         hi, lo, pay = lax.sort((hi, lo, pay), num_keys=3,

@@ -417,14 +417,21 @@ class KmerCounter:
             spill.init_dir(self.cfg.spill_dir)  # refuses stale runs
         return SparseState(raw=_fresh(self._raw_cap0(), self._buf_dtypes))
 
-    def adopt_spill_runs(self, n_runs: int):
+    def adopt_spill_runs(self, n_runs: int, token: str | None = None):
         """Checkpoint-resume adoption of disk-spill runs.
 
         The checkpoint manifest records how many spill runs belong to
         its prefix (streaming.py); runs past that index were written by
         a later, crashed stream whose batches will be REPLAYED — they
         are deleted here, or the spectrum would double-count them.
-        Fewer runs than the manifest promises is unrecoverable."""
+        Fewer runs than the manifest promises is unrecoverable.
+
+        `token` is the stream-identity token the checkpoint recorded
+        (spill.write_token at init_dir time): any run files present
+        when it does NOT match the dir's token belong to a DIFFERENT
+        count — adopting them would corrupt the spectrum and deleting
+        them would destroy someone else's crash state, so both are
+        refused."""
         if n_runs and not self.cfg.spill_dir:
             raise ValueError(
                 f"checkpoint recorded {n_runs} spill runs but --spill "
@@ -435,6 +442,19 @@ class KmerCounter:
         from findkmer_tpu import spill
 
         have = len(spill.load_runs(self.cfg.spill_dir))
+        dir_token = spill.read_token(self.cfg.spill_dir)
+        same = (
+            token is not None and dir_token is not None
+            and token == dir_token
+        )
+        if (have or n_runs) and not same:
+            raise RuntimeError(
+                f"spill dir {self.cfg.spill_dir!r} holds run files "
+                "from a different stream than this checkpoint "
+                "(identity token mismatch); refusing to adopt or "
+                "delete them — resume with the original --spill DIR, "
+                "or point --spill at an empty directory"
+            )
         if have < n_runs:
             raise RuntimeError(
                 f"checkpoint expects {n_runs} spill runs in "
@@ -443,6 +463,10 @@ class KmerCounter:
             )
         if have > n_runs:
             spill.remove_runs_from(self.cfg.spill_dir, n_runs)
+        if dir_token is None:
+            # resumed into a fresh dir (no runs yet): re-stamp the
+            # stream's identity so later checkpoints stay consistent
+            spill.write_token(self.cfg.spill_dir, token)
         self._spill_n = n_runs
 
     def step(self, state, batch):

@@ -240,7 +240,9 @@ def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
     """
     prev = None
     for kmer, cnt in _spectrum_lines(path, sep_b):
-        yield kmer, cnt
+        # Order check BEFORE yield: early-exiting consumers (query's
+        # left==0 break, two-pointer walks) must never see an
+        # out-of-order record as if it were in place.
         if prev is not None and kmer < prev:
             raise ValueError(
                 f"{path}: input not sorted "
@@ -249,6 +251,7 @@ def _sorted_lines(path, sep_b: bytes) -> Iterator[Tuple[bytes, int]]:
                 "inputs"
             )
         prev = kmer
+        yield kmer, cnt
 
 
 _RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")

@@ -54,13 +54,40 @@ def write_run(dir_: str, idx: int, codes: np.ndarray,
 
 def init_dir(dir_: str) -> None:
     """Create the spill dir; refuse one that already holds run files
-    (a stale dir would silently merge another count's spectrum in)."""
+    (a stale dir would silently merge another count's spectrum in).
+    Stamps a fresh stream-identity token: checkpoint resume uses it to
+    tell 'later runs of THIS stream' (safe to delete and replay) from
+    a different count's runs (refused) — see counter.adopt_spill_runs."""
     os.makedirs(dir_, exist_ok=True)
     if load_runs(dir_):
         raise ValueError(
             f"spill dir {dir_!r} already contains run files from "
             "another count; use an empty directory"
         )
+    write_token(dir_)
+
+
+_TOKEN_FILE = "stream.token"
+
+
+def write_token(dir_: str, token: str | None = None) -> str:
+    """Stamp the dir with a stream-identity token (atomic)."""
+    import uuid
+
+    token = token or uuid.uuid4().hex
+    tmp = os.path.join(dir_, _TOKEN_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(token)
+    os.replace(tmp, os.path.join(dir_, _TOKEN_FILE))
+    return token
+
+
+def read_token(dir_: str) -> str | None:
+    try:
+        with open(os.path.join(dir_, _TOKEN_FILE)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
 
 
 def remove_runs(dir_: str) -> None:

@@ -92,8 +92,13 @@ def _stream_state(
             start_batch, table, saved_stats, extra = loaded
             state = counter.restore_state(table)
             # spill composition: adopt the runs the checkpoint's prefix
-            # wrote; delete any spilled after it (their batches replay)
-            counter.adopt_spill_runs(int(extra.get("spill_runs", 0)))
+            # wrote; delete any spilled after it (their batches replay).
+            # The identity token stops a resume from adopting/deleting a
+            # DIFFERENT count's runs left in the same dir.
+            counter.adopt_spill_runs(
+                int(extra.get("spill_runs", 0)),
+                token=extra.get("spill_token"),
+            )
             log.info("resuming from checkpoint at batch %d", start_batch)
     if state is None:
         state = counter.init_state()
@@ -156,13 +161,21 @@ def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
     # spilled one) belong to this checkpoint's prefix — record them so
     # resume adopts exactly these and deletes later ones
     n_spill = int(getattr(counter, "_spill_n", 0))
+    extra = None
+    if cfg.spill_dir:
+        from findkmer_tpu import spill
+
+        extra = {
+            "spill_runs": n_spill,
+            "spill_token": spill.read_token(cfg.spill_dir),
+        }
     ckpt_mod.save(
         checkpoint_dir,
         cfg,
         batch_index,
         table,
         stats.as_dict() if stats is not None else {},
-        extra={"spill_runs": n_spill} if n_spill else None,
+        extra=extra,
     )
     log.info("checkpoint @ batch %d", batch_index)
     return state

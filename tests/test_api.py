@@ -132,3 +132,13 @@ def test_filter_reads_api(tmp_path, fixtures_dir):
     )
     assert (kept, seen) == (1, 2)
     assert "@a/2" in (tmp_path / "o2.fq").read_text()
+    # .gz output is gzip-compressed like the CLI's (round-3 review)
+    import gzip
+
+    kept, seen = fk.filter_reads(
+        str(fq), str(tmp_path / "spec.tsv"),
+        str(tmp_path / "out.fq.gz"),
+    )
+    assert (kept, seen) == (1, 2)
+    with gzip.open(tmp_path / "out.fq.gz", "rb") as f:
+        assert b"@r1" in f.read()

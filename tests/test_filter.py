@@ -20,7 +20,8 @@ def _cli(args, tmp_path, expect_rc=0):
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=300,
     )
-    assert r.returncode == expect_rc, r.stderr
+    if expect_rc is not None:
+        assert r.returncode == expect_rc, r.stderr
     return r
 
 
@@ -130,6 +131,23 @@ def test_filter_cli_fastq_roundtrip(tmp_path):
     assert "@r3" in frac and "@r1" not in frac
 
 
+def test_filter_exit_code_nothing_kept(tmp_path):
+    """grep convention (documented in cli.main): exit 1 when no read
+    passed the filter, 0 when any did, 2 for trouble."""
+    (tmp_path / "r.fa").write_text(">a\nGGGGGGGG\n")
+    (tmp_path / "spec.tsv").write_text("ACGTA\t1\n")
+    r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
+              "-o", "k.fa"], tmp_path, expect_rc=1)
+    assert "kept 0/1" in r.stderr
+    # paired: same contract at the pair level
+    _write_fastq(tmp_path / "R1.fastq", [("@a/1", "GGGGGGGG")])
+    _write_fastq(tmp_path / "R2.fastq", [("@a/2", "CCCCCCCC")])
+    r = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+              "--spectrum", "spec.tsv", "-o", "o1.fq,o2.fq"],
+             tmp_path, expect_rc=1)
+    assert "kept 0/1 read pairs" in r.stderr
+
+
 def test_filter_cli_fasta_and_canonical(tmp_path):
     fa = tmp_path / "r.fa"
     fa.write_text(">a\nACGTAAAAA\n>b\nCCCCCCCC\n>c first\nTACGT\n")
@@ -183,8 +201,10 @@ def test_filter_canonical_threshold_after_fold(tmp_path):
              tmp_path)
     assert (tmp_path / "kept.fa").read_text() == ">a\nACGTA\n"
     # without folding, each entry alone misses the threshold
+    # (nothing kept -> grep-style exit 1)
     r = _cli(["filter", "-i", "r.fa", "--spectrum", "spec.tsv",
-              "--min-count", "3", "-o", "kept2.fa"], tmp_path)
+              "--min-count", "3", "-o", "kept2.fa"], tmp_path,
+             expect_rc=1)
     assert (tmp_path / "kept2.fa").read_text() == ""
 
 @pytest.mark.parametrize("native_on", [True, False])
@@ -455,12 +475,18 @@ def test_filter_paired_device_matches_host(tmp_path, rng):
     _write_fastq(tmp_path / "R2.fastq", reads2)
     (tmp_path / "spec.tsv").write_text("ACGTA\t1\nGGGGG\t2\n")
     for mode in ("any", "both"):
-        _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
-              "--pair-mode", mode, "--spectrum", "spec.tsv",
-              "--engine", "host", "-o", "h1.fq,h2.fq"], tmp_path)
-        _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
-              "--pair-mode", mode, "--spectrum", "spec.tsv",
-              "--engine", "device", "-o", "d1.fq,d2.fq"], tmp_path)
+        # random reads may keep nothing (exit 1); the engines must
+        # agree on the exit code too
+        rh = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+                   "--pair-mode", mode, "--spectrum", "spec.tsv",
+                   "--engine", "host", "-o", "h1.fq,h2.fq"], tmp_path,
+                  expect_rc=None)
+        rd = _cli(["filter", "-i", "R1.fastq", "R2.fastq", "--paired",
+                   "--pair-mode", mode, "--spectrum", "spec.tsv",
+                   "--engine", "device", "-o", "d1.fq,d2.fq"], tmp_path,
+                  expect_rc=None)
+        assert rh.returncode == rd.returncode
+        assert rh.returncode in (0, 1), rh.stderr
         assert (tmp_path / "h1.fq").read_bytes() == \
             (tmp_path / "d1.fq").read_bytes()
         assert (tmp_path / "h2.fq").read_bytes() == \

@@ -54,6 +54,16 @@ def test_diff_streaming_unsorted_error(tmp_path):
         list(spectra.diff_sorted_streaming(str(p1), str(p2)))
 
 
+def test_unsorted_error_beats_early_exit(tmp_path):
+    """_sorted_lines must raise BEFORE yielding the out-of-order record:
+    an early-exiting consumer (query's left==0 break) would otherwise
+    accept the unsorted file silently (round-3 review finding)."""
+    p = tmp_path / "u.tsv"
+    p.write_text("CCCC\t2\nAACC\t1\n")
+    with pytest.raises(ValueError, match="not sorted"):
+        spectra.query_spectrum(str(p), ["AACC"])
+
+
 def test_diff_cli_in_memory_and_limit(tmp_path):
     # unsorted inputs: streaming errors with a hint; --in-memory works
     (tmp_path / "u1.tsv").write_text("CCCC\t1\nAAAA\t2\n")

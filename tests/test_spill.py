@@ -222,7 +222,7 @@ def test_spill_checkpoint_composes(tmp_path, rng):
     # restore into a fresh counter adopting the on-disk runs
     c2 = KmerCounter(cfg)
     st2 = c2.restore_state(table)
-    c2.adopt_spill_runs(n_runs)
+    c2.adopt_spill_runs(n_runs, token=spill.read_token(cfg.spill_dir))
     got = c2.finalize(st2)
     # reference: same stream, no spill/checkpoint
     c3 = KmerCounter(cfg.replace(spill_dir="", sparse_capacity=1 << 22))
@@ -326,15 +326,46 @@ def test_adopt_spill_runs_truncates_and_validates(tmp_path):
         spill.write_run(str(sp), i,
                         np.array([i + 1], np.uint64),
                         np.array([1], np.int64))
+    tok = spill.write_token(str(sp))
     cfg = Config(k=21, spill_dir=str(sp))
     c = KmerCounter(cfg)
-    c.adopt_spill_runs(2)
+    c.adopt_spill_runs(2, token=tok)
     assert c._spill_n == 2
     assert len(spill.load_runs(str(sp))) == 2  # run 2 deleted
     c2 = KmerCounter(cfg)
     with pytest.raises(RuntimeError, match="expects 5 spill runs"):
-        c2.adopt_spill_runs(5)
+        c2.adopt_spill_runs(5, token=tok)
     # spill off but manifest promises runs -> clear error
     c3 = KmerCounter(Config(k=21))
     with pytest.raises(ValueError, match="--spill is off"):
         c3.adopt_spill_runs(1)
+
+
+def test_adopt_spill_runs_refuses_foreign_runs(tmp_path):
+    """Runs stamped by a DIFFERENT stream are never adopted OR deleted:
+    a checkpoint that recorded 0 runs must not wipe another count's
+    crash state out of a shared dir (round-3 review finding)."""
+    import numpy as np
+
+    from findkmer_tpu import spill
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter
+
+    sp = tmp_path / "sp"
+    spill.write_run(str(sp), 0,
+                    np.array([7], np.uint64), np.array([3], np.int64))
+    spill.write_token(str(sp))  # the other stream's identity
+    cfg = Config(k=21, spill_dir=str(sp))
+    # manifest says 0 runs, foreign token -> refuse (and keep the files)
+    with pytest.raises(RuntimeError, match="different stream"):
+        KmerCounter(cfg).adopt_spill_runs(0, token="someone-else")
+    assert len(spill.load_runs(str(sp))) == 1  # nothing deleted
+    # old manifests carry no token: with runs present, still refuse
+    with pytest.raises(RuntimeError, match="different stream"):
+        KmerCounter(cfg).adopt_spill_runs(1, token=None)
+    # empty dir + no token is a clean no-op resume and re-stamps
+    sp2 = tmp_path / "sp2"
+    sp2.mkdir()
+    c = KmerCounter(Config(k=21, spill_dir=str(sp2)))
+    c.adopt_spill_runs(0, token="restamped")
+    assert spill.read_token(str(sp2)) == "restamped"
