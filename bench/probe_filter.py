@@ -135,6 +135,43 @@ def main():
         "probe": "filter_speedup_device_over_host",
         "value": warm_h / warm_d,
     }))
+    sys.stdout.flush()
+
+    # TRUE end-to-end through filter_file: FASTQ parse -> flush batches
+    # -> device begin/finish pipeline (FINDKMER_FILTER_DEPTH) -> output
+    # write.  This is what `findkmer filter --engine device` pays.
+    import os
+    import tempfile
+
+    from findkmer_tpu.filter import filter_file
+
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "r.fastq")
+        with open(fq, "wb") as f:
+            qual = b"I" * L
+            for i, r in enumerate(reads):
+                f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, qual))
+        devnull = open(os.devnull, "wb")
+        first = True
+        for depth in ("0", "2"):
+            os.environ["FINDKMER_FILTER_DEPTH"] = depth
+            reps = ("cold", "warm") if first else ("warm",)
+            first = False
+            for rep in reps:
+                t0 = time.perf_counter()
+                kept, seen = filter_file(fq, devnull, spec, fmt="fastq",
+                                         engine="device")
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "probe": f"filter_file_device_k{k}_{rep}",
+                    "depth": depth,
+                    "reads_per_s": seen / dt,
+                    "bases_per_s": total_bases / dt,
+                    "wall_s": dt,
+                    "kept": kept,
+                }))
+                sys.stdout.flush()
+        devnull.close()
     return 0
 
 

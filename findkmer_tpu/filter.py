@@ -41,9 +41,8 @@ def window_codes_host(seq: bytes, k: int):
     n = b.size - k + 1
     if n <= 0:
         return np.empty(0, np.uint64), np.empty(0, bool)
-    bad = (b == 255).astype(np.int32)
-    cbad = np.concatenate([[0], np.cumsum(bad)])
-    valid = (cbad[k:] - cbad[:-k]) == 0
+    cbad = _cumsum01(b == 255)
+    valid = cbad[k:] == cbad[:-k]  # flat monotone prefix = no bad base
     safe = np.where(b == 255, 0, b).astype(np.uint64)
     codes = np.zeros(n, np.uint64)
     for j in range(k):
@@ -52,6 +51,20 @@ def window_codes_host(seq: bytes, k: int):
 
 
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cumsum01(flags: np.ndarray) -> np.ndarray:
+    """[0, cumsum(flags)] with the narrowest safe dtype, one buffer.
+
+    flags is 0/1 per window; per-flush window counts are ~16.7M, so an
+    int32 prefix sum halves the freshly-faulted bytes vs int64 — this
+    VM faults fresh pages at ~0.02 GB/s (CLAUDE.md gotcha #5), which
+    made the old concatenate+int64 pattern the filter's hot loop."""
+    dt = np.int32 if flags.size < 2**31 - 1 else np.int64
+    out = np.empty(flags.size + 1, dt)
+    out[0] = 0
+    np.cumsum(flags, dtype=dt, out=out[1:])
+    return out
 
 
 def _read_spans(seqs, hit: np.ndarray, valid: np.ndarray, k: int):
@@ -69,8 +82,8 @@ def _read_spans(seqs, hit: np.ndarray, valid: np.ndarray, k: int):
     np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: the separator
     bounds = np.minimum(starts, size)
     seg = np.append(bounds, size)
-    cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
-    ch = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+    cv = _cumsum01(valid)
+    ch = _cumsum01(hit)
     # windows starting within read i occupy [bounds[i], end_i) where
     # end_i = min(starts[i] + len_i, next bound)
     ends = np.minimum(np.minimum(starts + lens, seg[1:]), size)
@@ -371,6 +384,18 @@ def _resolve_engine(engine: str) -> str:
         return "host"
 
 
+def _pipeline_depth() -> int:
+    """In-flight device flushes (cross-flush pipelining depth).
+
+    0 = synchronous (finish each flush before reading on)."""
+    import os
+
+    try:
+        return max(0, int(os.environ.get("FINDKMER_FILTER_DEPTH", "2")))
+    except ValueError:
+        return 2
+
+
 def filter_file(
     path,
     out_f,
@@ -398,33 +423,54 @@ def filter_file(
 
         scorer = DeviceFilter(spec)
         # one device batch per flush: the joined stream (bases +
-        # separators) must stay <= scorer.need or _device_bitmaps pays
-        # a SECOND full sort + H2D that is ~94% padding
+        # separators) must stay <= scorer.need or _dispatch_bitmaps
+        # pays a SECOND full sort + H2D that is ~94% padding
         batch_bytes = scorer.need
+        depth = _pipeline_depth()  # in-flight flushes
     elif engine == "host":
         scorer = spec
         batch_bytes = 8 << 20
+        depth = 0
     else:
         raise ValueError(f"unknown filter engine {engine!r}")
     kept = seen = 0
     batch_seqs: list = []
     batch_raws: list = []
     nbytes = 0
+    from collections import deque
 
-    def flush():
-        nonlocal kept, nbytes
-        if not batch_seqs:
-            return
-        hits, windows = scorer.hits_batch(batch_seqs)
-        for raw, h, w in zip(batch_raws, hits, windows):
+    pending: deque = deque()  # device engine: begin()s awaiting finish
+
+    def emit(hits, windows, raws):
+        nonlocal kept
+        for raw, h, w in zip(raws, hits, windows):
             ok = h >= min_hits
             if ok and min_frac is not None:
                 ok = w > 0 and h / w >= min_frac
             if bool(ok) != invert:
                 out_f.write(raw)
                 kept += 1
-        batch_seqs.clear()
-        batch_raws.clear()
+
+    def drain_one():
+        p, raws = pending.popleft()
+        emit(*scorer.finish(p), raws)
+
+    def flush():
+        nonlocal batch_seqs, batch_raws, nbytes
+        if not batch_seqs:
+            return
+        if depth:
+            # dispatch this flush's device work and KEEP READING: its
+            # ~150 ms D2H + attribution happen while the device sorts
+            # the next flush (bench/RESULTS.md round 3 phase profile)
+            pending.append((scorer.begin(batch_seqs), batch_raws))
+            batch_seqs, batch_raws = [], []  # moved into pending
+            while len(pending) > depth:
+                drain_one()
+        else:
+            emit(*scorer.hits_batch(batch_seqs), batch_raws)
+            batch_seqs.clear()
+            batch_raws.clear()
         nbytes = 0
 
     for seq, raw in _records_with_raw(path, fmt):
@@ -440,6 +486,8 @@ def filter_file(
         if len(batch_seqs) >= 65536:
             flush()
     flush()
+    while pending:
+        drain_one()
     return kept, seen
 
 
@@ -475,13 +523,18 @@ def filter_file_paired(
 
         scorer = DeviceFilter(spec)
         batch_bytes = scorer.need  # one device batch per flush (above)
+        depth = _pipeline_depth()
     else:
         scorer = spec
         batch_bytes = 8 << 20
+        depth = 0
     kept = seen = 0
     b_seqs: list = []   # interleaved mate1, mate2, mate1, ...
     b_raws: list = []
     nbytes = 0
+    from collections import deque
+
+    pending: deque = deque()
 
     def passes(h, w):
         ok = h >= min_hits
@@ -489,21 +542,34 @@ def filter_file_paired(
             ok = w > 0 and h / w >= min_frac
         return bool(ok)
 
-    def flush():
-        nonlocal kept, nbytes
-        if not b_seqs:
-            return
-        hits, windows = scorer.hits_batch(b_seqs)
-        for i in range(0, len(b_seqs), 2):
+    def emit(hits, windows, raws):
+        nonlocal kept
+        for i in range(0, len(raws), 2):
             p1 = passes(hits[i], windows[i])
             p2 = passes(hits[i + 1], windows[i + 1])
             ok = (p1 or p2) if pair_mode == "any" else (p1 and p2)
             if ok != invert:
-                out1_f.write(b_raws[i])
-                out2_f.write(b_raws[i + 1])
+                out1_f.write(raws[i])
+                out2_f.write(raws[i + 1])
                 kept += 1
-        b_seqs.clear()
-        b_raws.clear()
+
+    def drain_one():
+        p, raws = pending.popleft()
+        emit(*scorer.finish(p), raws)
+
+    def flush():
+        nonlocal b_seqs, b_raws, nbytes
+        if not b_seqs:
+            return
+        if depth:
+            pending.append((scorer.begin(b_seqs), b_raws))
+            b_seqs, b_raws = [], []
+            while len(pending) > depth:
+                drain_one()
+        else:
+            emit(*scorer.hits_batch(b_seqs), b_raws)
+            b_seqs.clear()
+            b_raws.clear()
         nbytes = 0
 
     it1 = _records_with_raw(path1, fmt)
@@ -531,4 +597,6 @@ def filter_file_paired(
         if len(b_seqs) >= 65536:
             flush()
     flush()
+    while pending:
+        drain_one()
     return kept, seen

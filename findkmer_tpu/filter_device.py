@@ -161,11 +161,11 @@ class DeviceFilter:
         self._dev = dev
 
     # ------------------------------------------------------------------
-    def _device_bitmaps(self, work: np.ndarray):
+    def _dispatch_bitmaps(self, work: np.ndarray):
         """work: (k-1 halo ++ owned stream ++ INVALID pad) uint8 codes,
-        length k-1 + n_batches*need.  Returns the concatenated hit
-        bitmap as a host bool array over window-start positions
-        [-(k-1), n_batches*need - k + 1)."""
+        length k-1 + n_batches*need.  Dispatches every device batch and
+        starts its bitmap D2H; returns the list of in-flight device
+        arrays WITHOUT blocking (finish() materializes them)."""
         from findkmer_tpu.io import native as native_mod
         from findkmer_tpu.pipeline import _numpy_pack_rows, \
             prefetch_to_device
@@ -201,40 +201,91 @@ class DeviceFilter:
             except Exception:
                 pass
             outs.append(bm)
+        return outs
+
+    def begin(self, seqs):
+        """Dispatch one read batch's device work without blocking.
+
+        Returns an opaque pending object for finish().  filter_file
+        keeps a small deque of these so batch i's ~150 ms tunnel D2H
+        and host attribution overlap batch i+1's read/pack/sort — the
+        cross-flush pipelining that takes the end-to-end engine from
+        flush-serial (24.7 Mbase/s round 3) toward the 137 Mbase/s
+        device step rate.
+
+        Host legs run in C when built (fk_filter_prepare /
+        fk_filter_bitmap_hits): the numpy LUT/cumsum pair freshly
+        faults ~100 MB per 16.7-Mbase flush, which at this VM's ~0.02
+        GB/s fault rate (CLAUDE.md gotcha #5) cost more than the
+        device sort itself."""
+        from findkmer_tpu.io import native as native_mod
+
+        k = self.k
+        if len(seqs) == 0:
+            return (seqs, None, 0)
+        joined = b"N".join(seqs)
+        buf = np.frombuffer(joined, np.uint8)
+        n = buf.size
+        nw = n - k + 1
+        if nw <= 0:
+            return (seqs, None, 0)
+        halo = k - 1
+        n_batches = -(-n // self.need)
+        work = np.full(halo + n_batches * self.need, 4, np.uint8)
+        if native_mod.available():
+            # one OpenMP LUT pass straight into the work buffer; the
+            # bitmap attribution recomputes validity per read in C
+            native_mod.filter_prepare(buf, work[halo : halo + n])
+            lens = np.fromiter((len(s) for s in seqs), np.int64,
+                               len(seqs))
+            starts = np.zeros(len(seqs), np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])  # +1: separator
+            payload = ("native", buf, starts, lens)
+        else:
+            from findkmer_tpu.filter import _CODE_LUT, _cumsum01
+
+            b = _CODE_LUT[buf]
+            cbad = _cumsum01(b > 3)
+            # zero bad bases in [i, i+k) <=> the monotone prefix is
+            # flat (equality avoids a subtract buffer)
+            valid = cbad[k:] == cbad[:-k]
+            # codes 0..3 pass; invalid (255) clamps to 4 = INVALID
+            np.minimum(b, 4, out=work[halo : halo + n])
+            payload = ("numpy", valid, nw)
+        return (seqs, payload, self._dispatch_bitmaps(work))
+
+    def finish(self, pending) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a begin()'s device work; per-read (hits, windows)."""
+        if pending[1] is None:
+            n = len(pending[0])
+            return np.zeros(n, np.int64), np.zeros(n, np.int64)
+        seqs, payload, outs = pending
+        k = self.k
+        halo = k - 1
         hostbits = [np.asarray(o) for o in outs]
         words = (
             np.concatenate(hostbits) if len(hostbits) > 1 else
             hostbits[0]
         )
-        return np.unpackbits(
-            words.view(np.uint8), bitorder="little"
-        ).astype(bool)
-
-    def hits_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
-        from findkmer_tpu.filter import _CODE_LUT, _read_spans
-
-        k = self.k
-        n = len(seqs)
-        hits = np.zeros(n, np.int64)
-        windows = np.zeros(n, np.int64)
-        if n == 0:
-            return hits, windows
-        joined = b"N".join(seqs)
-        b = _CODE_LUT[np.frombuffer(joined, np.uint8)]
-        nw = b.size - k + 1
-        if nw <= 0:
-            return hits, windows
-        # validity is a pure function of the read bases — host-side
-        bad = (b > 3).astype(np.int32)
-        cbad = np.concatenate([[0], np.cumsum(bad)])
-        valid = (cbad[k:] - cbad[:-k]) == 0
-
-        halo = k - 1
-        n_batches = -(-b.size // self.need)
-        work = np.full(halo + n_batches * self.need, 4, np.uint8)
-        work[halo : halo + b.size] = np.where(b > 3, 4, b)
-        allbits = self._device_bitmaps(work)
         # window starting at joined position p sits at bitmap index
         # p + halo (row 0's first halo slots cover p < 0)
+        if payload[0] == "native":
+            from findkmer_tpu.io import native as native_mod
+
+            _, buf, starts, lens = payload
+            return native_mod.filter_bitmap_hits(
+                buf, starts, lens, k, np.ascontiguousarray(words), halo
+            )
+        from findkmer_tpu.filter import _read_spans
+
+        _, valid, nw = payload
+        # view, not astype: unpackbits yields 0/1 uint8, bool is the
+        # same itemsize — the cast would fault another nw fresh bytes
+        allbits = np.unpackbits(
+            words.view(np.uint8), bitorder="little"
+        ).view(np.bool_)
         hit = allbits[halo : halo + nw]
         return _read_spans(seqs, hit & valid, valid, k)
+
+    def hits_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        return self.finish(self.begin(seqs))

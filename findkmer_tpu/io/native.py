@@ -64,67 +64,109 @@ def _load() -> Optional[ctypes.CDLL]:
     if _load_attempted:
         return _lib
     _load_attempted = True
+    autobuild = os.environ.get("FINDKMER_AUTOBUILD", "1") == "1"
     path = _lib_path()
-    if not path.exists() and os.environ.get("FINDKMER_AUTOBUILD", "1") == "1":
+    if not path.exists() and autobuild:
         build(quiet=True)
     if not path.exists():
         return None
     try:
-        lib = ctypes.CDLL(str(path))
-        lib.fk_encode.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-        ]
-        lib.fk_encode.restype = None
-        lib.fk_encode_packed.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-        ]
-        lib.fk_encode_packed.restype = None
-        lib.fk_count_valid.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
-        lib.fk_count_valid.restype = ctypes.c_size_t
-        lib.fk_count_acgt.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
-        lib.fk_count_acgt.restype = ctypes.c_size_t
-        lib.fk_encode_compact.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-        ]
-        lib.fk_encode_compact.restype = ctypes.c_size_t
-        lib.fk_pack_rows.argtypes = [
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
-            ctypes.c_void_p,
-        ]
-        lib.fk_pack_rows.restype = None
-        lib.fk_format_spectrum.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-            ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
-        ]
-        lib.fk_format_spectrum.restype = ctypes.c_size_t
-        lib.fk_parse_spectrum.argtypes = [
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_uint8, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_size_t,
-        ]
-        lib.fk_parse_spectrum.restype = ctypes.c_size_t
-        lib.fk_filter_hits.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ]
-        lib.fk_filter_hits.restype = None
-        for name in ("fk_merge_runs64", "fk_merge_runs32",
-                     "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
-            fn = getattr(lib, name)
-            fn.argtypes = [
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
-                ctypes.c_void_p,
-            ]
-            fn.restype = ctypes.c_size_t
-        _lib = lib
+        _lib = _register(path)
     except OSError:
         _lib = None
+    except AttributeError:
+        # stale .so predating a newer symbol: rebuild once and retry
+        _lib = None
+        if autobuild and build(quiet=True):
+            try:
+                _lib = _register(_lib_path())
+            except (OSError, AttributeError):
+                _lib = None
     return _lib
+
+
+def _register(path) -> ctypes.CDLL:
+    """CDLL-load `path` and declare every symbol's signature.
+
+    Raises AttributeError when the library on disk predates a symbol
+    (stale build) — _load rebuilds once and retries.  The failed
+    handle is dlclose()d first: dlopen caches by path, so without the
+    close the retry would silently re-resolve the STALE mapping."""
+    lib = ctypes.CDLL(str(path))
+    try:
+        _declare(lib)
+    except AttributeError:
+        try:
+            import _ctypes
+
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        raise
+    return lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.fk_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.fk_encode.restype = None
+    lib.fk_encode_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.fk_encode_packed.restype = None
+    lib.fk_count_valid.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.fk_count_valid.restype = ctypes.c_size_t
+    lib.fk_count_acgt.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.fk_count_acgt.restype = ctypes.c_size_t
+    lib.fk_encode_compact.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.fk_encode_compact.restype = ctypes.c_size_t
+    lib.fk_pack_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.fk_pack_rows.restype = None
+    lib.fk_format_spectrum.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_uint32, ctypes.c_uint8, ctypes.c_void_p,
+    ]
+    lib.fk_format_spectrum.restype = ctypes.c_size_t
+    lib.fk_parse_spectrum.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_uint8, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_size_t,
+    ]
+    lib.fk_parse_spectrum.restype = ctypes.c_size_t
+    lib.fk_filter_hits.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.fk_filter_hits.restype = None
+    lib.fk_filter_prepare.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+    ]
+    lib.fk_filter_prepare.restype = None
+    lib.fk_filter_bitmap_hits.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.fk_filter_bitmap_hits.restype = None
+    for name in ("fk_merge_runs64", "fk_merge_runs32",
+                 "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
+        fn = getattr(lib, name)
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        fn.restype = ctypes.c_size_t
 
 
 def available() -> bool:
@@ -320,6 +362,46 @@ def filter_hits(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
         n, k, int(canonical),
         table.ctypes.data_as(ctypes.c_void_p), table.size,
         bloom.ctypes.data_as(ctypes.c_void_p), bloom_shift,
+        hits.ctypes.data_as(ctypes.c_void_p),
+        wins.ctypes.data_as(ctypes.c_void_p),
+    )
+    return hits, wins
+
+
+def filter_prepare(buf: np.ndarray, out: np.ndarray) -> None:
+    """Joined read bytes -> device code stream into out (0..3, 4=N)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert buf.dtype == np.uint8 and out.dtype == np.uint8
+    assert out.size >= buf.size
+    lib.fk_filter_prepare(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        buf.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+
+
+def filter_bitmap_hits(buf: np.ndarray, starts: np.ndarray,
+                       lens: np.ndarray, k: int, words: np.ndarray,
+                       halo: int):
+    """Per-read (hits, valid windows) from the device hit bitmap.
+
+    buf holds the reads' joined bytes; the window starting at joined
+    position p is bit p + halo of `words` (uint32 little-endian, the
+    filter_device._filter_step packing)."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert words.dtype == np.uint32 and words.flags["C_CONTIGUOUS"]
+    n = int(starts.size)
+    hits = np.empty(n, np.int64)
+    wins = np.empty(n, np.int64)
+    lib.fk_filter_bitmap_hits(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n, k,
+        words.ctypes.data_as(ctypes.c_void_p),
+        halo,
         hits.ctypes.data_as(ctypes.c_void_p),
         wins.ctypes.data_as(ctypes.c_void_p),
     )

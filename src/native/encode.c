@@ -680,6 +680,62 @@ static inline int fk_table_has(const uint64_t *t, size_t n, uint64_t key) {
   return lo < n && t[lo] == key;
 }
 
+/* Device-engine host legs (filter_device.py):
+ *
+ * fk_filter_prepare: joined read bytes -> the device wire's code
+ * stream (0..3 = base, 4 = invalid/reset), one OpenMP LUT pass.
+ * Replaces the numpy _CODE_LUT + minimum() pair whose fresh-page
+ * faults (~0.02 GB/s on lazily-backed VMs) dominated the filter's
+ * host time.
+ *
+ * fk_filter_bitmap_hits: per-read (hits, valid windows) from the
+ * device's window-hit bitmap.  Window starting at joined position p
+ * is bit p + halo of `words` (filter_device._filter_step packs bit s
+ * of word w as window 32w + s, little-endian).  The per-read rolling
+ * run counter recomputes validity exactly like fk_filter_hits, so
+ * the device engine's attribution matches the host engine's
+ * bit-for-bit; OpenMP over reads.                                    */
+
+void fk_filter_prepare(const uint8_t *restrict buf, long long n,
+                       uint8_t *restrict out) {
+#pragma omp parallel for schedule(static)
+  for (long long i = 0; i < n; ++i) {
+    int b = (int)FK_FILTER_CODE[buf[i]] - 1;
+    out[i] = (uint8_t)(b < 0 ? 4 : b);
+  }
+}
+
+void fk_filter_bitmap_hits(const uint8_t *restrict buf,
+                           const long long *restrict starts,
+                           const long long *restrict lens,
+                           long long n_reads, int k,
+                           const uint32_t *restrict words,
+                           long long halo,
+                           long long *restrict hits_out,
+                           long long *restrict win_out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (long long r = 0; r < n_reads; ++r) {
+    const uint8_t *p = buf + starts[r];
+    long long n = lens[r];
+    long long run = 0, wins = 0, hits = 0;
+    for (long long i = 0; i < n; ++i) {
+      int b = (int)FK_FILTER_CODE[p[i]] - 1;
+      if (b < 0) {
+        run = 0;
+        continue;
+      }
+      if (++run >= k) {
+        ++wins;
+        /* window start: joined position starts[r] + i - k + 1 */
+        long long j = starts[r] + i - k + 1 + halo;
+        hits += (words[j >> 5] >> (j & 31)) & 1u;
+      }
+    }
+    hits_out[r] = hits;
+    win_out[r] = wins;
+  }
+}
+
 void fk_filter_hits(const uint8_t *restrict buf,
                     const long long *restrict starts,
                     const long long *restrict lens, long long n_reads,

@@ -381,6 +381,38 @@ def test_device_filter_edges(rng):
     assert list(w) == [0, 0, 43] and list(h) == [0, 0, 43]
 
 
+def test_device_attribution_native_matches_numpy(rng, monkeypatch):
+    """DeviceFilter's two host-attribution legs (C fk_filter_bitmap_hits
+    vs numpy unpackbits+_read_spans) agree exactly, including lowercase
+    bases, all-N reads, reads shorter than k, and empty reads."""
+    import numpy as np
+
+    from findkmer_tpu.filter import FilterSpec
+    from findkmer_tpu.filter_device import DeviceFilter
+    from findkmer_tpu.io import native as native_mod
+    from findkmer_tpu.ops.window import str_to_code
+
+    if not native_mod.available():
+        pytest.skip("native lib unavailable")
+    k = 7
+    kms = {"".join(rng.choice(list("ACGT")) for _ in range(k))
+           for _ in range(60)}
+    codes = np.array(sorted(str_to_code(s) for s in kms), np.uint64)
+    spec = FilterSpec(k=k, codes=codes)
+    reads = [b"", b"ACG", b"N" * 30, b"acgtacgtACGTNNacgt"]
+    for _ in range(100):
+        L = int(rng.integers(0, 120))
+        reads.append("".join(
+            rng.choice(list("ACGTNacgt")) for _ in range(L)
+        ).encode())
+    dev = DeviceFilter(spec, batch_rows=2, chunk_len=2048)
+    hn, wn = dev.hits_batch(reads)
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    hp, wp = dev.hits_batch(reads)
+    assert (hn == hp).all() and (wn == wp).all()
+    assert hn.sum() > 0 or wn.sum() > 0
+
+
 def test_filter_cli_engine_device(tmp_path):
     """--engine device produces byte-identical output to --engine host
     at the CLI surface (CPU backend exercises the same jit)."""
