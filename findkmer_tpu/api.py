@@ -294,6 +294,33 @@ def filter_reads(
     return kept, seen
 
 
+def matrix(
+    inputs: Sequence[str],
+    output: str,
+    *,
+    names: Optional[Sequence[str]] = None,
+    min_total: int = 0,
+    min_samples: int = 0,
+    sep: str = "\t",
+) -> int:
+    """k-mer x sample count matrix from sorted spectrum files.
+    CLI: `findkmer matrix`.  Returns data rows written."""
+    from findkmer_tpu import spectra
+    from findkmer_tpu.cli import _input_stems, _open_out
+
+    inputs = list(inputs)
+    use_names = list(names) if names is not None else _input_stems(inputs)
+    f, close = _open_out(output)
+    try:
+        return spectra.matrix_sorted_streaming(
+            inputs, f, use_names, sep=sep,
+            min_total=min_total, min_samples=min_samples,
+        )
+    finally:
+        if close:
+            f.close()
+
+
 def similarity(a, b, *, canonical: bool = False, sep: str = "\t"):
     """Similarity metrics between two spectrum files, or two sketch
     dicts/files (Mash estimator).  CLI: `findkmer similarity`."""

@@ -435,6 +435,45 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def _input_stems(paths) -> list:
+    """Display names from input basenames, extensions stripped;
+    collisions across directories de-collide with .2/.3 suffixes (the
+    count/sketch --per-input convention)."""
+    seen: dict = {}
+    names = []
+    for path in paths:
+        stem = os.path.basename(path)
+        for ext in (".gz", ".tsv", ".txt", ".fa", ".fasta", ".fastq",
+                    ".fq", ".sam", ".bam"):
+            if stem.endswith(ext):
+                stem = stem[: -len(ext)]
+        n = seen.get(stem, 0) + 1
+        seen[stem] = n
+        names.append(stem if n == 1 else f"{stem}.{n}")
+    return names
+
+
+def cmd_matrix(args) -> int:
+    """k-mer x sample count matrix (kmtricks-class aggregation)."""
+    from findkmer_tpu import spectra
+
+    if args.names:
+        names = args.names.split(",")
+    else:
+        names = _input_stems(args.input)
+    f, close = _open_out(args.output)
+    try:
+        rows = spectra.matrix_sorted_streaming(
+            args.input, f, names, sep=args.sep,
+            min_total=args.min_total, min_samples=args.min_samples,
+        )
+    finally:
+        if close:
+            f.close()
+    print(f"{rows} k-mers x {len(names)} samples", file=sys.stderr)
+    return 0
+
+
 def cmd_setop(args) -> int:
     """intersect / subtract (kmc_tools-style streaming set ops)."""
     from findkmer_tpu import spectra
@@ -902,6 +941,26 @@ def build_parser() -> argparse.ArgumentParser:
                          "default is a streaming sorted merge in O(MB) "
                          "memory)")
     pm.set_defaults(fn=cmd_merge)
+
+    px = sub.add_parser(
+        "matrix",
+        help="k-mer x sample count matrix from spectrum files "
+             "(kmtricks-class multi-sample aggregation)",
+    )
+    px.add_argument("-i", "--input", required=True, nargs="+",
+                    help="sorted spectrum files, one per sample "
+                         "(canonical spectra: canonize every input "
+                         "first)")
+    px.add_argument("-o", "--output", default="-")
+    px.add_argument("--names", default="",
+                    help="comma-separated column names (default: "
+                         "input basename stems)")
+    px.add_argument("--min-total", type=int, default=0,
+                    help="drop rows whose count sum is below N")
+    px.add_argument("--min-samples", type=int, default=0,
+                    help="drop rows with fewer than N nonzero samples")
+    px.add_argument("--sep", default="\t")
+    px.set_defaults(fn=cmd_matrix)
 
     for op, hlp in (
         ("intersect", "k-mers in every input, count = min (streaming)"),

@@ -339,6 +339,78 @@ def merge_sorted_streaming(
     return lines
 
 
+def matrix_sorted_streaming(
+    paths,
+    out_f,
+    names,
+    sep: str = "\t",
+    min_total: int = 0,
+    min_samples: int = 0,
+) -> int:
+    """k-mer x sample count matrix from sorted spectrum files (binary
+    out).  The multi-sample aggregation workflow of kmtricks/kmc-class
+    pipelines: one header line `kmer<sep>name...`, then one row per
+    k-mer of the union, counts per sample (0 where absent), k-mers in
+    lexicographic order.  Memory is O(open-file buffers) — a k-way heap
+    walk like merge_sorted_streaming, so chr-scale inputs stream.
+
+    min_total drops rows whose count sum is below it; min_samples
+    drops rows present (nonzero) in fewer samples.  Canonical inputs
+    compare canonically as long as EVERY input is canonical (fold with
+    `findkmer canonize` first — mixing is the caller's error, same
+    contract as merge).  Returns data rows written (header excluded).
+    """
+    paths = list(paths)
+    if len(names) != len(paths):
+        raise ValueError(
+            f"matrix needs one name per input ({len(paths)} inputs, "
+            f"{len(names)} names)"
+        )
+    sep_b = sep.encode()
+    out_f.write(
+        sep_b.join([b"kmer"] + [n.encode() for n in names]) + b"\n"
+    )
+
+    def tagged(i, p):
+        for kmer, cnt in _sorted_lines(p, sep_b):
+            yield kmer, i, cnt
+
+    merged = heapq.merge(*(tagged(i, p) for i, p in enumerate(paths)))
+    n = len(paths)
+    rows = 0
+    cur: bytes | None = None
+    counts = [0] * n
+    buf: List[bytes] = []
+
+    def _emit():
+        nonlocal rows
+        if cur is None:
+            return
+        if min_total and sum(counts) < min_total:
+            return
+        if min_samples and sum(c > 0 for c in counts) < min_samples:
+            return
+        buf.append(
+            cur + sep_b
+            + sep_b.join(str(c).encode() for c in counts)
+        )
+        rows += 1
+        if len(buf) >= 65536:
+            out_f.write(b"\n".join(buf) + b"\n")
+            buf.clear()
+
+    for kmer, i, cnt in merged:
+        if kmer != cur:
+            _emit()
+            cur = kmer
+            counts = [0] * n
+        counts[i] += cnt  # duplicates within a file sum, like merge
+    _emit()
+    if buf:
+        out_f.write(b"\n".join(buf) + b"\n")
+    return rows
+
+
 def spectrum_lines(
     counts: Dict[str, int], sep: str = "\t", zeros_k: int | None = None,
     canonical: bool = False,

@@ -838,3 +838,96 @@ def test_similarity_cli(tmp_path):
     d = json.loads(r.stdout)
     assert d["shared"] == 1 and d["union"] == 3
     assert d["jaccard"] == pytest.approx(1 / 3)
+
+
+# ------------------------------------------------------------- matrix
+
+def _brute_matrix(dicts, names, sep="\t", min_total=0, min_samples=0):
+    union = sorted(set().union(*[set(d) for d in dicts]))
+    lines = [sep.join(["kmer"] + names)]
+    for km in union:
+        row = [d.get(km, 0) for d in dicts]
+        if min_total and sum(row) < min_total:
+            continue
+        if min_samples and sum(c > 0 for c in row) < min_samples:
+            continue
+        lines.append(sep.join([km] + [str(c) for c in row]))
+    return "\n".join(lines) + "\n"
+
+
+def test_matrix_streaming_matches_bruteforce(tmp_path):
+    import io
+
+    a = {"AAAA": 3, "ACGT": 1, "TTTT": 2}
+    b = {"ACGT": 5, "CCCC": 1}
+    c = {"AAAA": 1}
+    paths = []
+    for i, d in enumerate((a, b, c)):
+        p = tmp_path / f"s{i}.tsv"
+        p.write_text("".join(f"{k}\t{v}\n" for k, v in sorted(d.items())))
+        paths.append(str(p))
+    names = ["s0", "s1", "s2"]
+    out = io.BytesIO()
+    rows = spectra.matrix_sorted_streaming(paths, out, names)
+    assert rows == 4  # union: AAAA ACGT CCCC TTTT
+    assert out.getvalue().decode() == _brute_matrix([a, b, c], names)
+    # filters
+    out = io.BytesIO()
+    spectra.matrix_sorted_streaming(paths, out, names, min_total=4)
+    assert out.getvalue().decode() == _brute_matrix(
+        [a, b, c], names, min_total=4)
+    out = io.BytesIO()
+    spectra.matrix_sorted_streaming(paths, out, names, min_samples=2)
+    assert out.getvalue().decode() == _brute_matrix(
+        [a, b, c], names, min_samples=2)
+    # name count mismatch is a clean error
+    with pytest.raises(ValueError, match="one name per input"):
+        spectra.matrix_sorted_streaming(paths, io.BytesIO(), ["x"])
+    # unsorted input is refused (streaming contract)
+    u = tmp_path / "u.tsv"
+    u.write_text("CCCC\t1\nAAAA\t2\n")
+    with pytest.raises(ValueError, match="not sorted"):
+        spectra.matrix_sorted_streaming(
+            [paths[0], str(u)], io.BytesIO(), ["a", "u"])
+
+
+def test_matrix_cli_and_api(tmp_path, fixtures_dir):
+    """CLI matrix of two real count outputs; gz input; stem naming with
+    collision de-dup; fk.matrix API parity."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    d = os.path.join(fixtures_dir, "debruijn4.fa")
+    r = _cli(["count", "-i", t, "-k", "4", "-o", "a.tsv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _cli(["count", "-i", d, "-k", "4", "-o", "b.tsv.gz"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = _cli(["matrix", "-i", "a.tsv", "b.tsv.gz", "-o", "m.tsv"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = (tmp_path / "m.tsv").read_text()
+    da = count_fasta_file(t, 4)
+    db = count_fasta_file(d, 4)
+    assert got == _brute_matrix([da, db], ["a", "b"])  # .tsv.gz stripped
+    # explicit names + min filters via CLI
+    r = _cli(["matrix", "-i", "a.tsv", "b.tsv.gz", "--names", "x,y",
+              "--min-samples", "2", "-o", "m2.tsv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "m2.tsv").read_text() == _brute_matrix(
+        [da, db], ["x", "y"], min_samples=2)
+    # stem collision de-dup: same basename in two dirs
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d2").mkdir()
+    import shutil
+    shutil.copy(tmp_path / "a.tsv", tmp_path / "d1" / "s.tsv")
+    shutil.copy(tmp_path / "a.tsv", tmp_path / "d2" / "s.tsv")
+    r = _cli(["matrix", "-i", "d1/s.tsv", "d2/s.tsv", "-o", "m3.tsv"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    hdr = (tmp_path / "m3.tsv").read_text().splitlines()[0]
+    assert hdr == "kmer\ts\ts.2"
+    # API
+    import findkmer_tpu as fk
+
+    rows = fk.matrix([str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv.gz")],
+                     str(tmp_path / "m4.tsv"))
+    assert (tmp_path / "m4.tsv").read_text() == got
+    assert rows == len(got.splitlines()) - 1
