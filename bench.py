@@ -45,7 +45,7 @@ WAIT_BUDGET_S = 240  # max time spent waiting for a healthy window
 # round-3 healthy-window reference values (bench/RESULTS.md): a pass
 # below these in a degraded window triggers one re-measure
 EXPECT = {
-    "bases_per_s_per_chip_k21_sparse": 400e6,
+    "bases_per_s_per_chip_k21_sparse": 550e6,  # 596 measured (G=4096)
     "bases_per_s_per_chip_k8": 1.4e9,
 }
 

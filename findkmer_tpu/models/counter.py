@@ -193,11 +193,30 @@ def _fresh(cap: int, dtypes):
 # row length.  Rows are arbitrary partitions of the code multiset —
 # equal codes in different rows merge in the HOST output tail
 # (io/native.py merge_runs, one heap pass fused into D2H/format).
-# 64 == fk_merge_runs' G cap; every ladder size divides by it.
+# Minimum row count (the round-2 value; also the per-pass cap of the C
+# heap merge — larger row counts merge hierarchically in 256-run
+# chunks, ops/sparse.merge_host_runs).
 STORE_ROWS = 64
 # column-count ladder floor: STORE_ROWS * COL_FLOOR == the flat ladder's
 # 4096 floor, so total store sizes stay on the same ladder as round 1
 COL_FLOOR = 64
+
+
+def _store_rows(cap0: int) -> int:
+    """Row count G of the (G, cols) store for raw capacity cap0.
+
+    More rows = shorter rows = fewer bitonic sort stages: the FULL
+    row-wise compaction (sort + RLE) measures 536 -> 885 Melem/s going
+    from G=64 to G=4096 at 48M slots (bench/probe_rowsort.py, round 3;
+    the round-2 sweep stopped at G=256 with u32 keys and missed this).
+    G must divide cap0 and every larger ladder capacity (buffers only
+    grow, rows never change), so it is a power of two kept <= cap0/128
+    — which also leaves >= 128 raw slots per row for the per-row RLE.
+    Test-scale caps (4096) keep the round-2 G=64."""
+    g = STORE_ROWS
+    while g < 4096 and g * 256 <= cap0:  # doubled g keeps >= 128 cols
+        g *= 2
+    return g
 
 
 @partial(jax.jit, static_argnames=("G", "cdtype"), donate_argnums=(0,))
@@ -347,6 +366,11 @@ class KmerCounter:
             # pallas on non-TPU backends runs in interpreter mode (tests)
             self._pl_interpret = jax.default_backend() != "tpu"
         self._spill_n = 0
+        if self.mode != "direct":
+            # store-row geometry is fixed per counter: every raw cap
+            # this counter will ever reshape is a ladder value >= the
+            # initial cap, all divisible by this power of two
+            self._rows = _store_rows(self._raw_cap0())
         if cfg.spill_dir:
             if self.mode != "sparse":
                 raise ValueError(
@@ -560,7 +584,7 @@ class KmerCounter:
         if state.fill == 0 and state.store is not None:
             return state
         cfg = self.cfg
-        G = STORE_ROWS
+        G = self._rows
         cap = state.raw[0].shape[0]
         if state.store is None:
             store, drows = _compact_raw_dev(
@@ -916,7 +940,7 @@ class KmerCounter:
         if hi.ndim == 1:
             hi, lo, cnt = hi[None], lo[None], cnt[None]
         codes, counts = sparse_ops.store_to_host_2d(hi, lo, cnt)
-        G = STORE_ROWS
+        G = self._rows
         n = codes.size
         Lc = sparse_ops.ladder(-(-n // G) if n else 1, floor=COL_FLOOR)
         cdt = np.dtype(self.cfg.count_dtype)
@@ -965,9 +989,12 @@ class KmerCounter:
 
             return fn, (table, rows)
 
+        G = self._rows
+
         def fn(rows):
             parts = _batch_codes(rows, cfg.k, cfg.canonical, cfg.row_len)
             L = sparse_ops.ladder(parts[0].shape[0], floor=4096)
+            L = -(-L // G) * G  # row-divisible pad target
             pad = L - parts[0].shape[0]
             if pad:
                 parts = tuple(
@@ -977,6 +1004,6 @@ class KmerCounter:
                     )
                     for p in parts
                 )
-            return _compact_raw_dev(parts, STORE_ROWS)
+            return _compact_raw_dev(parts, G)
 
         return fn, (rows,)

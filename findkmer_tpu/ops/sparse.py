@@ -492,8 +492,18 @@ def merge_host_runs(runs):
                                                          copy=False)
     from findkmer_tpu.io import native
 
-    if native.available() and len(runs) <= 256:
-        return native.merge_runs(runs)
+    if native.available():
+        if len(runs) <= 256:
+            return native.merge_runs(runs)
+        # hierarchical: C pass per 256-run chunk, then one final C pass
+        # over the <= ceil(G/256) partials (row stores can now carry
+        # more than 256 rows — STORE_ROWS geometry, bench/RESULTS.md
+        # round-3 row-sort sweep)
+        parts = [
+            native.merge_runs(runs[i : i + 256])
+            for i in range(0, len(runs), 256)
+        ]
+        return merge_host_runs(parts)
     codes = np.concatenate([c for c, _ in runs]).astype(np.uint64,
                                                         copy=False)
     cnts = np.concatenate([n for _, n in runs]).astype(np.int64,

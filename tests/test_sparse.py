@@ -504,3 +504,69 @@ def test_chr_shaped_compaction_ordered_finalize(rng):
     want_c, want_n = np.unique(codes, return_counts=True)
     assert np.array_equal(got_c, want_c)
     assert np.array_equal(got_n, want_n.astype(np.int64))
+
+
+def test_store_rows_geometry():
+    """Adaptive row count: test-scale caps keep G=64; production caps
+    get the measured-fast 4096; G always divides the cap and every
+    larger ladder value (growth never re-rows)."""
+    from findkmer_tpu.models.counter import _store_rows
+    from findkmer_tpu.ops.sparse import ladder
+
+    assert _store_rows(4096) == 64
+    assert _store_rows(8192) == 64
+    assert _store_rows(1 << 20) == 4096
+    assert _store_rows(50_331_648) == 4096
+    for cap0 in (4096, 6144, 8192, 1 << 16, 3 << 15, 1 << 20, 3 << 23):
+        cap0 = ladder(cap0)
+        g = _store_rows(cap0)
+        cap = cap0
+        for _ in range(12):  # every growth step stays row-divisible
+            assert cap % g == 0, (cap0, g, cap)
+            cap = ladder(cap + 1)
+
+
+def test_large_row_store_multi_compaction_vs_oracle(rng):
+    """G > 64 store geometry: three injected raw rounds drive the
+    compact_raw -> compact_counted -> finalize chain at G=4096, exact
+    vs a numpy dict (the round-3 adaptive-rows change)."""
+    import jax.numpy as jnp
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter, _append
+    from findkmer_tpu.ops import sparse as sparse_ops
+
+    k = 21
+    n = 1 << 20
+    cfg = Config(k=k, sparse_capacity=4 * n,
+                 sparse_expected_entries=n,
+                 sparse_compact_entries=n)
+    c = KmerCounter(cfg)
+    assert c._rows == 4096
+    st = c.init_state()
+    hdt = sparse_ops.hi_dtype(k)
+    all_codes = []
+    for _ in range(3):
+        hi = rng.integers(0, 1 << 10, n).astype(np.uint64)
+        lo = rng.integers(0, 1 << 32, n).astype(np.uint64)
+        codes = (hi << np.uint64(32)) | lo
+        codes[: n // 8] = codes[0]  # salt duplicates for the RLE
+        all_codes.append(codes)
+        parts = (
+            jnp.asarray((codes >> np.uint64(32)).astype(hdt)),
+            jnp.asarray(
+                (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ),
+        )
+        st = st.__class__(
+            raw=_append(st.raw, parts, jnp.int32(0)), fill=n,
+            store=st.store, store_len=st.store_len,
+            distinct=st.distinct,
+        )
+        st = c.compact(st)  # 1st: compact_raw; later: compact_counted
+        assert st.store[0].shape[0] == 4096
+    got_c, got_n = c.finalize(st)
+    want_c, want_n = np.unique(np.concatenate(all_codes),
+                               return_counts=True)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n.astype(np.int64))
