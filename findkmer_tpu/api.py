@@ -310,6 +310,12 @@ def matrix(
 
     inputs = list(inputs)
     use_names = list(names) if names is not None else _input_stems(inputs)
+    if len(use_names) != len(inputs):
+        # validate BEFORE _open_out truncates an existing output
+        raise ValueError(
+            f"matrix needs one name per input ({len(inputs)} inputs, "
+            f"{len(use_names)} names)"
+        )
     f, close = _open_out(output)
     try:
         return spectra.matrix_sorted_streaming(

@@ -229,18 +229,28 @@ def emit_streamed_spectrum(counter, state, cfg, output, timers=None):
             f.close()
 
 
-def _per_input_name(path: str, seen: dict) -> str:
-    """Output filename for --per-input: input basename with sequence
-    extensions stripped, '.tsv' appended, de-collided with .2/.3/..."""
+_SEQ_EXTS = (".fa", ".fasta", ".fna", ".fq", ".fastq", ".txt")
+
+
+def _input_stem(path: str, seen: dict, exts=_SEQ_EXTS) -> str:
+    """Display stem of an input: basename, one (case-insensitive)
+    known extension stripped after any .gz, de-collided with .2/.3/...
+    — THE naming convention shared by count/sketch --per-input and
+    matrix column headers."""
     base = os.path.basename(path)
     if base.endswith(".gz"):
         base = base[:-3]
     root, ext = os.path.splitext(base)
-    if ext.lower() in (".fa", ".fasta", ".fna", ".fq", ".fastq", ".txt"):
+    if ext.lower() in exts:
         base = root
     n = seen.get(base, 0) + 1
     seen[base] = n
-    return f"{base}.tsv" if n == 1 else f"{base}.{n}.tsv"
+    return base if n == 1 else f"{base}.{n}"
+
+
+def _per_input_name(path: str, seen: dict) -> str:
+    """Output filename for --per-input: input stem + '.tsv'."""
+    return _input_stem(path, seen) + ".tsv"
 
 
 def _count_per_input(args, cfg) -> int:
@@ -436,21 +446,11 @@ def cmd_merge(args) -> int:
 
 
 def _input_stems(paths) -> list:
-    """Display names from input basenames, extensions stripped;
-    collisions across directories de-collide with .2/.3 suffixes (the
-    count/sketch --per-input convention)."""
+    """Column names for matrix: the --per-input stem convention plus
+    spectrum/alignment extensions."""
     seen: dict = {}
-    names = []
-    for path in paths:
-        stem = os.path.basename(path)
-        for ext in (".gz", ".tsv", ".txt", ".fa", ".fasta", ".fastq",
-                    ".fq", ".sam", ".bam"):
-            if stem.endswith(ext):
-                stem = stem[: -len(ext)]
-        n = seen.get(stem, 0) + 1
-        seen[stem] = n
-        names.append(stem if n == 1 else f"{stem}.{n}")
-    return names
+    exts = _SEQ_EXTS + (".tsv", ".sam", ".bam")
+    return [_input_stem(p, seen, exts) for p in paths]
 
 
 def cmd_matrix(args) -> int:
@@ -461,6 +461,12 @@ def cmd_matrix(args) -> int:
         names = args.names.split(",")
     else:
         names = _input_stems(args.input)
+    if len(names) != len(args.input):
+        # validate BEFORE _open_out truncates an existing output
+        raise ValueError(
+            f"matrix needs one name per input ({len(args.input)} "
+            f"inputs, {len(names)} names)"
+        )
     f, close = _open_out(args.output)
     try:
         rows = spectra.matrix_sorted_streaming(

@@ -471,7 +471,14 @@ class KmerCounter:
             token is not None and dir_token is not None
             and token == dir_token
         )
-        if (have or n_runs) and not same:
+        # pre-token legacy state (neither side has an identity) with an
+        # EXACT run-count match resumes as before the tokens existed —
+        # the guard exists to stop adopting/deleting a DIFFERENT
+        # count's runs, not to strand old checkpoints
+        legacy_exact = (
+            token is None and dir_token is None and have == n_runs
+        )
+        if (have or n_runs) and not (same or legacy_exact):
             raise RuntimeError(
                 f"spill dir {self.cfg.spill_dir!r} holds run files "
                 "from a different stream than this checkpoint "

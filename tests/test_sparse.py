@@ -570,3 +570,28 @@ def test_large_row_store_multi_compaction_vs_oracle(rng):
                                return_counts=True)
     assert np.array_equal(got_c, want_c)
     assert np.array_equal(got_n, want_n.astype(np.int64))
+
+
+def test_merge_host_runs_hierarchical_over_256(rng):
+    """>256 sorted runs (a G=4096 store pulled row-wise) merge through
+    the chunked C passes bit-exactly (round-3 review finding: the
+    branch had no oracle test)."""
+    import numpy as np
+
+    from findkmer_tpu.ops.sparse import merge_host_runs
+
+    runs = []
+    want = {}
+    for _ in range(300):
+        m = int(rng.integers(0, 40))
+        codes = np.unique(rng.integers(0, 5000, m).astype(np.uint64))
+        counts = rng.integers(1, 9, codes.size).astype(np.int64)
+        runs.append((codes, counts))
+        for c, n in zip(codes, counts):
+            want[int(c)] = want.get(int(c), 0) + int(n)
+    got_c, got_n = merge_host_runs(runs)
+    assert got_c.size == len(want)
+    assert np.array_equal(got_c, np.array(sorted(want), np.uint64))
+    assert np.array_equal(
+        got_n, np.array([want[int(c)] for c in got_c], np.int64)
+    )

@@ -369,3 +369,13 @@ def test_adopt_spill_runs_refuses_foreign_runs(tmp_path):
     c = KmerCounter(Config(k=21, spill_dir=str(sp2)))
     c.adopt_spill_runs(0, token="restamped")
     assert spill.read_token(str(sp2)) == "restamped"
+    # pre-token legacy state (no token on either side) resumes when
+    # the run count matches the manifest EXACTLY (round-3 review:
+    # old checkpoints must not be stranded by the new guard)
+    sp3 = tmp_path / "sp3"
+    spill.write_run(str(sp3), 0,
+                    np.array([9], np.uint64), np.array([2], np.int64))
+    c = KmerCounter(Config(k=21, spill_dir=str(sp3)))
+    c.adopt_spill_runs(1, token=None)
+    assert c._spill_n == 1
+    assert len(spill.load_runs(str(sp3))) == 1  # adopted, not deleted
