@@ -73,8 +73,30 @@ def _grow2d(bufs, new_cap: int):
     )
 
 
-@partial(jax.jit, static_argnames=("L", "cdtype"), donate_argnums=(0,))
-def _compact_raw_dev2(bufs, L: int, cdtype=jnp.int32):
+def _sub_rows(cap0: int) -> int:
+    """Per-device SUB-row count of the dp_sparse store.
+
+    Same geometry finding as the single-chip store (counter._store_rows
+    / bench/probe_rowsort.py round 3): shorter rows mean fewer bitonic
+    stages, so each device's raw slice is reshaped (free, row-major)
+    into R sub-rows before the per-compaction sort — the per-device
+    compaction then runs at the measured-fast geometry instead of one
+    cap-length row (~530 vs 884 Melem/s at chr scale).  Power of two
+    <= cap0/256 capped at 4096, so it divides every ladder capacity
+    the raw buffers can grow to."""
+    r = 1
+    while r < 4096 and r * 256 <= cap0:
+        r *= 2
+    return r
+
+
+@partial(jax.jit, static_argnames=("L", "sub", "cdtype"),
+         donate_argnums=(0,))
+def _compact_raw_dev2(bufs, L: int, sub: int = 1, cdtype=jnp.int32):
+    if sub > 1:
+        # (n_dev, cap) -> (n_dev*sub, cap/sub): row-major, so each
+        # device's shard reshapes locally (no cross-device movement)
+        bufs = tuple(b.reshape(b.shape[0] * sub, -1) for b in bufs)
     G = bufs[0].shape[0]
     pad = L - bufs[0].shape[1]
     padded = tuple(
@@ -94,8 +116,10 @@ def _compact_raw_dev2(bufs, L: int, cdtype=jnp.int32):
     return (hi, lo, cnt), d
 
 
-@partial(jax.jit, static_argnames=("L",), donate_argnums=(0, 1))
-def _compact_counted_dev2(store, bufs, L: int):
+@partial(jax.jit, static_argnames=("L", "sub"), donate_argnums=(0, 1))
+def _compact_counted_dev2(store, bufs, L: int, sub: int = 1):
+    if sub > 1:
+        bufs = tuple(b.reshape(b.shape[0] * sub, -1) for b in bufs)
     G = bufs[0].shape[0]
     n_raw = bufs[0].shape[1]
     n_store = store[0].shape[1]
@@ -189,13 +213,18 @@ def merge_sorted_spectra(
 
 @dataclass
 class DpSparseState:
-    """Per-device log-structured sparse state (row i = device i)."""
+    """Per-device log-structured sparse state.
+
+    raw rows are one per device; the STORE carries `sub` sub-rows per
+    device ((n_dev*sub, L), device dev owns rows [dev*sub, (dev+1)*sub))
+    so per-device compactions sort at the fast short-row geometry
+    (_sub_rows)."""
 
     raw: Tuple[jnp.ndarray, ...]          # (n_dev, cap) SENT-filled
     fill: int = 0                         # host-tracked, same per device
-    store: Optional[Tuple[jnp.ndarray, ...]] = None  # (n_dev, L)
+    store: Optional[Tuple[jnp.ndarray, ...]] = None  # (n_dev*sub, L)
     store_len: int = 0
-    distinct: object = None               # (n_dev,) device array or None
+    distinct: object = None               # (n_dev*sub,) device array
 
 
 class DistributedCounter:
@@ -437,6 +466,11 @@ class DistributedCounter:
                     out_specs=tuple([state_spec] * self._nb),
                 )
             )
+            # per-device sub-row count of the store: compactions sort
+            # each device's raw slice as R short rows (the round-3
+            # geometry win), merged back to one run per device at
+            # spill/finalize time
+            self._sub = _sub_rows(self._raw_cap0())
         else:
             raise ValueError(f"unknown merge strategy {self.merge!r}")
 
@@ -497,25 +531,33 @@ class DistributedCounter:
             jax.device_put(a, self._state_sharding) for a in arrs
         )
 
+    def _per_dev_distinct(self, dv: np.ndarray) -> np.ndarray:
+        """(n_dev*sub,) per-sub-row distinct -> per-DEVICE upper bound
+        (a code present in several sub-rows counts once per sub-row —
+        conservative, same as the single-chip row-sum check)."""
+        return dv.reshape(self.n_dev, -1).sum(axis=1)
+
     def _compact_sparse(self, st: DpSparseState) -> DpSparseState:
         if st.fill == 0 and st.store is not None:
             return st
         cap = st.raw[0].shape[1]
+        R = self._sub
         if st.store is None:
-            L = sparse_ops.ladder(cap, floor=4096)
+            L = sparse_ops.ladder(cap // R, floor=128)
             store, distinct = _compact_raw_dev2(
-                st.raw, L, cdtype=jnp.dtype(self.cfg.count_dtype)
+                st.raw, L, sub=R, cdtype=jnp.dtype(self.cfg.count_dtype)
             )
         else:
             dv = np.asarray(st.distinct)  # previous compaction's scalars
-            d = int(dv.max())
+            d = int(self._per_dev_distinct(dv).max())
             if self.cfg.spill_dir and d > self.cfg.sparse_capacity:
                 # per-device disk spill (spill.py): one run per device,
                 # raw compacts fresh below
                 self._spill_stores(st.store, st.store_len, dv)
-                L = sparse_ops.ladder(cap, floor=4096)
+                L = sparse_ops.ladder(cap // R, floor=128)
                 store, distinct = _compact_raw_dev2(
-                    st.raw, L, cdtype=jnp.dtype(self.cfg.count_dtype)
+                    st.raw, L, sub=R,
+                    cdtype=jnp.dtype(self.cfg.count_dtype),
                 )
                 return DpSparseState(
                     raw=self._fresh_raw(cap), fill=0, store=store,
@@ -523,12 +565,13 @@ class DistributedCounter:
                 )
             self._check_capacity(d)
             store, store_len = st.store, st.store_len
-            Ld = sparse_ops.ladder(d, floor=4096)
+            Ld = sparse_ops.ladder(int(dv.max()), floor=128)
             if store_len > 2 * Ld:
                 store = _squeeze_slice_dev2(store, Ld)
                 store_len = Ld
-            L = sparse_ops.ladder(store_len + cap, floor=4096)
-            store, distinct = _compact_counted_dev2(store, st.raw, L)
+            L = sparse_ops.ladder(store_len + cap // R, floor=128)
+            store, distinct = _compact_counted_dev2(store, st.raw, L,
+                                                    sub=R)
         return DpSparseState(
             raw=self._fresh_raw(cap), fill=0, store=store, store_len=L,
             distinct=distinct,
@@ -546,10 +589,19 @@ class DistributedCounter:
             )
 
     def _spill_stores(self, store, store_len: int, d):
-        """Persist every device's sorted store as a spill run."""
+        """Persist ONE spill run per device: each device's sub-row runs
+        merge on host first (one C pass), so spill-run counts stay
+        O(n_dev) for the finalize k-way merge no matter how many
+        sub-rows the store geometry uses."""
         from findkmer_tpu import spill
 
-        for codes, counts in self._pull_sorted_runs(store, store_len, d):
+        groups: dict = {}
+        for g, codes, counts in self._pull_sorted_runs(
+            store, store_len, d
+        ):
+            groups.setdefault(g // self._sub, []).append((codes, counts))
+        for dev in sorted(groups):
+            codes, counts = sparse_ops.merge_host_runs(groups[dev])
             spill.write_run(self.cfg.spill_dir, self._spill_n, codes,
                             counts)
             self._spill_n += 1
@@ -634,7 +686,7 @@ class DistributedCounter:
 
         st = self._compact_sparse(state)
         d = np.asarray(st.distinct)
-        self._check_capacity(int(d.max()))
+        self._check_capacity(int(self._per_dev_distinct(d).max()))
         store = st.store
         if self._spill_n:
             # merge disk runs with the residual per-device runs in a
@@ -667,7 +719,10 @@ class DistributedCounter:
                 "spill runs missing (already consumed by a previous "
                 "finalize, or deleted); rerun the count"
             )
-        runs.extend(self._pull_sorted_runs(st.store, st.store_len, d))
+        runs.extend(
+            (c, n) for _, c, n in
+            self._pull_sorted_runs(st.store, st.store_len, d)
+        )
         yield from spill.iter_merged(runs)
         spill.remove_runs(self.cfg.spill_dir)  # consumed; free the disk
 
@@ -679,38 +734,42 @@ class DistributedCounter:
         assert self.merge == "dp_sparse", "finalize_chunks is sparse-only"
         st = self._compact_sparse(state)
         d = np.asarray(st.distinct)
-        self._check_capacity(int(d.max()))
+        self._check_capacity(int(self._per_dev_distinct(d).max()))
         if self._spill_n:
             yield from self._merged_spill_chunks(st, d)
             return
         from findkmer_tpu import spill
 
         yield from spill.iter_merged(
-            self._pull_sorted_runs(st.store, st.store_len, d)
+            [(c, n) for _, c, n in
+             self._pull_sorted_runs(st.store, st.store_len, d)]
         )
 
     def _finalize_sparse_ordered(self, store, store_len: int, d):
         """Coded-wire dp_sparse finalize (multi-chip analog of the
         single-chip ordered finalize, models/counter.py): pull one
-        sorted distinct run per device and heap-merge them in one C
-        pass (BASELINE metric 2: count-table merge)."""
+        sorted distinct run per store row and heap-merge them
+        (hierarchical C passes; BASELINE metric 2: count-table
+        merge)."""
         return sparse_ops.merge_host_runs(
-            self._pull_sorted_runs(store, store_len, d)
+            [(c, n) for _, c, n in
+             self._pull_sorted_runs(store, store_len, d)]
         )
 
     def _pull_sorted_runs(self, store, store_len: int, d):
-        """Per-device coded wire: each device row is squeezed to a
-        sorted live prefix on device, then only the code planes cross
-        the wire — counts travel as per-row exceptions (positions with
-        count > 1; ~1% at chr scale) and for 16 <= k <= 26 the hi plane
-        travels run-coded (<= 4^(k-16)+1 runs/row) — ~4 B/entry of
-        finalize D2H instead of 12 (wide) / 8 (narrow).  Returns one
-        decoded (codes u64 sorted distinct, counts i64) run per device
-        with live entries."""
+        """Per-row coded wire: each store row (a device sub-row) is
+        squeezed to a sorted live prefix on device, then only the code
+        planes cross the wire — counts travel as per-row exceptions
+        (positions with count > 1; ~1% at chr scale) and for
+        16 <= k <= 26 the hi plane travels run-coded
+        (<= 4^(k-16)+1 runs/row) — ~4 B/entry of finalize D2H instead
+        of 12 (wide) / 8 (narrow).  Returns (row_index, codes u64
+        sorted distinct, counts i64) per live row; device dev owns rows
+        [dev*sub, (dev+1)*sub)."""
         k = self.cfg.k
         n_live = d.astype(np.int64)
         N = min(
-            sparse_ops.ladder(max(int(n_live.max()), 1), floor=4096),
+            sparse_ops.ladder(max(int(n_live.max()), 1), floor=128),
             store_len,
         )
         # always squeeze: the coded wire needs live-PREFIX rows (holes
@@ -756,7 +815,7 @@ class DistributedCounter:
             nm = int(n_multi[g])
             if nm:
                 counts[eidx_h[g][:nm]] = ecnt_h[g][:nm]
-            host_runs.append((codes, counts))
+            host_runs.append((g, codes, counts))
         return host_runs
 
 
