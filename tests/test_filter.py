@@ -523,3 +523,44 @@ def test_filter_paired_device_matches_host(tmp_path, rng):
             (tmp_path / "d1.fq").read_bytes()
         assert (tmp_path / "h2.fq").read_bytes() == \
             (tmp_path / "d2.fq").read_bytes()
+
+
+def test_filter_file_pipeline_many_flushes(rng, tmp_path, monkeypatch):
+    """Cross-flush pipelining (depth 2): a tiny device-batch geometry
+    forces ~25 flushes through begin/finish; output must be
+    byte-identical to the host engine and in input order."""
+    import functools
+
+    from findkmer_tpu import filter as filter_mod
+    from findkmer_tpu import filter_device
+
+    reads = []
+    for i in range(1000):
+        L = int(rng.integers(1, 200))
+        reads.append(("@r%d" % i,
+                      "".join(rng.choice(list("ACGTN")) for _ in range(L))))
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(f"{h}\n{s}\n+\n{'I' * len(s)}\n"
+                          for h, s in reads))
+    kmers = {"".join(rng.choice(list("ACGT")) for _ in range(7))
+             for _ in range(64)}
+    (tmp_path / "spec.tsv").write_text(
+        "".join(f"{km}\t1\n" for km in sorted(kmers)))
+    spec = filter_mod.FilterSpec.load(str(tmp_path / "spec.tsv"))
+
+    monkeypatch.setattr(
+        filter_device, "DeviceFilter",
+        functools.partial(filter_device.DeviceFilter,
+                          batch_rows=2, chunk_len=2048),
+    )
+    out_d = tmp_path / "d.fastq"
+    with open(out_d, "wb") as f:
+        kept_d, seen_d = filter_mod.filter_file(
+            str(fq), f, spec, engine="device")
+    out_h = tmp_path / "h.fastq"
+    with open(out_h, "wb") as f:
+        kept_h, seen_h = filter_mod.filter_file(
+            str(fq), f, spec, engine="host")
+    assert (kept_d, seen_d) == (kept_h, seen_h)
+    assert out_d.read_bytes() == out_h.read_bytes()
+    assert seen_d == 1000
