@@ -480,6 +480,37 @@ def cmd_matrix(args) -> int:
     return 0
 
 
+def cmd_expr(args) -> int:
+    """Set-algebra expression over spectra (kmc_tools `complex`)."""
+    from findkmer_tpu import spectra
+
+    inputs = {}
+    for spec in args.input:
+        name, eq, path = spec.partition("=")
+        if not eq or not name or not path:
+            raise ValueError(
+                f"expr inputs are NAME=PATH, got {spec!r}"
+            )
+        if name in inputs:
+            raise ValueError(f"duplicate expr input name {name!r}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"input file not found: {path}")
+        inputs[name] = path
+    # parse errors surface BEFORE the output is created/truncated
+    spectra.eval_expression(args.expression, inputs, sep=args.sep)
+    f, close = _open_out(args.output)
+    try:
+        n = spectra.expr_sorted_streaming(
+            args.expression, inputs, f, sep=args.sep,
+            canonical=args.canonical,
+        )
+    finally:
+        if close:
+            f.close()
+    print(f"{n} k-mers", file=sys.stderr)
+    return 0
+
+
 def cmd_setop(args) -> int:
     """intersect / subtract (kmc_tools-style streaming set ops)."""
     from findkmer_tpu import spectra
@@ -967,6 +998,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop rows with fewer than N nonzero samples")
     px.add_argument("--sep", default="\t")
     px.set_defaults(fn=cmd_matrix)
+
+    pe = sub.add_parser(
+        "expr",
+        help="set-algebra expression over spectra (kmc_tools complex)",
+        epilog="operators: A+B union/sum, A*B intersect/min, A-B "
+               "k-mers of A absent from B, A~B counter subtract "
+               "(kept > 0); '*' binds tighter, parentheses group. "
+               "Example: findkmer expr '(A + B) - C' "
+               "-i A=a.tsv B=b.tsv C=c.tsv",
+    )
+    pe.add_argument("expression",
+                    help="e.g. '(A + B) * C' — names defined by -i")
+    pe.add_argument("-i", "--input", required=True, nargs="+",
+                    metavar="NAME=PATH",
+                    help="sorted spectrum files bound to expression "
+                         "names")
+    pe.add_argument("-o", "--output", default="-")
+    pe.add_argument("--canonical", action="store_true",
+                    help="fold every input to revcomp-min form first")
+    pe.add_argument("--sep", default="\t")
+    pe.set_defaults(fn=cmd_expr)
 
     for op, hlp in (
         ("intersect", "k-mers in every input, count = min (streaming)"),

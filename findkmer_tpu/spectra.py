@@ -818,6 +818,165 @@ def subtract_sorted_streaming(
     return _write_batched(out_f, gen(), sep_b)
 
 
+# ---------------------------------------------------------------------
+# set-algebra expressions over spectra (the kmc_tools `complex` class)
+# ---------------------------------------------------------------------
+# Grammar (left-associative; '*' binds tighter):
+#   expr   := term (('+' | '-' | '~') term)*
+#   term   := factor ('*' factor)*
+#   factor := NAME | '(' expr ')'
+# Operators (matching this package's merge/intersect/subtract
+# subcommands, themselves the kmc_tools semantics):
+#   A + B   union, counts sum            (merge --op sum)
+#   A * B   intersection, counts min     (intersect)
+#   A - B   k-mers of A absent from B    (subtract --mode kmers)
+#   A ~ B   counts A minus B, kept > 0   (subtract --mode counters)
+# Every node streams in O(buffers): leaves are sorted spectrum files
+# (duplicates within a file sum), combinators are two-pointer walks.
+
+
+def _expr_leaf(path, sep_b: bytes):
+    """Sorted file -> strictly-increasing (kmer, count) stream."""
+    cur = None
+    tot = 0
+    for kmer, cnt in _sorted_lines(path, sep_b):
+        if kmer == cur:
+            tot += cnt
+        else:
+            if cur is not None:
+                yield cur, tot
+            cur, tot = kmer, cnt
+    if cur is not None:
+        yield cur, tot
+
+
+def _expr_walk2(a, b):
+    """Align two strictly-increasing streams: (kmer, ca|None, cb|None)."""
+    sent = object()
+    ai = iter(a)
+    bi = iter(b)
+    av = next(ai, sent)
+    bv = next(bi, sent)
+    while av is not sent or bv is not sent:
+        if bv is sent or (av is not sent and av[0] < bv[0]):
+            yield av[0], av[1], None
+            av = next(ai, sent)
+        elif av is sent or bv[0] < av[0]:
+            yield bv[0], None, bv[1]
+            bv = next(bi, sent)
+        else:
+            yield av[0], av[1], bv[1]
+            av = next(ai, sent)
+            bv = next(bi, sent)
+
+
+def _expr_op(op: str, a, b):
+    for kmer, ca, cb in _expr_walk2(a, b):
+        if op == "+":
+            yield kmer, (ca or 0) + (cb or 0)
+        elif op == "*":
+            if ca is not None and cb is not None:
+                yield kmer, min(ca, cb)
+        elif op == "-":
+            if ca is not None and cb is None:
+                yield kmer, ca
+        else:  # "~"
+            if ca is not None:
+                d = ca - (cb or 0)
+                if d > 0:
+                    yield kmer, d
+
+
+def _expr_tokens(text: str):
+    import re
+
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*|[-+*~()]|\S", text):
+        t = m.group()
+        if t not in "+-*~()" and not t[0].isalpha() and t[0] != "_":
+            raise ValueError(
+                f"expression: unexpected {t!r} at position {m.start()}"
+            )
+        yield t
+    yield None  # EOF
+
+
+def eval_expression(text: str, inputs: Dict[str, str],
+                    sep: str = "\t"):
+    """Evaluate a set-algebra expression over sorted spectrum files.
+
+    inputs maps expression NAMEs to file paths.  Returns a streaming
+    (kmer bytes, count) iterator in sorted order — O(buffers) memory
+    at any spectrum size."""
+    sep_b = sep.encode()
+    toks = _expr_tokens(text)
+    cur = next(toks)
+
+    def advance():
+        nonlocal cur
+        cur = next(toks)
+
+    def factor():
+        if cur == "(":
+            advance()
+            node = expr()
+            if cur != ")":
+                raise ValueError("expression: missing ')'")
+            advance()
+            return node
+        if cur is None or cur in "+-*~)":
+            raise ValueError(
+                f"expression: expected a name, got {cur!r}"
+            )
+        name = cur
+        if name not in inputs:
+            raise ValueError(
+                f"expression: {name!r} is not a defined input "
+                f"(have: {', '.join(sorted(inputs)) or 'none'})"
+            )
+        advance()
+        return _expr_leaf(inputs[name], sep_b)
+
+    def term():
+        node = factor()
+        while cur == "*":
+            advance()
+            node = _expr_op("*", node, factor())
+        return node
+
+    def expr():
+        node = term()
+        while cur in ("+", "-", "~"):
+            op = cur
+            advance()
+            node = _expr_op(op, node, term())
+        return node
+
+    node = expr()
+    if cur is not None:
+        raise ValueError(f"expression: trailing {cur!r}")
+    return node
+
+
+def expr_sorted_streaming(
+    text: str, inputs: Dict[str, str], out_f, sep: str = "\t",
+    canonical: bool = False,
+) -> int:
+    """`findkmer expr`: evaluate and write KMER<sep>COUNT lines.
+
+    canonical=True folds every input to revcomp-min form first (same
+    contract as the intersect/subtract subcommands)."""
+    if canonical:
+        names = sorted(inputs)
+        with _CanonizedInputs([inputs[n] for n in names], sep) as folded:
+            return expr_sorted_streaming(
+                text, dict(zip(names, folded)), out_f, sep
+            )
+    sep_b = sep.encode()
+    return _write_batched(
+        out_f, eval_expression(text, inputs, sep), sep_b
+    )
+
+
 def query_spectrum(
     path, kmers, sep: str = "\t", canonical: bool = False
 ) -> Dict[str, int]:

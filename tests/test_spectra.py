@@ -931,3 +931,129 @@ def test_matrix_cli_and_api(tmp_path, fixtures_dir):
                      str(tmp_path / "m4.tsv"))
     assert (tmp_path / "m4.tsv").read_text() == got
     assert rows == len(got.splitlines()) - 1
+
+
+# ---------------------------------------------------------------- expr
+
+def _brute_expr(text, dicts):
+    """Reference evaluator: same grammar over plain dicts."""
+    import re
+
+    toks = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|[-+*~()]", text) + [None]
+    pos = [0]
+
+    def cur():
+        return toks[pos[0]]
+
+    def adv():
+        pos[0] += 1
+
+    def apply(op, a, b):
+        out = {}
+        for km in set(a) | set(b):
+            ca, cb = a.get(km), b.get(km)
+            if op == "+":
+                out[km] = (ca or 0) + (cb or 0)
+            elif op == "*" and ca is not None and cb is not None:
+                out[km] = min(ca, cb)
+            elif op == "-" and ca is not None and cb is None:
+                out[km] = ca
+            elif op == "~" and ca is not None and ca - (cb or 0) > 0:
+                out[km] = ca - (cb or 0)
+        return out
+
+    def factor():
+        if cur() == "(":
+            adv()
+            n = expr()
+            adv()  # ')'
+            return n
+        n = dicts[cur()]
+        adv()
+        return n
+
+    def term():
+        n = factor()
+        while cur() == "*":
+            adv()
+            n = apply("*", n, factor())
+        return n
+
+    def expr():
+        n = term()
+        while cur() in ("+", "-", "~"):
+            op = cur()
+            adv()
+            n = apply(op, n, term())
+        return n
+
+    return expr()
+
+
+def test_expr_matches_bruteforce(rng, tmp_path):
+    kmers = ["".join(rng.choice(list("ACGT")) for _ in range(5))
+             for _ in range(60)]
+    dicts = {}
+    for name in ("A", "B", "C"):
+        sel = sorted({kmers[int(i)] for i in rng.integers(0, 60, 35)})
+        dicts[name] = {km: int(rng.integers(1, 9)) for km in sel}
+        (tmp_path / f"{name}.tsv").write_text(
+            "".join(f"{km}\t{c}\n" for km, c in sorted(
+                dicts[name].items()))
+        )
+    inputs = {n: str(tmp_path / f"{n}.tsv") for n in dicts}
+    for text in ("A + B", "A * B", "A - B", "A ~ B",
+                 "A + B * C",            # precedence: * first
+                 "(A + B) - C", "(A ~ B) * (B + C)",
+                 "A - B - C", "A"):
+        got = dict(
+            (km.decode(), c)
+            for km, c in spectra.eval_expression(text, inputs)
+        )
+        assert got == _brute_expr(text, dicts), text
+    # errors: unknown name, bad token, trailing, missing paren
+    import pytest as _pytest
+
+    for bad, msg in (("A + D", "not a defined input"),
+                     ("A +", "expected a name"),
+                     ("A B", "trailing"),
+                     ("(A + B", "missing"),
+                     ("A % B", "unexpected")):
+        with _pytest.raises(ValueError, match=msg):
+            spectra.eval_expression(bad, inputs)
+
+
+def test_expr_cli_matches_subcommands(tmp_path, fixtures_dir):
+    """expr 'A+B' == merge; 'A*B' == intersect; 'A~B' == subtract
+    --mode counters; 'A-B' == subtract --mode kmers (byte-identical)."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    d = os.path.join(fixtures_dir, "debruijn4.fa")
+    _cli(["count", "-i", t, "-k", "4", "-o", "a.tsv"], tmp_path)
+    _cli(["count", "-i", d, "-k", "4", "-o", "b.tsv"], tmp_path)
+    pairs = [
+        (["expr", "A + B", "-i", "A=a.tsv", "B=b.tsv"],
+         ["merge", "-i", "a.tsv", "b.tsv"]),
+        (["expr", "A * B", "-i", "A=a.tsv", "B=b.tsv"],
+         ["intersect", "-i", "a.tsv", "b.tsv"]),
+        (["expr", "A ~ B", "-i", "A=a.tsv", "B=b.tsv"],
+         ["subtract", "-i", "a.tsv", "b.tsv", "--mode", "counters"]),
+        (["expr", "A - B", "-i", "A=a.tsv", "B=b.tsv"],
+         ["subtract", "-i", "a.tsv", "b.tsv", "--mode", "kmers"]),
+    ]
+    for expr_args, sub_args in pairs:
+        re_ = _cli(expr_args, tmp_path)
+        rs = _cli(sub_args, tmp_path)
+        assert re_.returncode == 0 and rs.returncode == 0
+        assert re_.stdout == rs.stdout, expr_args[1]
+    # canonical folding matches the canonical subcommand too
+    re_ = _cli(["expr", "A * B", "--canonical",
+                "-i", "A=a.tsv", "B=b.tsv"], tmp_path)
+    rs = _cli(["intersect", "-i", "a.tsv", "b.tsv", "--canonical"],
+              tmp_path)
+    assert re_.stdout == rs.stdout
+    # a parse error must not truncate an existing output
+    (tmp_path / "out.tsv").write_text("precious\n")
+    r = _cli(["expr", "A +", "-i", "A=a.tsv", "-o", "out.tsv"],
+             tmp_path)
+    assert r.returncode == 2
+    assert (tmp_path / "out.tsv").read_text() == "precious\n"
