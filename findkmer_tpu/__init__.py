@@ -27,7 +27,8 @@ def __getattr__(name):
     # "sketch"): once the submodule is imported it becomes the package
     # attribute and would shadow the function — hence sketch_sample
     if name in ("count", "count_text", "count_per_record", "Spectrum",
-                "sketch_sample", "similarity", "filter_reads", "matrix"):
+                "sketch_sample", "similarity", "filter_reads", "matrix",
+                "expr"):
         from findkmer_tpu import api
 
         return getattr(api, name)
@@ -36,4 +37,4 @@ def __getattr__(name):
 
 __all__ = ["Config", "count", "count_text", "count_per_record",
            "Spectrum", "sketch_sample", "similarity", "filter_reads",
-           "matrix", "__version__"]
+           "matrix", "expr", "__version__"]

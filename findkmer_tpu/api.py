@@ -327,6 +327,50 @@ def matrix(
             f.close()
 
 
+def expr(
+    expression: str,
+    inputs: Dict[str, str],
+    output: Optional[str] = None,
+    *,
+    canonical: bool = False,
+    sep: str = "\t",
+):
+    """Set-algebra expression over sorted spectrum files.
+    CLI: `findkmer expr`.
+
+    With output=None returns {kmer: count}; with an output path writes
+    KMER<sep>COUNT lines (streaming, O(buffers)) and returns the line
+    count."""
+    from findkmer_tpu import spectra
+
+    if output is None:
+        if canonical:
+            names = sorted(inputs)
+            with spectra._CanonizedInputs(
+                [inputs[n] for n in names], sep
+            ) as folded:
+                return {
+                    km.decode(): c
+                    for km, c in spectra.eval_expression(
+                        expression, dict(zip(names, folded)), sep
+                    )
+                }
+        return {
+            km.decode(): c
+            for km, c in spectra.eval_expression(expression, inputs, sep)
+        }
+    from findkmer_tpu.cli import _open_out
+
+    f, close = _open_out(output)
+    try:
+        return spectra.expr_sorted_streaming(
+            expression, inputs, f, sep=sep, canonical=canonical
+        )
+    finally:
+        if close:
+            f.close()
+
+
 def similarity(a, b, *, canonical: bool = False, sep: str = "\t"):
     """Similarity metrics between two spectrum files, or two sketch
     dicts/files (Mash estimator).  CLI: `findkmer similarity`."""

@@ -142,3 +142,23 @@ def test_filter_reads_api(tmp_path, fixtures_dir):
     assert (kept, seen) == (1, 2)
     with gzip.open(tmp_path / "out.fq.gz", "rb") as f:
         assert b"@r1" in f.read()
+
+
+def test_expr_api(tmp_path):
+    import findkmer_tpu as fk
+
+    (tmp_path / "a.tsv").write_text("AAAA\t3\nACGT\t1\n")
+    (tmp_path / "b.tsv").write_text("ACGT\t5\nCCCC\t2\n")
+    inputs = {"A": str(tmp_path / "a.tsv"), "B": str(tmp_path / "b.tsv")}
+    assert fk.expr("A + B", inputs) == {"AAAA": 3, "ACGT": 6, "CCCC": 2}
+    assert fk.expr("A * B", inputs) == {"ACGT": 1}
+    assert fk.expr("A - B", inputs) == {"AAAA": 3}
+    n = fk.expr("A ~ B", inputs, str(tmp_path / "o.tsv"))
+    assert n == 1
+    assert (tmp_path / "o.tsv").read_text() == "AAAA\t3\n"
+    # canonical: ACGT is its own revcomp; AAAA folds with TTTT
+    (tmp_path / "c.tsv").write_text("TTTT\t2\n")
+    got = fk.expr("A * C", {"A": str(tmp_path / "a.tsv"),
+                            "C": str(tmp_path / "c.tsv")},
+                  canonical=True)
+    assert got == {"AAAA": 2}
