@@ -455,27 +455,73 @@ def _input_stems(paths) -> list:
 
 def cmd_matrix(args) -> int:
     """k-mer x sample count matrix (kmtricks-class aggregation)."""
+    import shutil
+    import tempfile
+
     from findkmer_tpu import spectra
 
+    inputs = list(args.input)
     if args.names:
         names = args.names.split(",")
     else:
-        names = _input_stems(args.input)
-    if len(names) != len(args.input):
+        names = _input_stems(inputs)
+    if len(names) != len(inputs):
         # validate BEFORE _open_out truncates an existing output
         raise ValueError(
-            f"matrix needs one name per input ({len(args.input)} "
+            f"matrix needs one name per input ({len(inputs)} "
             f"inputs, {len(names)} names)"
         )
-    f, close = _open_out(args.output)
+    tmpdir = None
     try:
-        rows = spectra.matrix_sorted_streaming(
-            args.input, f, names, sep=args.sep,
-            min_total=args.min_total, min_samples=args.min_samples,
-        )
+        if args.k > 0:
+            # sequence inputs: count each at k into a temp spectrum
+            # (one sample per input, like count --per-input), then
+            # stream the matrix over the temp files
+            _enable_compile_cache()
+            from findkmer_tpu import output as output_mod
+            from findkmer_tpu import pipeline
+            from findkmer_tpu.config import Config
+            from findkmer_tpu.models.counter import make_counter
+
+            for path in inputs:
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"input file not found: {path}"
+                    )
+            tmpdir = tempfile.mkdtemp(prefix="fk-matrix-")
+            cfg = Config(k=args.k, canonical=args.canonical)
+            counter = make_counter(cfg)  # one program for all inputs
+            counted = []
+            for i, path in enumerate(inputs):
+                state = counter.init_state()
+                for rows_b in pipeline.prefetch_to_device(
+                    pipeline.batches_from_file(path, cfg),
+                    cfg.prefetch, put=counter.put_batch,
+                ):
+                    state = counter.step(state, rows_b)
+                spectrum = counter.finalize(state)
+                out = os.path.join(tmpdir, f"s{i:05d}.tsv")
+                with open(out, "wb") as f2:
+                    output_mod.write_spectrum(f2, spectrum, cfg)
+                counted.append(out)
+            inputs = counted
+        elif args.canonical:
+            raise ValueError(
+                "matrix --canonical needs -k (sequence inputs); "
+                "canonize spectrum files first"
+            )
+        f, close = _open_out(args.output)
+        try:
+            rows = spectra.matrix_sorted_streaming(
+                inputs, f, names, sep=args.sep,
+                min_total=args.min_total, min_samples=args.min_samples,
+            )
+        finally:
+            if close:
+                f.close()
     finally:
-        if close:
-            f.close()
+        if tmpdir:
+            shutil.rmtree(tmpdir, ignore_errors=True)
     print(f"{rows} k-mers x {len(names)} samples", file=sys.stderr)
     return 0
 
@@ -987,7 +1033,13 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("-i", "--input", required=True, nargs="+",
                     help="sorted spectrum files, one per sample "
                          "(canonical spectra: canonize every input "
-                         "first)")
+                         "first) — or sequence files with -k")
+    px.add_argument("-k", type=int, default=0,
+                    help="treat inputs as sequence files "
+                         "(FASTA/FASTQ/SAM/BAM): count each at this k "
+                         "first, one sample per input")
+    px.add_argument("--canonical", action="store_true",
+                    help="with -k: canonical (revcomp-min) counting")
     px.add_argument("-o", "--output", default="-")
     px.add_argument("--names", default="",
                     help="comma-separated column names (default: "

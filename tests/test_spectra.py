@@ -1057,3 +1057,28 @@ def test_expr_cli_matches_subcommands(tmp_path, fixtures_dir):
              tmp_path)
     assert r.returncode == 2
     assert (tmp_path / "out.tsv").read_text() == "precious\n"
+
+
+def test_matrix_from_sequences(tmp_path, fixtures_dir):
+    """matrix -k counts each sequence input first (one sample per
+    input) — equals counting separately then matrixing the spectra."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    d = os.path.join(fixtures_dir, "debruijn4.fa")
+    r = _cli(["matrix", "-i", t, d, "-k", "4", "--names", "t,d",
+              "-o", "mseq.tsv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    da = count_fasta_file(t, 4)
+    db = count_fasta_file(d, 4)
+    assert (tmp_path / "mseq.tsv").read_text() == _brute_matrix(
+        [da, db], ["t", "d"])
+    # canonical counting via -k
+    r = _cli(["matrix", "-i", t, t, "-k", "4", "--canonical",
+              "--names", "a,b", "-o", "mc.tsv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    dc = count_fasta_file(t, 4, canonical=True)
+    assert (tmp_path / "mc.tsv").read_text() == _brute_matrix(
+        [dc, dc], ["a", "b"])
+    # --canonical without -k is a clean error (spectrum inputs)
+    (tmp_path / "s.tsv").write_text("AAAA\t1\n")
+    r = _cli(["matrix", "-i", "s.tsv", "s.tsv", "--canonical"], tmp_path)
+    assert r.returncode == 2 and "needs -k" in r.stderr
