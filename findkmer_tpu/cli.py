@@ -136,21 +136,33 @@ def _cfg_from_args(args):
             "-z/--zeros requires a direct (dense) table; "
             f"k={cfg.k} resolves to a sparse table{hint}"
         )
+    return _autosize_sparse(
+        cfg, getattr(args, "input", []) or [],
+        user_set_capacity=args.sparse_capacity != 1 << 22,
+    )
+
+
+def _autosize_sparse(cfg, inputs, user_set_capacity: bool):
+    """Size the sparse store and raw buffer from the input files.
+
+    Auto-size the sparse store when the user left it at the default:
+    distinct k-mers <= windows <= input bytes; clamp to an HBM-safe
+    ceiling (store + flush working set).  Explicit --sparse-capacity
+    always wins; a store overflow still errors with a clear message.
+    The raw code buffer is pre-sized from input size so the engine
+    allocates once instead of growing through the shape ladder (each
+    growth step is a fresh multi-minute compile through the axon
+    tunnel)."""
     total_bytes = 0
-    for path in getattr(args, "input", []) or []:
+    for path in inputs:
         if path == "-":
             continue  # stdin: size unknown, nothing to stat
         if not os.path.exists(path):
             raise FileNotFoundError(f"input file not found: {path}")
         total_bytes += os.path.getsize(path)
-
-    # Auto-size the sparse store when the user left it at the default:
-    # distinct k-mers <= windows <= input bytes; clamp to an HBM-safe
-    # ceiling (store + flush working set).  Explicit --sparse-capacity
-    # always wins; a store overflow still errors with a clear message.
     if (
         cfg.resolved_table_mode == "sparse"
-        and args.sparse_capacity == 1 << 22
+        and not user_set_capacity
         and total_bytes > 0
     ):
         need = min(total_bytes, min(4 ** cfg.k, 1 << 28))
@@ -159,10 +171,6 @@ def _cfg_from_args(args):
             cap <<= 1
         if cap != cfg.sparse_capacity:
             cfg = cfg.replace(sparse_capacity=cap)
-    # Pre-size the raw code buffer from input size: total windows are
-    # bounded by input bytes, so the engine allocates once instead of
-    # growing through the shape ladder (each growth step is a fresh
-    # multi-minute compile through the axon tunnel).
     if cfg.resolved_table_mode == "sparse" and total_bytes > 0:
         cfg = cfg.replace(sparse_expected_entries=total_bytes)
     return cfg
@@ -253,11 +261,30 @@ def _per_input_name(path: str, seen: dict) -> str:
     return _input_stem(path, seen) + ".tsv"
 
 
-def _count_per_input(args, cfg) -> int:
-    """--per-input: one spectrum file per input, written into -o DIR."""
+def _count_inputs_to_files(inputs, out_paths, cfg, stats=None) -> None:
+    """Count each input independently into its spectrum file (one
+    compiled program reused across inputs; count --per-input and
+    matrix -k share this loop)."""
     from findkmer_tpu import output as output_mod
     from findkmer_tpu import pipeline
     from findkmer_tpu.models.counter import make_counter
+
+    counter = make_counter(cfg)
+    for path, out in zip(inputs, out_paths):
+        state = counter.init_state()
+        for rows in pipeline.prefetch_to_device(
+            pipeline.batches_from_file(path, cfg, stats=stats),
+            cfg.prefetch, put=counter.put_batch,
+        ):
+            state = counter.step(state, rows)
+        spectrum = counter.finalize(state)
+        with open(out, "wb") as f:
+            output_mod.write_spectrum(f, spectrum, cfg)
+
+
+def _count_per_input(args, cfg) -> int:
+    """--per-input: one spectrum file per input, written into -o DIR."""
+    from findkmer_tpu import pipeline
 
     if args.output == "-" or (
         os.path.exists(args.output) and not os.path.isdir(args.output)
@@ -266,19 +293,10 @@ def _count_per_input(args, cfg) -> int:
                          "-o must name a directory")
     os.makedirs(args.output, exist_ok=True)
     stats = pipeline.StreamStats()
-    counter = make_counter(cfg)  # one compiled program for all inputs
     seen: dict = {}
-    for path in args.input:
-        state = counter.init_state()
-        for rows in pipeline.prefetch_to_device(
-            pipeline.batches_from_file(path, cfg, stats=stats),
-            cfg.prefetch, put=counter.put_batch,
-        ):
-            state = counter.step(state, rows)
-        spectrum = counter.finalize(state)
-        out = os.path.join(args.output, _per_input_name(path, seen))
-        with open(out, "wb") as f:
-            output_mod.write_spectrum(f, spectrum, cfg)
+    outs = [os.path.join(args.output, _per_input_name(p, seen))
+            for p in args.input]
+    _count_inputs_to_files(args.input, outs, cfg, stats=stats)
     if args.stats == "json":
         print(json.dumps(stats.as_dict()), file=sys.stderr)
     return 0
@@ -478,32 +496,17 @@ def cmd_matrix(args) -> int:
             # (one sample per input, like count --per-input), then
             # stream the matrix over the temp files
             _enable_compile_cache()
-            from findkmer_tpu import output as output_mod
-            from findkmer_tpu import pipeline
             from findkmer_tpu.config import Config
-            from findkmer_tpu.models.counter import make_counter
 
-            for path in inputs:
-                if not os.path.exists(path):
-                    raise FileNotFoundError(
-                        f"input file not found: {path}"
-                    )
+            cfg = _autosize_sparse(
+                Config(k=args.k, canonical=args.canonical,
+                       sep=args.sep),
+                inputs, user_set_capacity=False,
+            )
             tmpdir = tempfile.mkdtemp(prefix="fk-matrix-")
-            cfg = Config(k=args.k, canonical=args.canonical)
-            counter = make_counter(cfg)  # one program for all inputs
-            counted = []
-            for i, path in enumerate(inputs):
-                state = counter.init_state()
-                for rows_b in pipeline.prefetch_to_device(
-                    pipeline.batches_from_file(path, cfg),
-                    cfg.prefetch, put=counter.put_batch,
-                ):
-                    state = counter.step(state, rows_b)
-                spectrum = counter.finalize(state)
-                out = os.path.join(tmpdir, f"s{i:05d}.tsv")
-                with open(out, "wb") as f2:
-                    output_mod.write_spectrum(f2, spectrum, cfg)
-                counted.append(out)
+            counted = [os.path.join(tmpdir, f"s{i:05d}.tsv")
+                       for i in range(len(inputs))]
+            _count_inputs_to_files(inputs, counted, cfg)
             inputs = counted
         elif args.canonical:
             raise ValueError(

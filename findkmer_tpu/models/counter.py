@@ -601,6 +601,11 @@ class KmerCounter:
         else:
             # previous compaction's per-row scalars: long since resolved
             d = np.asarray(state.distinct)
+            if int(d.sum()) > self.cfg.sparse_capacity:
+                # fold cross-row duplicates first: the sum counts store
+                # ENTRIES, and only the exact distinct count should
+                # decide spill/error (_dedup_state docstring)
+                state, d = self._dedup_state(state)
             if self.cfg.spill_dir and int(d.sum()) > self.cfg.sparse_capacity:
                 # disk spill (spill.py): persist the sorted store as a
                 # run file and restart it — raw compacts fresh below
@@ -639,6 +644,52 @@ class KmerCounter:
                 f"({distinct} > {self.cfg.sparse_capacity} distinct "
                 "k-mers); raise Config.sparse_capacity or set --spill"
             )
+
+    def _dedup_state(self, state):
+        """Cross-row dedup of the store: one flat global sort leaves
+        EXACT distinct counts.
+
+        d.sum() counts LIVE STORE ENTRIES — a code held by several rows
+        counts once per row, so repeat-heavy inputs can inflate it up
+        to G x above true distinct (round-3 review finding; worse at
+        G=4096 than at the round-2 G=64).  Runs only when the sum
+        crosses sparse_capacity: folds the duplicates so the capacity
+        decision (error or spill) is made on the true count, and the
+        store shrinks to match."""
+        G = self._rows
+        store = state.store
+        if len(store) == 2:
+            lo, cnt, n_live, _ = sparse_ops.global_compact_narrow(*store)
+            flat = (lo, cnt)
+        else:
+            hi, lo, cnt, n_live, _ = sparse_ops.global_compact_wide(
+                *store
+            )
+            flat = (hi, lo, cnt)
+        n = int(np.asarray(n_live))
+        Lc = sparse_ops.ladder(max(-(-n // G), 1), floor=COL_FLOOR)
+        # flat is globally sorted with a live prefix; contiguous chunks
+        # of a sorted array are themselves sorted disjoint rows
+        store2 = tuple(a[: G * Lc].reshape(G, Lc) for a in flat)
+        drows = np.asarray(
+            jnp.count_nonzero(store2[-1], axis=1)
+        ).astype(np.int64)
+        return SparseState(
+            raw=state.raw, fill=state.fill, store=store2,
+            store_len=Lc, distinct=drows,
+        ), drows
+
+    def _ensure_capacity(self, state):
+        """(state, distinct vector) with the capacity contract checked
+        against EXACT distinct (cross-row dedup on demand)."""
+        d = np.asarray(state.distinct)
+        if (
+            state.store is not None
+            and int(d.sum()) > self.cfg.sparse_capacity
+        ):
+            state, d = self._dedup_state(state)
+        self._check_capacity(int(d.sum()))
+        return state, d
 
     def _spill_store(self, store):
         """Pull the compacted store (ordered finalize: globally sorted
@@ -699,8 +750,7 @@ class KmerCounter:
             # D2H of the compaction's distinct vector serializes on the
             # device chain (block_until_ready returns early on axon —
             # CLAUDE.md gotcha #3)
-            d = np.asarray(state.distinct)
-        self._check_capacity(int(d.sum()))
+            state, d = self._ensure_capacity(state)
         if self._spill_n:
             parts = list(self._merged_spill_chunks(state, ph))
             return (
@@ -877,8 +927,7 @@ class KmerCounter:
         )
         with ph("finalize/compact"):
             state = self.compact(state)
-            d = np.asarray(state.distinct)
-        self._check_capacity(int(d.sum()))
+            state, d = self._ensure_capacity(state)
         if self._spill_n:
             yield from self._merged_spill_chunks(state, ph)
             return
@@ -907,8 +956,7 @@ class KmerCounter:
         if self.mode == "direct":
             return state, state
         state = self.compact(state)
-        d = np.asarray(state.distinct)
-        self._check_capacity(int(d.sum()))
+        state, d = self._ensure_capacity(state)
         Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
         if state.store_len > Ldc:
             store = _squeeze_slice_dev(state.store, Ldc)

@@ -82,8 +82,9 @@ def _sub_rows(cap0: int) -> int:
     into R sub-rows before the per-compaction sort — the per-device
     compaction then runs at the measured-fast geometry instead of one
     cap-length row (~530 vs 884 Melem/s at chr scale).  Power of two
-    <= cap0/256 capped at 4096, so it divides every ladder capacity
-    the raw buffers can grow to."""
+    <= cap0/128 (so every sub-row keeps >= 128 raw slots) capped at
+    4096, divides every ladder capacity the raw buffers can grow
+    to."""
     r = 1
     while r < 4096 and r * 256 <= cap0:
         r *= 2
@@ -537,6 +538,48 @@ class DistributedCounter:
         conservative, same as the single-chip row-sum check)."""
         return dv.reshape(self.n_dev, -1).sum(axis=1)
 
+    def _dedup_state(self, st: "DpSparseState"):
+        """Per-device cross-sub-row dedup: one flat per-device sort
+        leaves EXACT per-device distinct counts.
+
+        The sub-row store keeps duplicates of a code that landed in
+        several sub-rows (up to R copies), so the per-device entry sum
+        can exceed true distinct on repeat-heavy input — fold before
+        deciding spill/error (mirrors counter._dedup_state; rare
+        path, only when the sum crosses sparse_capacity)."""
+        R = self._sub
+        big = tuple(a.reshape(self.n_dev, -1) for a in st.store)
+        if len(big) == 3:
+            out = sparse_ops.compact_counted_2d(*big)
+            planes, d = out[:3], out[3]
+        else:
+            out = sparse_ops.compact_counted_narrow_2d(*big)
+            planes, d = out[:2], out[2]
+        dmax = int(np.asarray(d).max())
+        Lc = sparse_ops.ladder(max(-(-dmax // R), 1), floor=128)
+        planes = _squeeze_slice_keep2(planes, R * Lc)
+        store = tuple(a.reshape(self.n_dev * R, Lc) for a in planes)
+        drows = np.asarray(
+            jnp.count_nonzero(store[-1], axis=1)
+        ).astype(np.int64)
+        return DpSparseState(
+            raw=st.raw, fill=st.fill, store=store, store_len=Lc,
+            distinct=drows,
+        ), drows
+
+    def _ensure_capacity(self, st: "DpSparseState"):
+        """(state, per-sub-row distinct) with the per-device capacity
+        contract checked against EXACT distinct (dedup on demand)."""
+        d = np.asarray(st.distinct)
+        if (
+            st.store is not None
+            and int(self._per_dev_distinct(d).max())
+            > self.cfg.sparse_capacity
+        ):
+            st, d = self._dedup_state(st)
+        self._check_capacity(int(self._per_dev_distinct(d).max()))
+        return st, d
+
     def _compact_sparse(self, st: DpSparseState) -> DpSparseState:
         if st.fill == 0 and st.store is not None:
             return st
@@ -549,6 +592,12 @@ class DistributedCounter:
             )
         else:
             dv = np.asarray(st.distinct)  # previous compaction's scalars
+            if (int(self._per_dev_distinct(dv).max())
+                    > self.cfg.sparse_capacity):
+                # fold cross-sub-row duplicates first: the sum counts
+                # store ENTRIES; only exact distinct should decide
+                # spill/error (_dedup_state docstring)
+                st, dv = self._dedup_state(st)
             d = int(self._per_dev_distinct(dv).max())
             if self.cfg.spill_dir and d > self.cfg.sparse_capacity:
                 # per-device disk spill (spill.py): one run per device,
@@ -685,8 +734,7 @@ class DistributedCounter:
         import os
 
         st = self._compact_sparse(state)
-        d = np.asarray(st.distinct)
-        self._check_capacity(int(self._per_dev_distinct(d).max()))
+        st, d = self._ensure_capacity(st)
         store = st.store
         if self._spill_n:
             # merge disk runs with the residual per-device runs in a
@@ -733,8 +781,7 @@ class DistributedCounter:
         exactly finalize(state)'s output)."""
         assert self.merge == "dp_sparse", "finalize_chunks is sparse-only"
         st = self._compact_sparse(state)
-        d = np.asarray(st.distinct)
-        self._check_capacity(int(self._per_dev_distinct(d).max()))
+        st, d = self._ensure_capacity(st)
         if self._spill_n:
             yield from self._merged_spill_chunks(st, d)
             return

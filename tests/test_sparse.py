@@ -595,3 +595,85 @@ def test_merge_host_runs_hierarchical_over_256(rng):
     assert np.array_equal(
         got_n, np.array([want[int(c)] for c in got_c], np.int64)
     )
+
+
+def test_capacity_dedup_repetitive_input(rng):
+    """Repeat-heavy input: per-row distinct sums overcount true
+    distinct (entries, not k-mers); crossing sparse_capacity now folds
+    cross-row duplicates and only errors on the EXACT count (round-3
+    review finding).  Exact spectrum preserved."""
+    import io as _io
+
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu.models.counter import KmerCounter
+    from oracle.scalar import count_kmers_in_text
+    from findkmer_tpu.ops.window import code_to_str
+
+    k = 17
+    motif = "".join(rng.choice(list("ACGT")) for _ in range(150))
+    seq = motif * 300  # 45 kb, ~170 true distinct k-mers
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=512, batch_rows=4, table_mode="sparse",
+        sparse_capacity=600, sparse_compact_entries=2048,
+    )
+    c = KmerCounter(cfg)
+    st = c.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        st = c.step(st, rows)  # forces many compactions at entries>600
+    codes, counts = c.finalize(st)
+    got = {code_to_str(int(cd), k): int(ct)
+           for cd, ct in zip(codes, counts)}
+    assert got == count_kmers_in_text(seq, k)
+    # a spectrum GENUINELY over capacity still errors with the exact
+    # count in the message
+    import pytest as _pytest
+    from conftest import random_dna
+
+    big = random_dna(rng, 4000)
+    cfg2 = Config(k=k, chunk_len=512, batch_rows=4,
+                  table_mode="sparse", sparse_capacity=64,
+                  sparse_compact_entries=2048)
+    c2 = KmerCounter(cfg2)
+    st2 = c2.init_state()
+    with _pytest.raises(RuntimeError, match="sparse_capacity"):
+        for rows in pipeline.batches_from_codes(
+            pipeline.code_stream(
+                FastaReader(_io.BytesIO((">r\n" + big + "\n").encode()))
+            ), cfg2,
+        ):
+            st2 = c2.step(st2, rows)
+        c2.finalize(st2)
+
+
+def test_capacity_dedup_repetitive_input_dist(rng):
+    """Same as above on the 4-device dp_sparse mesh (per-device
+    sub-rows amplify the entry overcount up to R x)."""
+    import io as _io
+
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.io.fasta import FastaReader
+    from findkmer_tpu.parallel import DistributedCounter, make_mesh
+    from test_vs_oracle import oracle_dict, spectrum_to_dict
+
+    k = 17
+    motif = "".join(rng.choice(list("ACGT")) for _ in range(150))
+    seq = motif * 300
+    text = ">r\n" + seq + "\n"
+    cfg = Config(
+        k=k, chunk_len=256, batch_rows=8, table_mode="sparse",
+        sparse_capacity=600, sparse_compact_entries=2048,
+    )
+    dc = DistributedCounter(cfg, make_mesh(4))
+    st = dc.init_state()
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(FastaReader(_io.BytesIO(text.encode()))), cfg
+    ):
+        st = dc.step(st, rows)
+    spectrum = dc.finalize(st)
+    assert spectrum_to_dict(spectrum, k) == oracle_dict(text, k)

@@ -1082,3 +1082,15 @@ def test_matrix_from_sequences(tmp_path, fixtures_dir):
     (tmp_path / "s.tsv").write_text("AAAA\t1\n")
     r = _cli(["matrix", "-i", "s.tsv", "s.tsv", "--canonical"], tmp_path)
     assert r.returncode == 2 and "needs -k" in r.stderr
+
+
+def test_matrix_from_sequences_custom_sep(tmp_path, fixtures_dir):
+    """matrix -k --sep: temp spectra are written AND parsed with the
+    requested separator (round-3 review finding: they diverged)."""
+    t = os.path.join(fixtures_dir, "tiny.fa")
+    r = _cli(["matrix", "-i", t, "-k", "4", "--sep", ",",
+              "--names", "t", "-o", "m.csv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = (tmp_path / "m.csv").read_text()
+    da = count_fasta_file(t, 4)
+    assert got == _brute_matrix([da], ["t"], sep=",")
