@@ -52,6 +52,7 @@ import numpy as np
 from jax import lax
 
 from findkmer_tpu.config import Config
+from findkmer_tpu.ops import compaction
 from findkmer_tpu.ops import histogram as hist_ops
 from findkmer_tpu.ops import sparse as sparse_ops
 from findkmer_tpu.ops import window as window_ops
@@ -205,85 +206,20 @@ COL_FLOOR = 64
 def _store_rows(cap0: int) -> int:
     """Row count G of the (G, cols) store for raw capacity cap0.
 
-    More rows = shorter rows = fewer bitonic sort stages: the FULL
-    row-wise compaction (sort + RLE) measures 536 -> 885 Melem/s going
-    from G=64 to G=4096 at 48M slots (bench/probe_rowsort.py, round 3;
-    the round-2 sweep stopped at G=256 with u32 keys and missed this).
-    G must divide cap0 and every larger ladder capacity (buffers only
-    grow, rows never change), so it is a power of two kept <= cap0/128
-    — which also leaves >= 128 raw slots per row for the per-row RLE.
-    Test-scale caps (4096) keep the round-2 G=64."""
-    g = STORE_ROWS
-    while g < 4096 and g * 256 <= cap0:  # doubled g keeps >= 128 cols
-        g *= 2
-    return g
+    Shared geometry rule (ops/compaction.row_geometry — measured
+    economics in its docstring): power of two from the round-2
+    STORE_ROWS=64 floor, <= cap0/128, capped at 4096.  Test-scale caps
+    (4096) keep the round-2 G=64."""
+    return compaction.row_geometry(cap0, g0=STORE_ROWS)
 
 
-@partial(jax.jit, static_argnames=("G", "cdtype"), donate_argnums=(0,))
-def _compact_raw_dev(bufs, G: int, cdtype=jnp.int32):
-    """First compaction (no store): row-wise sort + positional RLE.
-
-    Returns a (G, cap/G) row store + per-row distinct counts."""
-    bufs2 = tuple(b.reshape(G, -1) for b in bufs)
-    if len(bufs2) == 1:
-        lo, cnt, drows = sparse_ops.compact_raw_narrow_2d(
-            bufs2[0], cdtype=cdtype
-        )
-        return (lo, cnt), drows
-    hi, lo, cnt, drows = sparse_ops.compact_raw_2d(*bufs2, cdtype=cdtype)
-    return (hi, lo, cnt), drows
-
-
-@partial(jax.jit, static_argnames=("Lc", "G"), donate_argnums=(0, 1))
-def _compact_counted_dev(store, bufs, Lc: int, G: int):
-    """Store-carrying compaction: store rows keep their counts, raw
-    codes enter row-wise with count 1; one row sort + value-RLE.
-    Lc is the padded COLUMN count."""
-    rawG = bufs[0].shape[0] // G
-    Ls = store[0].shape[1]
-    pad = Lc - Ls - rawG
-    cdt = store[-1].dtype  # count dtype follows the store
-    ones = jnp.ones((G, rawG), cdt)
-    zpad = jnp.zeros((G, max(pad, 0)), cdt)
-
-    def cat(s, b):
-        parts = [s, b.reshape(G, -1)]
-        if pad:
-            parts.append(
-                jnp.full((G, pad), sparse_ops.sent_of(s.dtype), s.dtype)
-            )
-        return jnp.concatenate(parts, axis=1)
-
-    if len(bufs) == 1:
-        lo = cat(store[0], bufs[0])
-        cnt = jnp.concatenate([store[1], ones, zpad], axis=1)
-        lo, cnt, drows = sparse_ops.compact_counted_narrow_2d(lo, cnt)
-        return (lo, cnt), drows
-    hi = cat(store[0], bufs[0])
-    lo = cat(store[1], bufs[1])
-    cnt = jnp.concatenate([store[2], ones, zpad], axis=1)
-    hi, lo, cnt, drows = sparse_ops.compact_counted_2d(hi, lo, cnt)
-    return (hi, lo, cnt), drows
-
-
-def _squeeze_slice_impl(store, Ld: int):
-    """Row-wise: sort zero-count holes to row ends, slice to Ld cols."""
-    if len(store) == 2:
-        lo, cnt = sparse_ops.squeeze_narrow_2d(*store)
-        return lo[:, :Ld], cnt[:, :Ld]
-    hi, lo, cnt = sparse_ops.squeeze_2d(*store)
-    return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
-
-
-# donating variant for compaction/table_state (old store dead there);
-# the legacy finalize path must NOT donate — the caller's state object
-# stays valid after finalize
-_squeeze_slice_dev = partial(
-    jax.jit, static_argnames=("Ld",), donate_argnums=(0,)
-)(_squeeze_slice_impl)
-_squeeze_slice_keep = partial(jax.jit, static_argnames=("Ld",))(
-    _squeeze_slice_impl
-)
+# Shared row-store compaction chain (ops/compaction.py — ONE
+# implementation for this engine and parallel/dist.py's dp_sparse;
+# round-3 weak #3 fold):
+_compact_raw_dev = compaction.compact_raw_rows
+_compact_counted_dev = compaction.compact_counted_rows
+_squeeze_slice_dev = compaction.squeeze_slice
+_squeeze_slice_keep = compaction.squeeze_slice_keep
 
 
 @dataclass
@@ -595,7 +531,7 @@ class KmerCounter:
         cap = state.raw[0].shape[0]
         if state.store is None:
             store, drows = _compact_raw_dev(
-                state.raw, G, cdtype=jnp.dtype(cfg.count_dtype)
+                state.raw, G, cap // G, cdtype=jnp.dtype(cfg.count_dtype)
             )
             Lc = cap // G
         else:
@@ -611,7 +547,8 @@ class KmerCounter:
                 # run file and restart it — raw compacts fresh below
                 self._spill_store(state.store)
                 store, drows = _compact_raw_dev(
-                    state.raw, G, cdtype=jnp.dtype(cfg.count_dtype)
+                    state.raw, G, cap // G,
+                    cdtype=jnp.dtype(cfg.count_dtype),
                 )
                 return SparseState(
                     raw=_fresh(cap, self._buf_dtypes), fill=0, store=store,
@@ -625,7 +562,7 @@ class KmerCounter:
                 store = _squeeze_slice_dev(store, Ldc)
                 store_cols = Ldc
             Lc = sparse_ops.ladder(store_cols + cap // G, floor=COL_FLOOR)
-            store, drows = _compact_counted_dev(store, state.raw, Lc, G)
+            store, drows = _compact_counted_dev(store, state.raw, G, Lc)
         return SparseState(
             raw=_fresh(cap, self._buf_dtypes), fill=0,
             store=store, store_len=Lc, distinct=drows,
@@ -655,25 +592,12 @@ class KmerCounter:
         G=4096 than at the round-2 G=64).  Runs only when the sum
         crosses sparse_capacity: folds the duplicates so the capacity
         decision (error or spill) is made on the true count, and the
-        store shrinks to match."""
+        store shrinks to match.  Shared machinery: the D=1, sub=G case
+        of ops/compaction.dedup_rows (dp_sparse uses D=n_dev)."""
         G = self._rows
-        store = state.store
-        if len(store) == 2:
-            lo, cnt, n_live, _ = sparse_ops.global_compact_narrow(*store)
-            flat = (lo, cnt)
-        else:
-            hi, lo, cnt, n_live, _ = sparse_ops.global_compact_wide(
-                *store
-            )
-            flat = (hi, lo, cnt)
-        n = int(np.asarray(n_live))
-        Lc = sparse_ops.ladder(max(-(-n // G), 1), floor=COL_FLOOR)
-        # flat is globally sorted with a live prefix; contiguous chunks
-        # of a sorted array are themselves sorted disjoint rows
-        store2 = tuple(a[: G * Lc].reshape(G, Lc) for a in flat)
-        drows = np.asarray(
-            jnp.count_nonzero(store2[-1], axis=1)
-        ).astype(np.int64)
+        store2, Lc, drows = compaction.dedup_rows(
+            state.store, 1, G, COL_FLOOR
+        )
         return SparseState(
             raw=state.raw, fill=state.fill, store=store2,
             store_len=Lc, distinct=drows,
@@ -1059,6 +983,6 @@ class KmerCounter:
                     )
                     for p in parts
                 )
-            return _compact_raw_dev(parts, G)
+            return _compact_raw_dev(parts, G, L // G)
 
         return fn, (rows,)

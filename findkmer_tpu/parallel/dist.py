@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from findkmer_tpu.config import Config
+from findkmer_tpu.ops import compaction
 from findkmer_tpu.ops import histogram as hist_ops
 from findkmer_tpu.ops import sparse as sparse_ops
 from findkmer_tpu.ops import window as window_ops
@@ -76,106 +77,21 @@ def _grow2d(bufs, new_cap: int):
 def _sub_rows(cap0: int) -> int:
     """Per-device SUB-row count of the dp_sparse store.
 
-    Same geometry finding as the single-chip store (counter._store_rows
-    / bench/probe_rowsort.py round 3): shorter rows mean fewer bitonic
-    stages, so each device's raw slice is reshaped (free, row-major)
-    into R sub-rows before the per-compaction sort — the per-device
-    compaction then runs at the measured-fast geometry instead of one
-    cap-length row (~530 vs 884 Melem/s at chr scale).  Power of two
-    <= cap0/128 (so every sub-row keeps >= 128 raw slots) capped at
-    4096, divides every ladder capacity the raw buffers can grow
-    to."""
-    r = 1
-    while r < 4096 and r * 256 <= cap0:
-        r *= 2
-    return r
+    Shared geometry rule (ops/compaction.row_geometry): each device's
+    raw slice is reshaped (free, row-major) into R sub-rows before the
+    per-compaction sort, so the per-device compaction runs at the
+    measured-fast short-row geometry (~884 vs 530 Melem/s at chr scale)
+    instead of one cap-length row.  Starts at 1 (a device may own very
+    little), power of two <= cap0/128, capped at 4096."""
+    return compaction.row_geometry(cap0, g0=1)
 
 
-@partial(jax.jit, static_argnames=("L", "sub", "cdtype"),
-         donate_argnums=(0,))
-def _compact_raw_dev2(bufs, L: int, sub: int = 1, cdtype=jnp.int32):
-    if sub > 1:
-        # (n_dev, cap) -> (n_dev*sub, cap/sub): row-major, so each
-        # device's shard reshapes locally (no cross-device movement)
-        bufs = tuple(b.reshape(b.shape[0] * sub, -1) for b in bufs)
-    G = bufs[0].shape[0]
-    pad = L - bufs[0].shape[1]
-    padded = tuple(
-        jnp.concatenate(
-            [b, jnp.full((G, pad), sparse_ops.sent_of(b.dtype), b.dtype)],
-            axis=1,
-        )
-        if pad
-        else b
-        for b in bufs
-    )
-    if len(padded) == 1:
-        lo, cnt, d = sparse_ops.compact_raw_narrow_2d(padded[0],
-                                                      cdtype=cdtype)
-        return (lo, cnt), d
-    hi, lo, cnt, d = sparse_ops.compact_raw_2d(*padded, cdtype=cdtype)
-    return (hi, lo, cnt), d
-
-
-@partial(jax.jit, static_argnames=("L", "sub"), donate_argnums=(0, 1))
-def _compact_counted_dev2(store, bufs, L: int, sub: int = 1):
-    if sub > 1:
-        bufs = tuple(b.reshape(b.shape[0] * sub, -1) for b in bufs)
-    G = bufs[0].shape[0]
-    n_raw = bufs[0].shape[1]
-    n_store = store[0].shape[1]
-    pad = L - n_store - n_raw
-    cdt = store[-1].dtype  # count dtype follows the store
-    ones = jnp.ones((G, n_raw), cdt)
-    zpad = jnp.zeros((G, max(pad, 0)), cdt)
-
-    def cat(s, b):
-        parts = [s, b]
-        if pad:
-            parts.append(
-                jnp.full((G, pad), sparse_ops.sent_of(b.dtype), b.dtype)
-            )
-        return jnp.concatenate(parts, axis=1)
-
-    if len(bufs) == 1:
-        lo = cat(store[0], bufs[0])
-        cnt = jnp.concatenate([store[1], ones, zpad], axis=1)
-        lo, cnt, d = sparse_ops.compact_counted_narrow_2d(lo, cnt)
-        return (lo, cnt), d
-    hi = cat(store[0], bufs[0])
-    lo = cat(store[1], bufs[1])
-    cnt = jnp.concatenate([store[2], ones, zpad], axis=1)
-    hi, lo, cnt, d = sparse_ops.compact_counted_2d(hi, lo, cnt)
-    return (hi, lo, cnt), d
-
-
-def _squeeze_slice_impl(store, Ld: int):
-    if len(store) == 2:
-        lo, cnt = store
-        klo = jnp.where(cnt > 0, lo, _SENT)
-        lo, cnt = lax.sort(
-            (klo, cnt), dimension=1, num_keys=1, is_stable=False
-        )
-        return lo[:, :Ld], cnt[:, :Ld]
-    hi, lo, cnt = store
-    live = cnt > 0
-    khi = jnp.where(live, hi, sparse_ops.sent_of(hi.dtype))
-    klo = jnp.where(live, lo, _SENT)
-    hi, lo, cnt = lax.sort(
-        (khi, klo, cnt), dimension=1, num_keys=2, is_stable=False
-    )
-    return hi[:, :Ld], lo[:, :Ld], cnt[:, :Ld]
-
-
-# donating variant for the compaction path (the old store is dead there);
-# finalize must NOT donate — the caller's state stays valid (e.g. the
-# scaling harness finalizes the same flushed state twice)
-_squeeze_slice_dev2 = partial(
-    jax.jit, static_argnames=("Ld",), donate_argnums=(0,)
-)(_squeeze_slice_impl)
-_squeeze_slice_keep2 = partial(jax.jit, static_argnames=("Ld",))(
-    _squeeze_slice_impl
-)
+# Shared row-store compaction chain (ops/compaction.py — ONE
+# implementation for this engine and models/counter.py's single-chip
+# store; round-3 weak #3 fold).  G is the TOTAL row count n_dev*sub;
+# the leading row-major reshape keeps each device's shard local.
+_squeeze_slice_dev2 = compaction.squeeze_slice
+_squeeze_slice_keep2 = compaction.squeeze_slice_keep
 
 
 def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
@@ -546,22 +462,13 @@ class DistributedCounter:
         several sub-rows (up to R copies), so the per-device entry sum
         can exceed true distinct on repeat-heavy input — fold before
         deciding spill/error (mirrors counter._dedup_state; rare
-        path, only when the sum crosses sparse_capacity)."""
+        path, only when the sum crosses sparse_capacity).  Shared
+        machinery: the D=n_dev case of ops/compaction.dedup_rows
+        (single-chip uses D=1)."""
         R = self._sub
-        big = tuple(a.reshape(self.n_dev, -1) for a in st.store)
-        if len(big) == 3:
-            out = sparse_ops.compact_counted_2d(*big)
-            planes, d = out[:3], out[3]
-        else:
-            out = sparse_ops.compact_counted_narrow_2d(*big)
-            planes, d = out[:2], out[2]
-        dmax = int(np.asarray(d).max())
-        Lc = sparse_ops.ladder(max(-(-dmax // R), 1), floor=128)
-        planes = _squeeze_slice_keep2(planes, R * Lc)
-        store = tuple(a.reshape(self.n_dev * R, Lc) for a in planes)
-        drows = np.asarray(
-            jnp.count_nonzero(store[-1], axis=1)
-        ).astype(np.int64)
+        store, Lc, drows = compaction.dedup_rows(
+            st.store, self.n_dev, R, 128
+        )
         return DpSparseState(
             raw=st.raw, fill=st.fill, store=store, store_len=Lc,
             distinct=drows,
@@ -587,8 +494,9 @@ class DistributedCounter:
         R = self._sub
         if st.store is None:
             L = sparse_ops.ladder(cap // R, floor=128)
-            store, distinct = _compact_raw_dev2(
-                st.raw, L, sub=R, cdtype=jnp.dtype(self.cfg.count_dtype)
+            store, distinct = compaction.compact_raw_rows(
+                st.raw, self.n_dev * R, L,
+                cdtype=jnp.dtype(self.cfg.count_dtype),
             )
         else:
             dv = np.asarray(st.distinct)  # previous compaction's scalars
@@ -604,8 +512,8 @@ class DistributedCounter:
                 # raw compacts fresh below
                 self._spill_stores(st.store, st.store_len, dv)
                 L = sparse_ops.ladder(cap // R, floor=128)
-                store, distinct = _compact_raw_dev2(
-                    st.raw, L, sub=R,
+                store, distinct = compaction.compact_raw_rows(
+                    st.raw, self.n_dev * R, L,
                     cdtype=jnp.dtype(self.cfg.count_dtype),
                 )
                 return DpSparseState(
@@ -619,8 +527,9 @@ class DistributedCounter:
                 store = _squeeze_slice_dev2(store, Ld)
                 store_len = Ld
             L = sparse_ops.ladder(store_len + cap // R, floor=128)
-            store, distinct = _compact_counted_dev2(store, st.raw, L,
-                                                    sub=R)
+            store, distinct = compaction.compact_counted_rows(
+                store, st.raw, self.n_dev * R, L
+            )
         return DpSparseState(
             raw=self._fresh_raw(cap), fill=0, store=store, store_len=L,
             distinct=distinct,
