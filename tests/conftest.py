@@ -37,6 +37,15 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: `heavy` is set explicitly on slow tests
+    (subprocess CLI, mesh-wide, GB-scale); everything else gets `quick`
+    so both `-m quick` and `-m heavy` select a tier directly."""
+    for item in items:
+        if "heavy" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

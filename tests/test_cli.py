@@ -11,6 +11,10 @@ from oracle.scalar import count_fasta_file, spectrum_lines
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# every test here shells out to the CLI (subprocess + fresh jax init):
+# the whole module is the heavy tier
+pytestmark = pytest.mark.heavy
+
 
 def run_cli(args, tmp_path):
     env = dict(os.environ)

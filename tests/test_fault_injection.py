@@ -31,6 +31,7 @@ def _cli(args, tmp_path, timeout=300):
     return r.stdout
 
 
+@pytest.mark.heavy
 def test_sigkill_mid_stream_resume_bit_identical(tmp_path, fixtures_dir):
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
     common = ["-k", "6", "--chunk-len", "512", "--batch-rows", "2"]
@@ -72,6 +73,7 @@ def test_sigkill_mid_stream_resume_bit_identical(tmp_path, fixtures_dir):
     assert resumed == full
 
 
+@pytest.mark.heavy
 def test_sigkill_mid_spill_resume_bit_identical(tmp_path, fixtures_dir):
     """--spill composed with --checkpoint (VERDICT round-2 item 4): kill
     a spilling, checkpointing stream once both a checkpoint AND at least

@@ -137,6 +137,7 @@ def test_min_qual_rejects_fasta(tmp_path):
         _count(p, 4, min_qual=10)  # sniffed fasta under auto
 
 
+@pytest.mark.heavy
 def test_cli_min_qual(rng, tmp_path):
     fq, fa, _ = _reads_with_quals(rng, 12, 48, min_qual=20)
     (tmp_path / "r.fastq").write_text(fq)

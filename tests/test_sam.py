@@ -236,6 +236,7 @@ def _run_cli(args, stdin=None):
     )
 
 
+@pytest.mark.heavy
 def test_cli_bam_stdin_and_file(tmp_path):
     """`findkmer count -i reads.bam` == `-i -` (piped) == FASTA run."""
     bam_bytes = make_bam(READS)
@@ -253,6 +254,7 @@ def test_cli_bam_stdin_and_file(tmp_path):
     assert r_pipe.stdout == r_fa.stdout
 
 
+@pytest.mark.heavy
 def test_cli_sam_explicit_format(tmp_path):
     sam = tmp_path / "weird.txt"  # wrong extension: rely on --format
     sam.write_bytes(make_sam(READS))

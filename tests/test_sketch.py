@@ -155,6 +155,7 @@ def test_compare_guards():
     assert r["jaccard"] == 0.0 and r["mash_distance"] == 1.0
 
 
+@pytest.mark.heavy
 def test_cli_sketch_and_similarity(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     r = _cli(["sketch", "-i", fa, "-k", "4", "-o", "a.json.gz"], tmp_path)
@@ -185,6 +186,7 @@ def test_cli_sketch_and_similarity(tmp_path, fixtures_dir):
     assert "containment_a_in_b" in json.loads(r.stdout)
 
 
+@pytest.mark.heavy
 def test_cli_similarity_pairwise_matrix(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     db = os.path.join(fixtures_dir, "debruijn4.fa")
@@ -210,6 +212,7 @@ def test_cli_similarity_pairwise_matrix(tmp_path, fixtures_dir):
     assert r.returncode != 0 and "at least two" in r.stderr
 
 
+@pytest.mark.heavy
 def test_cli_sketch_per_input(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     db = os.path.join(fixtures_dir, "debruijn4.fa")
@@ -230,6 +233,7 @@ def test_cli_sketch_per_input(tmp_path, fixtures_dir):
     assert r.returncode != 0 and "-o DIR" in r.stderr
 
 
+@pytest.mark.heavy
 def test_cli_info_on_sketch(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     r = _cli(["sketch", "-i", fa, "-k", "4", "-o", "a.json",
@@ -242,6 +246,7 @@ def test_cli_info_on_sketch(tmp_path, fixtures_dir):
     assert d["name"] == "tiny" and d["k"] == 4 and d["n_hashes"] > 0
 
 
+@pytest.mark.heavy
 def test_cli_sketch_errors(tmp_path, fixtures_dir):
     fa = os.path.join(fixtures_dir, "tiny.fa")
     r = _cli(["sketch", "-i", fa, "x"], tmp_path)  # two inputs, no -k

@@ -250,6 +250,7 @@ def _cli(args, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_spill_cli_byte_identical(tmp_path, fixtures_dir):
     """count --spill with a tiny capacity == plain count, byte-for-byte
     (the ecoli fragment has ~30k distinct 21-mers, forcing many runs)."""
@@ -272,6 +273,7 @@ def test_spill_cli_byte_identical(tmp_path, fixtures_dir):
     assert spill.load_runs(str(tmp_path / "sp")) == []
 
 
+@pytest.mark.heavy
 def test_spill_two_simulated_hosts(tmp_path, fixtures_dir):
     """stream --num-processes 2 --spill: per-process subdirs; merged
     per-host partials equal the plain single count."""
@@ -292,6 +294,7 @@ def test_spill_two_simulated_hosts(tmp_path, fixtures_dir):
     assert rm.stdout == rc.stdout
 
 
+@pytest.mark.heavy
 def test_spill_cli_stream_checkpoint_composes(tmp_path, fixtures_dir):
     """stream --spill --checkpoint runs to completion and matches a
     plain count byte-for-byte (the round-2 fence error is gone)."""

@@ -5,6 +5,7 @@ merged with `findkmer merge` equal the single-host spectrum
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,6 +24,7 @@ def _cli(args, tmp_path):
     return r.stdout
 
 
+@pytest.mark.heavy
 def test_two_simulated_hosts_merge(tmp_path, fixtures_dir):
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
     common = ["-k", "6", "--chunk-len", "1024", "--batch-rows", "4"]
@@ -37,6 +39,7 @@ def test_two_simulated_hosts_merge(tmp_path, fixtures_dir):
     assert merged == single
 
 
+@pytest.mark.heavy
 def test_host_resume_composes_with_sharding(tmp_path, fixtures_dir):
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
     common = ["-k", "5", "--chunk-len", "1024", "--batch-rows", "2"]
@@ -50,10 +53,8 @@ def test_host_resume_composes_with_sharding(tmp_path, fixtures_dir):
     assert a == b
 
 
-import pytest
-
-
 @pytest.mark.parametrize("k", ["6", "18"])  # dense-sum and sparse merge
+@pytest.mark.heavy
 def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
     """REAL 2-process jax.distributed group on CPU: `stream
     --coordinator` ends in one collective allgather merge — host 0
@@ -98,6 +99,7 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
     assert not (tmp_path / "h1.tsv").exists()
 
 
+@pytest.mark.heavy
 def test_stream_sparse_singlehost_resume_oracle(tmp_path, fixtures_dir):
     """Sparse (k=17) single-host stream — the streamed finalize write —
     is oracle-exact, resumes bit-identically from a checkpoint (the
