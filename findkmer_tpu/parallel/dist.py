@@ -145,15 +145,34 @@ class DpSparseState:
 
 
 class DistributedCounter:
-    """Mesh-parallel counter.  Feed global (B, R) batches; B % n_dev == 0."""
+    """Mesh-parallel counter.  Feed global (B, R) batches; B % n_dev == 0.
 
-    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
+    `table_entries` (all_to_all mode only) scales the sharded table for
+    dry runs/tests: codes are routed with the PRODUCTION geometry
+    (bucket-by-prefix of the true k-bit code, dest = code >> shift with
+    shift derived from the scaled shard), but the table holds only the
+    first `table_entries` codes — codes >= table_entries route to
+    nonexistent shards and are dropped, so counts are PARTIAL.  None
+    (production) = the full 4^k table."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        mesh: Optional[Mesh] = None,
+        *,
+        table_entries: Optional[int] = None,
+    ):
         self.cfg = cfg
         if cfg.count_dtype == "int64" and not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
         self.mode = cfg.resolved_table_mode
+        if table_entries is not None and (
+            table_entries & (table_entries - 1) or table_entries <= 0
+        ):
+            raise ValueError("table_entries must be a power of two")
+        self._table_entries = table_entries
         if cfg.batch_rows % self.n_dev != 0:
             raise ValueError(
                 f"batch_rows ({cfg.batch_rows}) must be divisible by the "
@@ -181,20 +200,31 @@ class DistributedCounter:
 
             spill.init_dir(cfg.spill_dir)
         if merge == "all_to_all":
-            if cfg.table_size % self.n_dev != 0:
+            if self.table_size % self.n_dev != 0:
                 raise ValueError(
                     f"table size 4^{cfg.k} not divisible by {self.n_dev} "
                     "devices (use a power-of-two mesh)"
                 )
             if self.n_dev & (self.n_dev - 1):
                 raise ValueError("all_to_all merge needs power-of-two mesh")
+        elif self._table_entries is not None:
+            raise ValueError(
+                "table_entries scaling applies to all_to_all merge only"
+            )
         self._build()
+
+    @property
+    def table_size(self) -> int:
+        """Effective dense-table entries (scaled in dry runs, see class doc)."""
+        if self._table_entries is not None:
+            return self._table_entries
+        return self.cfg.table_size
 
     # ------------------------------------------------------------------
     def _build(self):
         cfg, mesh, n_dev = self.cfg, self.mesh, self.n_dev
         k, canonical = cfg.k, cfg.canonical
-        T = cfg.table_size if self.mode == "direct" else None
+        T = self.table_size if self.mode == "direct" else None
         dtype = jnp.dtype(cfg.count_dtype)
         rows_leaf_spec = P(AXIS, None)
         # batches may be raw (B, R) rows or a (packed, validbits) pair
@@ -402,7 +432,7 @@ class DistributedCounter:
             )
         if self.merge == "all_to_all":
             shards = jax.device_put(
-                jnp.zeros((n_dev, cfg.table_size // n_dev), dtype),
+                jnp.zeros((n_dev, self.table_size // n_dev), dtype),
                 self._state_sharding,
             )
             return (shards, jnp.zeros((), bool))

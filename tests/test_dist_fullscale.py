@@ -1,0 +1,99 @@
+"""Config 3 at its defining size (BASELINE config 3; VERDICT round-3
+missing #2): the FULL 4^15 direct table — 1,073,741,824 int32 entries,
+512 MiB per shard x 8 shards — instantiated on the 8-virtual-CPU mesh
+with the key-routed all_to_all merge, fed a deterministic multi-record
+input with realistic genomic prefix skew, and oracle-diffed.
+
+The small-k mesh tests (test_dist.py, 4^11 = 4M entries) validate the
+route arithmetic; this one validates the regime they cannot: per-shard
+capacity at GB scale, int32 route offsets against a 2^30 code space,
+and route-bucket sizing against non-uniform prefix traffic (measured
+here: the hottest shard carries 2.03x the uniform share, above the
+default route_capacity_factor of 1.5 — Config must be told about skew).
+
+Heavy tier: ~4 GiB of table + a like-sized finalize pull; minutes of
+page-fault time on lazily-backed VMs.  Skipped below 24 GiB of RAM.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from findkmer_tpu.config import Config
+from test_dist import _count_dist
+from test_vs_oracle import oracle_dict, spectrum_to_dict
+
+_RAM_GB = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+
+_BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+def _skewed_genome(seed=315):
+    """Deterministic multi-record input with genomic-shaped prefix skew:
+    AT-rich composition (p = .45/.12/.08/.35) + a repeated 25-mer motif
+    every ~3 kbase (repeat families) + 1% N noise."""
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    p = [0.45, 0.12, 0.08, 0.35]
+    recs = []
+    for n in (40000, 50000, 30000):
+        s = "".join(bases[rng.choice(4, n, p=p)])
+        motif = "".join(bases[rng.choice(4, 25, p=p)])
+        pieces = []
+        for i in range(0, n, 3000):
+            pieces.append(s[i : i + 3000])
+            pieces.append(motif)
+        arr = np.array(list("".join(pieces)))
+        arr[rng.random(arr.size) < 0.01] = "N"
+        recs.append("".join(arr))
+    return recs
+
+
+def _shard_shares(recs, k, n_shards):
+    """Valid-window traffic per owner shard (top log2(n_shards) bits of
+    the 2k-bit code) — the oracle-side view of the route skew."""
+    shift = 2 * k - int(np.log2(n_shards))
+    counts = np.zeros(n_shards, np.int64)
+    for s in recs:
+        run = 0
+        code = 0
+        for ch in s:
+            v = _BASE_CODE.get(ch)
+            if v is None:
+                run = 0
+                code = 0
+                continue
+            code = ((code << 2) | v) & ((1 << 2 * k) - 1)
+            run += 1
+            if run >= k:
+                counts[code >> shift] += 1
+    return counts / counts.sum()
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(_RAM_GB < 24, reason="needs ~9 GiB of table buffers")
+def test_all_to_all_k15_full_table_skewed():
+    recs = _skewed_genome()
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(recs))
+
+    # the input's hottest shard carries >1.5x the uniform 1/8 share —
+    # the default route_capacity_factor (1.5) is NOT safe at this skew,
+    # which is the regime this test exists to exercise
+    shares = _shard_shares(recs, 15, 8)
+    assert shares.max() * 8 > 1.6, shares
+
+    cfg = Config(
+        k=15,
+        merge="all_to_all",
+        table_mode="direct",
+        batch_rows=8,
+        chunk_len=8192,
+        route_capacity_factor=3.0,  # sized for the measured 2.03x skew
+    )
+    spectrum = _count_dist(text, cfg, 8)
+    assert spectrum.shape == (4**15,)
+    assert spectrum.dtype == np.int32
+    got = spectrum_to_dict(spectrum, 15)
+    want = oracle_dict(text, 15)
+    assert got == want

@@ -2,6 +2,7 @@
 (SURVEY.md §7 M5; round-2 architecture in ops/sparse.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from findkmer_tpu.ops.sparse import (
@@ -464,6 +465,7 @@ def test_multi_chunk_finalize_pull(monkeypatch, rng):
         assert np.array_equal(n8, n1), k
 
 
+@pytest.mark.heavy
 def test_chr_shaped_compaction_ordered_finalize(rng):
     """Chr-scale-SHAPED store exercise (VERDICT round-2 item 6): one
     ladder-size raw buffer (4M slots) through the row compaction and
@@ -526,6 +528,7 @@ def test_store_rows_geometry():
             cap = ladder(cap + 1)
 
 
+@pytest.mark.heavy
 def test_large_row_store_multi_compaction_vs_oracle(rng):
     """G > 64 store geometry: three injected raw rounds drive the
     compact_raw -> compact_counted -> finalize chain at G=4096, exact
@@ -568,6 +571,69 @@ def test_large_row_store_multi_compaction_vs_oracle(rng):
     got_c, got_n = c.finalize(st)
     want_c, want_n = np.unique(np.concatenate(all_codes),
                                return_counts=True)
+    assert np.array_equal(got_c, want_c)
+    assert np.array_equal(got_n, want_n.astype(np.int64))
+
+
+@pytest.mark.heavy
+def test_large_ladder_dedup_multichunk_finalize(rng, monkeypatch):
+    """Repeat-heavy input at cap >= 2^22 (VERDICT round-3 item 7): codes
+    drawn from a pool smaller than capacity, injected until the store's
+    per-row ENTRY sum exceeds sparse_capacity while true distinct stays
+    under it — the exact regime where on-demand cross-row dedup
+    (counter._dedup_state) must fire instead of a spurious capacity
+    error.  The finalize is forced multi-chunk (FINDKMER_FINALIZE_CHUNKS)
+    so the chunked ordered-wire reassembly also runs at G=4096 on CPU."""
+    import jax.numpy as jnp
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.models.counter import KmerCounter, _append
+    from findkmer_tpu.ops import sparse as sparse_ops
+
+    monkeypatch.setenv("FINDKMER_FINALIZE_CHUNKS", "4")
+    k = 21
+    n = 1 << 20
+    cap = 1 << 22
+    cfg = Config(k=k, sparse_capacity=cap,
+                 sparse_expected_entries=n,
+                 sparse_compact_entries=n)
+    c = KmerCounter(cfg)
+    assert c._rows == 4096
+    st = c.init_state()
+    hdt = sparse_ops.hi_dtype(k)
+    # pool of 2^21 distinct codes (< cap): every round re-draws from the
+    # pool, so cross-row duplicates accumulate with each compaction
+    pool = (
+        rng.integers(0, 1 << 10, 1 << 21).astype(np.uint64)
+        << np.uint64(32)
+    ) | rng.integers(0, 1 << 32, 1 << 21).astype(np.uint64)
+    # 5 rounds: the entry sum (~5M) first crosses cap (4.19M) after the
+    # LAST compaction, so the dedup fires on the finalize path
+    # (_ensure_capacity); the compact-path trigger is covered at small
+    # scale by test_capacity_dedup_repetitive_input.
+    all_codes = []
+    for _ in range(5):
+        codes = pool[rng.integers(0, pool.size, n)]
+        all_codes.append(codes)
+        parts = (
+            jnp.asarray((codes >> np.uint64(32)).astype(hdt)),
+            jnp.asarray(
+                (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ),
+        )
+        st = st.__class__(
+            raw=_append(st.raw, parts, jnp.int32(0)), fill=n,
+            store=st.store, store_len=st.store_len,
+            distinct=st.distinct,
+        )
+        st = c.compact(st)
+    # the regime this test exists for: entry sum above capacity, true
+    # distinct below it — only on-demand dedup can tell them apart
+    want_c, want_n = np.unique(np.concatenate(all_codes),
+                               return_counts=True)
+    entry_sum = int(np.asarray(st.distinct).sum())
+    assert want_c.size <= cap < entry_sum, (want_c.size, entry_sum)
+    got_c, got_n = c.finalize(st)
     assert np.array_equal(got_c, want_c)
     assert np.array_equal(got_n, want_n.astype(np.int64))
 
