@@ -80,7 +80,8 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
 
 
 def bench_sparse_step(jax, k=21, batch_rows=512, chunk_len=65536, steps=3,
-                      capacity=1 << 28, canonical=False):
+                      capacity=1 << 28, canonical=False,
+                      time_finalize=False):
     """bases/s of the sparse (log-structured) path for big k.
 
     Honest accounting: the timed window covers everything the device does
@@ -90,6 +91,13 @@ def bench_sparse_step(jax, k=21, batch_rows=512, chunk_len=65536, steps=3,
     compaction, so this window (≈50 Mbase -> one compaction) matches the
     production amortization profile.  Warmup runs one identical cycle so
     no tunnel compile lands in the timed region.
+
+    time_finalize: additionally time counter.finalize on the timed
+    pass's compacted store — the count-table merge (BASELINE metric 2:
+    ordered device sort + coded-wire D2H + host assembly), measured on a
+    chr-scale-shaped store (~100M windows).  Returns (bps, dt,
+    finalize_s) instead of (bps, dt); the warm pass finalizes too so no
+    compile lands in the timed merge.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -123,16 +131,24 @@ def bench_sparse_step(jax, k=21, batch_rows=512, chunk_len=65536, steps=3,
     )
 
     def run_once():
+        t0 = time.perf_counter()
         state = counter.init_state()
         for _ in range(steps):
             state = counter.step(state, rows)
         state = counter.compact(state)
         _sync(state.store[-1])
+        ingest_dt = time.perf_counter() - t0
+        fin_dt = 0.0
+        if time_finalize:
+            t1 = time.perf_counter()
+            counter.finalize(state)
+            fin_dt = time.perf_counter() - t1
+        return ingest_dt, fin_dt
 
-    run_once()  # compile + warm
-    t0 = time.perf_counter()
-    run_once()
-    dt = time.perf_counter() - t0
+    run_once()  # compile + warm (incl. the finalize programs)
+    dt, fin_dt = run_once()
+    if time_finalize:
+        return bases / dt, dt, fin_dt
     return bases / dt, dt
 
 
