@@ -342,6 +342,62 @@ def _fastq_records_block(path) -> Iterator[Tuple[bytes, bytes]]:
             f.close()
 
 
+def _fastq_blocks(path, block_bytes: int = 1 << 22):
+    """Offsets-based zero-copy FASTQ block reader (C record scanner,
+    src/native/encode.c fk_fastq_scan): yields (data uint8 array,
+    seq_start, seq_end, rec_start, rec_end) per ~4 MB block — no
+    per-read byte slices, no per-line Python.  Same record contract as
+    _fastq_records_block (strict 4-line, blank lines at header
+    positions, CRLF-stripped sequence spans, errors on wrapped FASTQ);
+    the two parsers are cross-diffed in tests/test_filter.py."""
+    from findkmer_tpu.io import native
+    from findkmer_tpu.io.fasta import open_maybe_gzip
+
+    f, own = open_maybe_gzip(path)
+    try:
+        tail = b""
+        eof = False
+        while True:
+            chunks = [tail] if tail else []
+            size = len(tail)
+            while size < block_bytes and not eof:
+                b = f.read(block_bytes)
+                if not b:
+                    eof = True
+                    break
+                chunks.append(b)
+                size += len(b)
+            if eof and size and not (chunks[-1].endswith(b"\n")):
+                chunks.append(b"\n")  # unterminated final line
+            data = b"".join(chunks)
+            if not data:
+                return
+            buf = np.frombuffer(data, np.uint8)
+            seq_s, seq_e, rec_s, rec_e, consumed, err = (
+                native.fastq_scan(buf)
+            )
+            if seq_s.size:
+                yield buf, seq_s, seq_e, rec_s, rec_e
+            if err:
+                raise ValueError(
+                    f"{path}: multi-line FASTQ is not supported "
+                    "(expected @header/seq/+/quality groups)"
+                )
+            if eof:
+                if data[consumed:].strip():
+                    raise ValueError(f"{path}: truncated FASTQ record")
+                return
+            if consumed == 0 and len(data) >= block_bytes:
+                # a single record larger than the block: widen and retry
+                tail = data
+                block_bytes *= 2
+                continue
+            tail = data[consumed:]
+    finally:
+        if own:
+            f.close()
+
+
 def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
     """Yield (sequence_bytes, verbatim_record_bytes) per read.
 
@@ -396,6 +452,139 @@ def _pipeline_depth() -> int:
         return 2
 
 
+def _keep_mask(hits, wins, min_hits, min_frac, invert):
+    """Vectorized pass/keep rule, float-identical to the scalar one
+    (h/w >= frac via the same IEEE double division)."""
+    ok = hits >= min_hits
+    if min_frac is not None:
+        nz = wins > 0
+        frac_ok = np.zeros(ok.shape, bool)
+        frac_ok[nz] = (hits[nz] / wins[nz]) >= min_frac
+        ok &= frac_ok
+    return ok != invert
+
+
+def _emit_records(out_f, data, rec_s, rec_e, keep) -> int:
+    """Write kept records as COALESCED spans of the block buffer:
+    adjacent kept records merge into one write (the emit leg of the
+    offsets flow — per-run syscalls instead of per-read)."""
+    idx = np.flatnonzero(keep)
+    if idx.size == 0:
+        return 0
+    mv = memoryview(data)
+    brk = np.flatnonzero(rec_s[idx[1:]] != rec_e[idx[:-1]])
+    run_a = np.concatenate(([0], brk + 1))
+    run_b = np.concatenate((brk, [idx.size - 1]))
+    for a, b in zip(run_a, run_b):
+        out_f.write(mv[int(rec_s[idx[a]]) : int(rec_e[idx[b]])])
+    return int(idx.size)
+
+
+def _filter_fastq_offsets(
+    path, out_f, spec, *, min_hits, min_frac, invert, engine
+) -> Tuple[int, int]:
+    """Single-end FASTQ filtering on the offsets-based zero-copy flow:
+    the C record scanner (_fastq_blocks) produces per-block offset
+    arrays, reads are scored IN PLACE in the block buffer (host: C scan
+    at block offsets; device: C gather-encode into the packed wire),
+    and kept records are emitted as coalesced block spans.  No per-read
+    Python objects anywhere — the ~1.1 s / 50 Mbase parse+emit residual
+    of the list-based flow (bench/RESULTS.md round 3) collapses to the
+    per-block calls."""
+    from collections import deque
+
+    from findkmer_tpu.io import native
+
+    k = spec.k
+    if engine == "device":
+        from findkmer_tpu.filter_device import DeviceFilter
+
+        scorer = DeviceFilter(spec)
+        batch_bytes = scorer.need
+        depth = _pipeline_depth()
+    else:
+        scorer = None
+        batch_bytes = 8 << 20
+        depth = 0
+    kept = seen = 0
+    segs: list = []        # (data, seq_s, joined_s, lens, rec_s, rec_e)
+    nbases = nreads = 0
+    pending: deque = deque()
+    import os as _os
+
+    block_bytes = int(
+        _os.environ.get("FINDKMER_FILTER_BLOCK", str(1 << 22))
+    )  # test hook: small blocks force multi-segment flushes
+
+    def score_host(segs_):
+        out = []
+        for data, ss, js, lens, rs, re_ in segs_:
+            h, w = native.filter_hits(
+                data, ss, lens, k, spec.canonical, spec.codes,
+                spec._bloom, spec._shift,
+            )
+            out.append((h, w, data, rs, re_))
+        return out
+
+    def emit_scored(scored):
+        nonlocal kept
+        for h, w, data, rs, re_ in scored:
+            keep = _keep_mask(h, w, min_hits, min_frac, invert)
+            kept += _emit_records(out_f, data, rs, re_, keep)
+
+    def drain_one():
+        p, segs_ = pending.popleft()
+        hits, wins = scorer.finish(p)
+        off = 0
+        scored = []
+        for data, ss, js, lens, rs, re_ in segs_:
+            n = ss.size
+            scored.append((hits[off : off + n], wins[off : off + n],
+                           data, rs, re_))
+            off += n
+        emit_scored(scored)
+
+    def flush():
+        nonlocal segs, nbases, nreads
+        if not segs:
+            return
+        if depth:
+            pending.append((scorer.begin_offsets(segs, nbases, nreads),
+                            segs))
+            while len(pending) > depth:
+                drain_one()
+        else:
+            emit_scored(score_host(segs))
+        segs = []
+        nbases = nreads = 0
+
+    for data, seq_s, seq_e, rec_s, rec_e in _fastq_blocks(
+        path, block_bytes=block_bytes
+    ):
+        lens = seq_e - seq_s
+        n = int(seq_s.size)
+        bases = int(lens.sum())
+        seen += n
+        if segs and nbases + nreads + bases + n > batch_bytes:
+            flush()
+        # joined-stream starts of this block's reads (one separator
+        # slot between consecutive reads, across segment joints too):
+        # current joined length is nbases + nreads - 1, so the next
+        # read starts at nbases + nreads (also right when empty)
+        js = np.empty(n, np.int64)
+        js[0] = nbases + nreads
+        np.cumsum(lens[:-1] + 1, out=js[1:])
+        if n > 1:
+            js[1:] += js[0]
+        segs.append((data, seq_s, js, lens, rec_s, rec_e))
+        nbases += bases
+        nreads += n
+    flush()
+    while pending:
+        drain_one()
+    return kept, seen
+
+
 def filter_file(
     path,
     out_f,
@@ -416,8 +605,29 @@ def filter_file(
     engine: "host" (OpenMP C scan / numpy), "device" (TPU sort-merge
     membership, filter_device.py), or "auto" (device on a real
     accelerator).  Both engines are bit-for-bit interchangeable.
-    Returns (reads kept, reads seen)."""
+    Returns (reads kept, reads seen).
+
+    FASTQ inputs take the offsets-based zero-copy flow when the native
+    library is built (_filter_fastq_offsets: C record scan, in-place
+    scoring, coalesced emit; FINDKMER_FILTER_FAST=0 forces the
+    list-based flow — both are byte-identical, tests/test_filter.py)."""
+    import os
+
+    from findkmer_tpu.io import native as _native
+    from findkmer_tpu.io.fastq import sniff_format
+
     engine = _resolve_engine(engine)
+    if fmt == "auto":
+        fmt = sniff_format(path)
+    if (
+        fmt == "fastq"
+        and _native.available()
+        and os.environ.get("FINDKMER_FILTER_FAST", "1") == "1"
+    ):
+        return _filter_fastq_offsets(
+            path, out_f, spec, min_hits=min_hits, min_frac=min_frac,
+            invert=invert, engine=engine,
+        )
     if engine == "device":
         from findkmer_tpu.filter_device import DeviceFilter
 

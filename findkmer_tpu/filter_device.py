@@ -254,10 +254,35 @@ class DeviceFilter:
             payload = ("numpy", valid, nw)
         return (seqs, payload, self._dispatch_bitmaps(work))
 
+    def begin_offsets(self, segs, nbases: int, nreads: int):
+        """Offsets-flow begin (filter._filter_fastq_offsets): segments
+        of (block data, seq_starts, joined_starts, lens, ...) are
+        gather-encoded by the C leg straight into the (4-prefilled)
+        work buffer — separators and padding are already in place, no
+        joined bytes object ever exists on the host."""
+        from findkmer_tpu.io import native as native_mod
+
+        k = self.k
+        n = nbases + nreads - 1 if nreads else 0  # joined length
+        if nreads == 0 or n - k + 1 <= 0:
+            return (int(nreads), None, 0)
+        halo = k - 1
+        n_batches = -(-n // self.need)
+        work = np.full(halo + n_batches * self.need, 4, np.uint8)
+        view = work[halo : halo + n]
+        for data, ss, js, lens, *_ in segs:
+            native_mod.filter_gather_prepare(data, ss, js, lens, view)
+        payload = ("offsets", [
+            (data, ss, js, lens) for data, ss, js, lens, *_ in segs
+        ])
+        return (int(nreads), payload, self._dispatch_bitmaps(work))
+
     def finish(self, pending) -> Tuple[np.ndarray, np.ndarray]:
         """Block on a begin()'s device work; per-read (hits, windows)."""
         if pending[1] is None:
-            n = len(pending[0])
+            n = pending[0] if isinstance(pending[0], int) else len(
+                pending[0]
+            )
             return np.zeros(n, np.int64), np.zeros(n, np.int64)
         seqs, payload, outs = pending
         k = self.k
@@ -269,6 +294,18 @@ class DeviceFilter:
         )
         # window starting at joined position p sits at bitmap index
         # p + halo (row 0's first halo slots cover p < 0)
+        if payload[0] == "offsets":
+            from findkmer_tpu.io import native as native_mod
+
+            words = np.ascontiguousarray(words)
+            hs, ws = [], []
+            for data, ss, js, lens in payload[1]:
+                h, w = native_mod.filter_bitmap_hits2(
+                    data, ss, js, lens, k, words, halo
+                )
+                hs.append(h)
+                ws.append(w)
+            return np.concatenate(hs), np.concatenate(ws)
         if payload[0] == "native":
             from findkmer_tpu.io import native as native_mod
 

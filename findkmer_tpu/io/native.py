@@ -157,6 +157,24 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.fk_filter_bitmap_hits.restype = None
+    lib.fk_fastq_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.fk_fastq_scan.restype = ctypes.c_longlong
+    lib.fk_filter_gather_prepare.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+    ]
+    lib.fk_filter_gather_prepare.restype = None
+    lib.fk_filter_bitmap_hits2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.fk_filter_bitmap_hits2.restype = None
     for name in ("fk_merge_runs64", "fk_merge_runs32",
                  "fk_merge_runs64_mt", "fk_merge_runs32_mt"):
         fn = getattr(lib, name)
@@ -398,6 +416,86 @@ def filter_bitmap_hits(buf: np.ndarray, starts: np.ndarray,
     lib.fk_filter_bitmap_hits(
         buf.ctypes.data_as(ctypes.c_void_p),
         starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n, k,
+        words.ctypes.data_as(ctypes.c_void_p),
+        halo,
+        hits.ctypes.data_as(ctypes.c_void_p),
+        wins.ctypes.data_as(ctypes.c_void_p),
+    )
+    return hits, wins
+
+
+def fastq_scan(buf: np.ndarray, max_rec: int = 0):
+    """Strict-4-line FASTQ block scan -> per-record offset arrays.
+
+    Returns (seq_s, seq_e, rec_s, rec_e, consumed, err): offsets into
+    `buf` of each complete record's sequence span and verbatim record
+    span; `consumed` = bytes fully parsed (carry the tail); err != 0
+    means a malformed/multi-line record starts at `consumed`.  Zero
+    copies: the caller slices/encodes straight from the block."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert buf.dtype == np.uint8 and buf.flags["C_CONTIGUOUS"]
+    n = int(buf.size)
+    if max_rec <= 0:
+        max_rec = n // 6 + 2  # "@\n\n+\n\n" = 6 B is the minimum record
+    seq_s = np.empty(max_rec, np.int64)
+    seq_e = np.empty(max_rec, np.int64)
+    rec_s = np.empty(max_rec, np.int64)
+    rec_e = np.empty(max_rec, np.int64)
+    consumed = ctypes.c_longlong(0)
+    err = ctypes.c_int(0)
+    nrec = int(
+        lib.fk_fastq_scan(
+            buf.ctypes.data_as(ctypes.c_void_p), n,
+            seq_s.ctypes.data_as(ctypes.c_void_p),
+            seq_e.ctypes.data_as(ctypes.c_void_p),
+            rec_s.ctypes.data_as(ctypes.c_void_p),
+            rec_e.ctypes.data_as(ctypes.c_void_p),
+            max_rec,
+            ctypes.byref(consumed), ctypes.byref(err),
+        )
+    )
+    return (
+        seq_s[:nrec], seq_e[:nrec], rec_s[:nrec], rec_e[:nrec],
+        int(consumed.value), int(err.value),
+    )
+
+
+def filter_gather_prepare(buf: np.ndarray, starts: np.ndarray,
+                          joined: np.ndarray, lens: np.ndarray,
+                          out: np.ndarray) -> None:
+    """LUT-encode each read from the block buffer straight into its
+    joined-stream slot of the (4-prefilled) device work buffer."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert buf.dtype == np.uint8 and out.dtype == np.uint8
+    lib.fk_filter_gather_prepare(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        joined.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        int(starts.size),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+
+
+def filter_bitmap_hits2(buf: np.ndarray, byte_starts: np.ndarray,
+                        joined: np.ndarray, lens: np.ndarray, k: int,
+                        words: np.ndarray, halo: int):
+    """filter_bitmap_hits with separate byte (block) and bitmap
+    (joined-stream) coordinates — the offsets-based zero-copy flow."""
+    lib = _load()
+    assert lib is not None, "native encoder not available"
+    assert words.dtype == np.uint32 and words.flags["C_CONTIGUOUS"]
+    n = int(byte_starts.size)
+    hits = np.empty(n, np.int64)
+    wins = np.empty(n, np.int64)
+    lib.fk_filter_bitmap_hits2(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        byte_starts.ctypes.data_as(ctypes.c_void_p),
+        joined.ctypes.data_as(ctypes.c_void_p),
         lens.ctypes.data_as(ctypes.c_void_p),
         n, k,
         words.ctypes.data_as(ctypes.c_void_p),

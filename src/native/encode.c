@@ -774,3 +774,135 @@ void fk_filter_hits(const uint8_t *restrict buf,
     win_out[r] = wins;
   }
 }
+
+/* ----------------------------------------------------------------- */
+/* FASTQ record scanner (offsets-based zero-copy; findkmer filter's
+ * end-to-end host leg).  One memchr walk over a buffered block
+ * produces per-record OFFSETS into the block — no per-read byte
+ * copies, no per-line Python.  Semantics mirror
+ * filter._fastq_records_block exactly: strict 4-line records
+ * (@header / seq / + / quality), blank lines tolerated only where a
+ * HEADER is expected, CRLF stripped from the sequence span, anything
+ * else (wrapped FASTQ) is an error, never a misparse.
+ *
+ * Returns the record count; *consumed_out = bytes of `buf` fully
+ * consumed (the caller carries the tail into the next block);
+ * *err_out = 0 ok, 1 = multi-line/malformed record at the position
+ * where a header or '+' was expected.  Scanning stops early (no
+ * error) when a record's four lines are not all terminated within
+ * the block or out arrays are full (max_rec).                        */
+long long fk_fastq_scan(const uint8_t *restrict buf, long long n,
+                        long long *restrict seq_s,
+                        long long *restrict seq_e,
+                        long long *restrict rec_s,
+                        long long *restrict rec_e, long long max_rec,
+                        long long *restrict consumed_out,
+                        int *restrict err_out) {
+  long long pos = 0, nrec = 0, consumed = 0;
+  *err_out = 0;
+  while (nrec < max_rec) {
+    /* skip blank lines ("" or lone "\r") where a header is expected */
+    while (pos < n) {
+      if (buf[pos] == '\n') {
+        pos += 1;
+        consumed = pos;
+        continue;
+      }
+      if (buf[pos] == '\r' && pos + 1 < n && buf[pos + 1] == '\n') {
+        pos += 2;
+        consumed = pos;
+        continue;
+      }
+      break;
+    }
+    if (pos >= n) break;
+    const uint8_t *nl0 = memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!nl0) break;
+    long long s0 = pos;
+    long long s1 = (long long)(nl0 - buf) + 1;
+    const uint8_t *nl1 = memchr(buf + s1, '\n', (size_t)(n - s1));
+    if (!nl1) break;
+    long long e1 = (long long)(nl1 - buf);
+    long long s2 = e1 + 1;
+    const uint8_t *nl2 = memchr(buf + s2, '\n', (size_t)(n - s2));
+    if (!nl2) break;
+    long long s3 = (long long)(nl2 - buf) + 1;
+    const uint8_t *nl3 = memchr(buf + s3, '\n', (size_t)(n - s3));
+    if (!nl3) break;
+    long long e3 = (long long)(nl3 - buf) + 1; /* past the newline */
+    if (buf[s0] != '@' || (s2 < n && buf[s2] != '+')) {
+      *consumed_out = consumed;
+      *err_out = 1;
+      return nrec;
+    }
+    if (e1 > s1 && buf[e1 - 1] == '\r') e1 -= 1; /* CRLF seq line */
+    seq_s[nrec] = s1;
+    seq_e[nrec] = e1;
+    rec_s[nrec] = s0;
+    rec_e[nrec] = e3;
+    ++nrec;
+    pos = e3;
+    consumed = e3;
+  }
+  *consumed_out = consumed;
+  return nrec;
+}
+
+/* Device-engine gather leg: LUT-encode each read's bytes straight
+ * from the BLOCK buffer into its joined-stream position of the
+ * device work buffer (pre-filled with 4 = invalid, so separators and
+ * padding are already in place).  Replaces the b"N".join(seqs) copy
+ * plus fk_filter_prepare pass of the list-based flow.               */
+void fk_filter_gather_prepare(const uint8_t *restrict buf,
+                              const long long *restrict starts,
+                              const long long *restrict joined,
+                              const long long *restrict lens,
+                              long long n_reads,
+                              uint8_t *restrict out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (long long r = 0; r < n_reads; ++r) {
+    const uint8_t *p = buf + starts[r];
+    uint8_t *q = out + joined[r];
+    long long n = lens[r];
+    for (long long i = 0; i < n; ++i) {
+      int b = (int)FK_FILTER_CODE[p[i]] - 1;
+      q[i] = (uint8_t)(b < 0 ? 4 : b);
+    }
+  }
+}
+
+/* fk_filter_bitmap_hits with SEPARATE byte/bitmap coordinates: read
+ * r's bytes live at buf[byte_starts[r] .. +lens[r]) (offsets into the
+ * original block), while its windows sit at joined[r]-relative bitmap
+ * positions (the gather leg's joined-stream layout).  The list-based
+ * flow (fk_filter_bitmap_hits) is the byte_starts == joined case.    */
+void fk_filter_bitmap_hits2(const uint8_t *restrict buf,
+                            const long long *restrict byte_starts,
+                            const long long *restrict joined,
+                            const long long *restrict lens,
+                            long long n_reads, int k,
+                            const uint32_t *restrict words,
+                            long long halo,
+                            long long *restrict hits_out,
+                            long long *restrict win_out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (long long r = 0; r < n_reads; ++r) {
+    const uint8_t *p = buf + byte_starts[r];
+    long long n = lens[r];
+    long long run = 0, wins = 0, hits = 0;
+    for (long long i = 0; i < n; ++i) {
+      int b = (int)FK_FILTER_CODE[p[i]] - 1;
+      if (b < 0) {
+        run = 0;
+        continue;
+      }
+      if (++run >= k) {
+        ++wins;
+        long long j = joined[r] + i - k + 1 + halo;
+        hits += (words[j >> 5] >> (j & 31)) & 1u;
+      }
+    }
+    hits_out[r] = hits;
+    win_out[r] = wins;
+  }
+}

@@ -96,6 +96,7 @@ def test_filter_spec_hits_oracle(rng, canonical):
         os.unlink(spec_path)
 
 
+@pytest.mark.heavy
 def test_filter_cli_fastq_roundtrip(tmp_path):
     """FASTQ in, FASTQ out: passing records byte-identical (quality
     preserved); --invert keeps the complement; counts on stderr."""
@@ -131,6 +132,7 @@ def test_filter_cli_fastq_roundtrip(tmp_path):
     assert "@r3" in frac and "@r1" not in frac
 
 
+@pytest.mark.heavy
 def test_filter_exit_code_nothing_kept(tmp_path):
     """grep convention (documented in cli.main): exit 1 when no read
     passed the filter, 0 when any did, 2 for trouble."""
@@ -148,6 +150,7 @@ def test_filter_exit_code_nothing_kept(tmp_path):
     assert "kept 0/1 read pairs" in r.stderr
 
 
+@pytest.mark.heavy
 def test_filter_cli_fasta_and_canonical(tmp_path):
     fa = tmp_path / "r.fa"
     fa.write_text(">a\nACGTAAAAA\n>b\nCCCCCCCC\n>c first\nTACGT\n")
@@ -163,6 +166,7 @@ def test_filter_cli_fasta_and_canonical(tmp_path):
     kept2 = (tmp_path / "kept2.fa").read_text()
     assert ">a" in kept2 and ">c first" in kept2 and ">b" not in kept2
 
+@pytest.mark.heavy
 def test_filter_gz_output_and_multiline_rejection(tmp_path):
     import gzip
 
@@ -189,6 +193,7 @@ def test_filter_gz_output_and_multiline_rejection(tmp_path):
     assert out.read_text() == "@old\nAAAA\n+\nIIII\n"
 
 
+@pytest.mark.heavy
 def test_filter_canonical_threshold_after_fold(tmp_path):
     """--canonical --min-count: the threshold sees the SUMMED canonical
     count of a revcomp pair."""
@@ -413,6 +418,7 @@ def test_device_attribution_native_matches_numpy(rng, monkeypatch):
     assert hn.sum() > 0 or wn.sum() > 0
 
 
+@pytest.mark.heavy
 def test_filter_cli_engine_device(tmp_path):
     """--engine device produces byte-identical output to --engine host
     at the CLI surface (CPU backend exercises the same jit)."""
@@ -442,6 +448,7 @@ def _write_fastq(path, reads):
     )
 
 
+@pytest.mark.heavy
 def test_filter_paired_any_both_invert(tmp_path):
     """Pairs are kept/dropped together; outputs stay index-synced."""
     # spectrum k-mer ACGTA; pair1: only R1 hits; pair2: neither;
@@ -492,6 +499,7 @@ def test_filter_paired_errors(tmp_path):
     assert "OUT_R1,OUT_R2" in r.stderr
 
 
+@pytest.mark.heavy
 def test_filter_paired_device_matches_host(tmp_path, rng):
     import numpy as np
 
@@ -564,3 +572,114 @@ def test_filter_file_pipeline_many_flushes(rng, tmp_path, monkeypatch):
     assert (kept_d, seen_d) == (kept_h, seen_h)
     assert out_d.read_bytes() == out_h.read_bytes()
     assert seen_d == 1000
+
+
+# ------------------------------------------------- offsets (fast) flow
+def _legacy_records(path):
+    from findkmer_tpu.filter import _fastq_records_block
+
+    return list(_fastq_records_block(path))
+
+
+def _offset_records(path, block):
+    from findkmer_tpu.filter import _fastq_blocks
+
+    out = []
+    for data, ss, se, rs, re_ in _fastq_blocks(path, block_bytes=block):
+        b = data.tobytes()
+        out.extend(
+            (b[int(a):int(c)], b[int(x):int(y)])
+            for a, c, x, y in zip(ss, se, rs, re_)
+        )
+    return out
+
+
+@pytest.mark.parametrize("block", [64, 4096])
+def test_fastq_scan_offsets_matches_legacy_parser(tmp_path, block):
+    """The C record scanner (fk_fastq_scan / _fastq_blocks) and the
+    numpy block parser must agree on every record's (seq, raw) spans —
+    adversarial geometry: blanks between records, CRLF, empty reads,
+    records straddling tiny block boundaries, unterminated final
+    line."""
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    text = (
+        b"@r0 first\nACGTNacgt\n+\nIIIIIIIII\n"
+        b"\n\n"                       # blanks where a header is expected
+        b"@r1\n\n+\n\n"               # empty read
+        b"@r2\r\nACGT\r\n+\r\nIII!\r\n"  # CRLF
+        b"@r3 long\n" + b"ACGT" * 200 + b"\n+\n" + b"I" * 800 + b"\n"
+        b"@r4\nGG\n+\nII"             # unterminated final line
+    )
+    p = tmp_path / "t.fastq"
+    p.write_bytes(text)
+    assert _offset_records(str(p), block) == _legacy_records(str(p))
+
+
+def test_fastq_scan_offsets_errors(tmp_path):
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    bad = tmp_path / "bad.fastq"
+    bad.write_bytes(b"@r\nACGT\nTTTT\n+\nIIIIIIII\n")
+    with pytest.raises(ValueError, match="multi-line"):
+        _offset_records(str(bad), 4096)
+    trunc = tmp_path / "trunc.fastq"
+    trunc.write_bytes(b"@r\nACGT\n+\nIIII\n@r2\nGG\n")
+    with pytest.raises(ValueError, match="truncated"):
+        _offset_records(str(trunc), 4096)
+
+
+@pytest.mark.heavy
+def test_filter_fast_flow_byte_identical(tmp_path, rng, monkeypatch):
+    """The offsets-based zero-copy flow (FINDKMER_FILTER_FAST=1, the
+    default) and the list-based flow must produce byte-identical
+    output and counts for BOTH engines across threshold combos."""
+    import functools
+    import io
+
+    from findkmer_tpu import filter as filter_mod
+    from findkmer_tpu import filter_device
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    reads = []
+    for i in range(800):
+        L = int(rng.integers(0, 150))
+        reads.append(("@q%d" % i,
+                      "".join(rng.choice(list("ACGTN")) for _ in range(L))))
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(f"{h}\n{s}\n+\n{'I' * len(s)}\n"
+                          for h, s in reads))
+    kmers = {"".join(rng.choice(list("ACGT")) for _ in range(6))
+             for _ in range(128)}
+    (tmp_path / "spec.tsv").write_text(
+        "".join(f"{km}\t1\n" for km in sorted(kmers)))
+    spec = filter_mod.FilterSpec.load(str(tmp_path / "spec.tsv"))
+    monkeypatch.setattr(
+        filter_device, "DeviceFilter",
+        functools.partial(filter_device.DeviceFilter,
+                          batch_rows=2, chunk_len=2048),
+    )
+
+    def run(fast, engine, **kw):
+        monkeypatch.setenv("FINDKMER_FILTER_FAST", "1" if fast else "0")
+        out = io.BytesIO()
+        kept, seen = filter_mod.filter_file(
+            str(fq), out, spec, engine=engine, **kw)
+        return kept, seen, out.getvalue()
+
+    # small blocks force MULTI-SEGMENT flushes (several blocks' offsets
+    # gathered into one device batch / one host scoring round)
+    monkeypatch.setenv("FINDKMER_FILTER_BLOCK", "8192")
+    for kw in (dict(), dict(min_hits=2), dict(min_frac=0.5),
+               dict(invert=True), dict(min_hits=2, min_frac=0.25)):
+        ref = run(False, "host", **kw)
+        for fast, engine in ((True, "host"), (True, "device"),
+                             (False, "device")):
+            got = run(fast, engine, **kw)
+            assert got == ref, (kw, fast, engine)
