@@ -99,6 +99,7 @@ def _cli(args, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_merge_cli_equals_combined_count(tmp_path, fixtures_dir):
     t = os.path.join(fixtures_dir, "tiny.fa")
     d = os.path.join(fixtures_dir, "debruijn4.fa")
@@ -187,6 +188,7 @@ def test_streaming_merge_canonical_zeros(tmp_path):
         list(spectra.spectrum_lines({"GT": 1}, zeros_k=2, canonical=True))
 
 
+@pytest.mark.heavy
 def test_merge_cli_canonical_zeros_matches_count(tmp_path, fixtures_dir):
     """CLI: merging canonical spectra with -z --canonical equals
     counting the combined input with -z --canonical (both enumerate
@@ -213,6 +215,7 @@ def test_merge_cli_canonical_zeros_matches_count(tmp_path, fixtures_dir):
     assert rbad.returncode != 0
 
 
+@pytest.mark.heavy
 def test_count_canonical_zeros_space(tmp_path, fixtures_dir):
     """count -z --canonical emits exactly the canonical code space, in
     order, matching the oracle's canonical spectrum."""
@@ -461,6 +464,7 @@ def test_canonical_setops_and_query(tmp_path):
                                   canonical=True) == {"TT": 5, "GT": 1}
 
 
+@pytest.mark.heavy
 def test_canonize_cli_matches_count_canonical(tmp_path, fixtures_dir):
     t = os.path.join(fixtures_dir, "tiny.fa")
     r1 = _cli(["count", "-i", t, "-k", "4", "-o", "plain.tsv"], tmp_path)
@@ -471,6 +475,7 @@ def test_canonize_cli_matches_count_canonical(tmp_path, fixtures_dir):
     assert rz.returncode == 0, rz.stderr
     assert rz.stdout == (tmp_path / "canon.tsv").read_text()
 
+@pytest.mark.heavy
 def test_histo_from_spectrum(tmp_path, fixtures_dir):
     """histo --from-spectrum == histo recounted from the FASTA."""
     t = os.path.join(fixtures_dir, "tiny.fa")
@@ -545,6 +550,7 @@ def test_sort_cli(tmp_path):
     assert r.stdout == "AAAA\t2\nTTTT\t1\n"
 
 
+@pytest.mark.heavy
 def test_sort_transform_knobs(tmp_path):
     """sort --min-count/--max-count/--set-count/--kmers-only (kmc_tools
     transform reduce/set_counts/compact) on both the C-coded and text
@@ -660,6 +666,7 @@ def test_setop_binary_fast_matches_streaming(tmp_path, rng):
             slow.getvalue().decode().upper()
 
 
+@pytest.mark.heavy
 def test_gzip_spectrum_inputs(tmp_path):
     """Every spectrum reader accepts gzipped TSVs (magic-byte): merge,
     set ops, query, topn, histo --from-spectrum, canonize, sort."""
@@ -891,6 +898,7 @@ def test_matrix_streaming_matches_bruteforce(tmp_path):
             [paths[0], str(u)], io.BytesIO(), ["a", "u"])
 
 
+@pytest.mark.heavy
 def test_matrix_cli_and_api(tmp_path, fixtures_dir):
     """CLI matrix of two real count outputs; gz input; stem naming with
     collision de-dup; fk.matrix API parity."""
@@ -1023,6 +1031,7 @@ def test_expr_matches_bruteforce(rng, tmp_path):
             spectra.eval_expression(bad, inputs)
 
 
+@pytest.mark.heavy
 def test_expr_cli_matches_subcommands(tmp_path, fixtures_dir):
     """expr 'A+B' == merge; 'A*B' == intersect; 'A~B' == subtract
     --mode counters; 'A-B' == subtract --mode kmers (byte-identical)."""
@@ -1059,6 +1068,7 @@ def test_expr_cli_matches_subcommands(tmp_path, fixtures_dir):
     assert (tmp_path / "out.tsv").read_text() == "precious\n"
 
 
+@pytest.mark.heavy
 def test_matrix_from_sequences(tmp_path, fixtures_dir):
     """matrix -k counts each sequence input first (one sample per
     input) — equals counting separately then matrixing the spectra."""
@@ -1084,6 +1094,7 @@ def test_matrix_from_sequences(tmp_path, fixtures_dir):
     assert r.returncode == 2 and "needs -k" in r.stderr
 
 
+@pytest.mark.heavy
 def test_matrix_from_sequences_custom_sep(tmp_path, fixtures_dir):
     """matrix -k --sep: temp spectra are written AND parsed with the
     requested separator (round-3 review finding: they diverged)."""
@@ -1094,3 +1105,19 @@ def test_matrix_from_sequences_custom_sep(tmp_path, fixtures_dir):
     got = (tmp_path / "m.csv").read_text()
     da = count_fasta_file(t, 4)
     assert got == _brute_matrix([da], ["t"], sep=",")
+
+
+def test_dict_path_size_guard(tmp_path, monkeypatch):
+    """read_spectrum (the unsorted-input fallback) must refuse inputs
+    past the dict cap with a sort-it-first error instead of silently
+    building a multi-GB dict (VERDICT round-3 weak #6)."""
+    from findkmer_tpu import spectra
+
+    p = tmp_path / "unsorted.tsv"
+    # unsorted on purpose: the streaming path must not pick it up
+    p.write_text("TTTT\t1\nAAAA\t2\nCCCC\t3\nGGGG\t4\nACGT\t5\n")
+    monkeypatch.setenv("FINDKMER_DICT_MAX", "3")
+    with pytest.raises(ValueError, match="findkmer sort"):
+        spectra.read_spectrum(str(p))
+    monkeypatch.setenv("FINDKMER_DICT_MAX", "100")
+    assert spectra.read_spectrum(str(p))["ACGT"] == 5
