@@ -261,9 +261,69 @@ def _numpy_pack_rows(work, B, L, R, R8):
     return packed, validbits
 
 
+def _fastq_code_stream(
+    path, *, stats: Optional[StreamStats] = None
+) -> Iterator[np.ndarray]:
+    """Offsets-based zero-copy FASTQ -> code stream (counting-side twin
+    of the filter's fast flow): the C record scanner
+    (filter._fastq_blocks / fk_fastq_scan) yields per-block offset
+    arrays and fk_filter_gather_prepare LUT-encodes every read straight
+    into one INVALID-prefilled code buffer, separators already in
+    place — no per-read Python objects, no per-line loop.  Replaces the
+    ~51 Mbase/s FastqReader.chunks() parse that bounded FASTQ counting
+    end-to-end (bench/RESULTS.md round 4)."""
+    from findkmer_tpu.filter import _fastq_blocks
+    from findkmer_tpu.io import native as native_mod
+
+    for data, seq_s, seq_e, rec_s, rec_e in _fastq_blocks(path):
+        lens = seq_e - seq_s
+        n = int(seq_s.size)
+        js = np.empty(n, np.int64)
+        js[0] = 0
+        np.cumsum(lens[:-1] + 1, out=js[1:])
+        total = int(lens.sum()) + n  # one separator after EACH record
+        buf = np.full(total, INVALID, np.uint8)
+        native_mod.filter_gather_prepare(data, seq_s, js, lens, buf)
+        if stats is not None:
+            stats.records += n
+            stats.bases += total - n
+            stats.valid_bases += native_mod.count_acgt(buf, 0, total)
+        yield buf
+
+
+def _fastq_fast_ok(path, cfg: Config) -> bool:
+    """Gate for the offsets-based FASTQ counting path: real file path,
+    FASTQ format, no quality masking, native library built."""
+    import os
+
+    from findkmer_tpu.io import native as native_mod
+
+    if path == "-" or cfg.min_qual > 0 or not cfg.use_native_encode:
+        return False
+    if os.environ.get("FINDKMER_FASTQ_FAST", "1") != "1":
+        return False
+    if not native_mod.available():
+        return False
+    if cfg.input_format == "fastq":
+        return True
+    if cfg.input_format != "auto":
+        return False
+    from findkmer_tpu.io.fastq import sniff_format
+
+    try:
+        return sniff_format(path) == "fastq"
+    except Exception:
+        return False
+
+
 def batches_from_file(
     path, cfg: Config, *, stats: Optional[StreamStats] = None
 ) -> Iterator[np.ndarray]:
+    if _fastq_fast_ok(path, cfg):
+        yield from batches_from_codes(
+            _fastq_code_stream(path, stats=stats), cfg, stats=stats
+        )
+        return
     reader, fused = _open_reader(path, cfg)
     try:
         yield from _batches_from_reader(reader, fused, cfg, stats=stats)

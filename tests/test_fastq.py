@@ -98,3 +98,55 @@ def test_fastq_malformed_errors(tmp_path):
     with pytest.raises(ValueError, match="expected '@header'"):
         with FastqReader(str(p2)) as r:
             list(r.chunks())
+
+
+def test_fastq_offsets_counting_path_matches_legacy(tmp_path, monkeypatch):
+    """The offsets-based FASTQ counting path (pipeline._fastq_code_stream,
+    C record scanner + gather-encode) must produce the identical
+    spectrum and stream stats as the FastqReader path — adversarial
+    input: lowercase, Ns, IUPAC, empty reads, blanks, CRLF."""
+    import numpy as np
+
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.io import native
+    from findkmer_tpu import pipeline
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(300):
+        L = int(rng.integers(0, 90))
+        seq = "".join(rng.choice(list("ACGTacgtNR"), L,
+                                 p=[.2, .2, .2, .2, .06, .06, .02, .02,
+                                    .02, .02]))
+        recs.append(f"@x{i}\n{seq}\n+\n{'I' * L}\n")
+        if i % 50 == 0:
+            recs.append("\n")
+    p = tmp_path / "reads.fastq"
+    p.write_text("".join(recs))
+    crlf = tmp_path / "crlf.fastq"
+    crlf.write_bytes(p.read_bytes().replace(b"\n", b"\r\n"))
+
+    cfg = Config(k=7, chunk_len=128, batch_rows=4)
+
+    def run(path):
+        from findkmer_tpu.models.counter import make_counter
+
+        counter = make_counter(cfg)
+        state = counter.init_state()
+        stats = pipeline.StreamStats()
+        for rows in pipeline.batches_from_file(str(path), cfg,
+                                               stats=stats):
+            state = counter.step(state, rows)
+        return np.asarray(counter.finalize(state)), stats
+
+    for path in (p, crlf):
+        monkeypatch.setenv("FINDKMER_FASTQ_FAST", "1")
+        fast, st_f = run(path)
+        monkeypatch.setenv("FINDKMER_FASTQ_FAST", "0")
+        legacy, st_l = run(path)
+        np.testing.assert_array_equal(fast, legacy)
+        assert (st_f.bases, st_f.valid_bases, st_f.records) == (
+            st_l.bases, st_l.valid_bases, st_l.records
+        )
