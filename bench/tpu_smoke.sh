@@ -17,7 +17,7 @@
 #        (sort-merge membership + unsort + bitmap pack)
 set -u
 cd "$(dirname "$0")/.."
-LOG=bench/round3_measurements.log
+LOG=${FINDKMER_SMOKE_LOG:-bench/round4_measurements.log}
 echo "=== tpu smoke $(date -u +%FT%TZ) ===" >> $LOG
 rc=0
 

@@ -480,33 +480,31 @@ def _emit_records(out_f, data, rec_s, rec_e, keep) -> int:
     return int(idx.size)
 
 
-def _filter_fastq_offsets(
-    path, out_f, spec, *, min_hits, min_frac, invert, engine
-) -> Tuple[int, int]:
-    """Single-end FASTQ filtering on the offsets-based zero-copy flow:
-    the C record scanner (_fastq_blocks) produces per-block offset
-    arrays, reads are scored IN PLACE in the block buffer (host: C scan
-    at block offsets; device: C gather-encode into the packed wire),
-    and kept records are emitted as coalesced block spans.  No per-read
-    Python objects anywhere — the ~1.1 s / 50 Mbase parse+emit residual
-    of the list-based flow (bench/RESULTS.md round 3) collapses to the
-    per-block calls."""
+def _scored_segments(path, spec, engine, scorer=None):
+    """Offsets-flow scoring stream: yields (hits, wins, data, rec_s,
+    rec_e) per SEGMENT (one scanned block), in input order.  Reads are
+    scored in place in the block buffer (host: C scan at block offsets;
+    device: C gather-encode into the packed wire), with the device
+    engine keeping FINDKMER_FILTER_DEPTH flushes in flight.  Shared by
+    the single-end and paired offsets flows; `scorer` lets paired
+    callers share one DeviceFilter (one member table on device) across
+    both mate streams."""
     from collections import deque
 
     from findkmer_tpu.io import native
 
     k = spec.k
     if engine == "device":
-        from findkmer_tpu.filter_device import DeviceFilter
+        if scorer is None:
+            from findkmer_tpu.filter_device import DeviceFilter
 
-        scorer = DeviceFilter(spec)
+            scorer = DeviceFilter(spec)
         batch_bytes = scorer.need
         depth = _pipeline_depth()
     else:
         scorer = None
         batch_bytes = 8 << 20
         depth = 0
-    kept = seen = 0
     segs: list = []        # (data, seq_s, joined_s, lens, rec_s, rec_e)
     nbases = nreads = 0
     pending: deque = deque()
@@ -517,32 +515,22 @@ def _filter_fastq_offsets(
     )  # test hook: small blocks force multi-segment flushes
 
     def score_host(segs_):
-        out = []
         for data, ss, js, lens, rs, re_ in segs_:
             h, w = native.filter_hits(
                 data, ss, lens, k, spec.canonical, spec.codes,
                 spec._bloom, spec._shift,
             )
-            out.append((h, w, data, rs, re_))
-        return out
-
-    def emit_scored(scored):
-        nonlocal kept
-        for h, w, data, rs, re_ in scored:
-            keep = _keep_mask(h, w, min_hits, min_frac, invert)
-            kept += _emit_records(out_f, data, rs, re_, keep)
+            yield (h, w, data, rs, re_)
 
     def drain_one():
         p, segs_ = pending.popleft()
         hits, wins = scorer.finish(p)
         off = 0
-        scored = []
         for data, ss, js, lens, rs, re_ in segs_:
             n = ss.size
-            scored.append((hits[off : off + n], wins[off : off + n],
-                           data, rs, re_))
+            yield (hits[off : off + n], wins[off : off + n],
+                   data, rs, re_)
             off += n
-        emit_scored(scored)
 
     def flush():
         nonlocal segs, nbases, nreads
@@ -552,9 +540,9 @@ def _filter_fastq_offsets(
             pending.append((scorer.begin_offsets(segs, nbases, nreads),
                             segs))
             while len(pending) > depth:
-                drain_one()
+                yield from drain_one()
         else:
-            emit_scored(score_host(segs))
+            yield from score_host(segs)
         segs = []
         nbases = nreads = 0
 
@@ -564,9 +552,8 @@ def _filter_fastq_offsets(
         lens = seq_e - seq_s
         n = int(seq_s.size)
         bases = int(lens.sum())
-        seen += n
         if segs and nbases + nreads + bases + n > batch_bytes:
-            flush()
+            yield from flush()
         # joined-stream starts of this block's reads (one separator
         # slot between consecutive reads, across segment joints too):
         # current joined length is nbases + nreads - 1, so the next
@@ -579,9 +566,87 @@ def _filter_fastq_offsets(
         segs.append((data, seq_s, js, lens, rec_s, rec_e))
         nbases += bases
         nreads += n
-    flush()
+    yield from flush()
     while pending:
-        drain_one()
+        yield from drain_one()
+
+
+def _filter_fastq_offsets(
+    path, out_f, spec, *, min_hits, min_frac, invert, engine
+) -> Tuple[int, int]:
+    """Single-end FASTQ filtering on the offsets-based zero-copy flow:
+    the C record scanner (_fastq_blocks) produces per-block offset
+    arrays, reads are scored IN PLACE in the block buffer
+    (_scored_segments), and kept records are emitted as coalesced block
+    spans.  No per-read Python objects anywhere — the ~1.1 s / 50 Mbase
+    parse+emit residual of the list-based flow (bench/RESULTS.md
+    round 3) collapses to the per-block calls."""
+    kept = seen = 0
+    for h, w, data, rs, re_ in _scored_segments(path, spec, engine):
+        seen += int(h.size)
+        keep = _keep_mask(h, w, min_hits, min_frac, invert)
+        kept += _emit_records(out_f, data, rs, re_, keep)
+    return kept, seen
+
+
+def _filter_fastq_offsets_paired(
+    path1, path2, out1_f, out2_f, spec, *,
+    min_hits, min_frac, invert, engine, pair_mode,
+) -> Tuple[int, int]:
+    """Paired-end offsets flow: each mate file runs its own
+    _scored_segments stream (sharing ONE device scorer); the pair
+    decision zips the two scored streams in aligned chunks and emits
+    kept pairs as coalesced spans per side.  Same semantics as
+    filter_file_paired's list flow (pairs kept/dropped together,
+    outputs index-synchronized)."""
+    scorer = None
+    if engine == "device":
+        from findkmer_tpu.filter_device import DeviceFilter
+
+        scorer = DeviceFilter(spec)
+    s1 = iter(_scored_segments(path1, spec, engine, scorer=scorer))
+    s2 = iter(_scored_segments(path2, spec, engine, scorer=scorer))
+    kept = seen = 0
+    b1 = b2 = None  # (h, w, data, rs, re_), consumed offset
+    o1 = o2 = 0
+
+    def passes(h, w):
+        ok = h >= min_hits
+        if min_frac is not None:
+            nz = w > 0
+            frac_ok = np.zeros(ok.shape, bool)
+            frac_ok[nz] = (h[nz] / w[nz]) >= min_frac
+            ok = ok & frac_ok
+        return ok
+
+    while True:
+        if b1 is None or o1 >= b1[0].size:
+            b1, o1 = next(s1, None), 0
+        if b2 is None or o2 >= b2[0].size:
+            b2, o2 = next(s2, None), 0
+        if b1 is None or b2 is None:
+            if (b1 is None) != (b2 is None):
+                raise ValueError(
+                    f"paired inputs differ in read count ({path1} vs "
+                    f"{path2}); pair {seen + 1} is unmatched"
+                )
+            break
+        take = min(b1[0].size - o1, b2[0].size - o2)
+        p1 = passes(b1[0][o1 : o1 + take], b1[1][o1 : o1 + take])
+        p2 = passes(b2[0][o2 : o2 + take], b2[1][o2 : o2 + take])
+        ok = (p1 | p2) if pair_mode == "any" else (p1 & p2)
+        keep = ok != invert
+        kept += _emit_records(
+            out1_f, b1[2], b1[3][o1 : o1 + take], b1[4][o1 : o1 + take],
+            keep,
+        )
+        _emit_records(
+            out2_f, b2[2], b2[3][o2 : o2 + take], b2[4][o2 : o2 + take],
+            keep,
+        )
+        seen += take
+        o1 += take
+        o2 += take
     return kept, seen
 
 
@@ -727,7 +792,25 @@ def filter_file_paired(
     raises on files with different read counts."""
     if pair_mode not in ("any", "both"):
         raise ValueError(f"unknown pair mode {pair_mode!r}")
+    import os
+
+    from findkmer_tpu.io import native as _native
+    from findkmer_tpu.io.fastq import sniff_format
+
     engine = _resolve_engine(engine)
+    if fmt == "auto":
+        fmt1, fmt2 = sniff_format(path1), sniff_format(path2)
+        fmt = fmt1 if fmt1 == fmt2 else "auto"
+    if (
+        fmt == "fastq"
+        and _native.available()
+        and os.environ.get("FINDKMER_FILTER_FAST", "1") == "1"
+    ):
+        return _filter_fastq_offsets_paired(
+            path1, path2, out1_f, out2_f, spec, min_hits=min_hits,
+            min_frac=min_frac, invert=invert, engine=engine,
+            pair_mode=pair_mode,
+        )
     if engine == "device":
         from findkmer_tpu.filter_device import DeviceFilter
 

@@ -683,3 +683,70 @@ def test_filter_fast_flow_byte_identical(tmp_path, rng, monkeypatch):
                              (False, "device")):
             got = run(fast, engine, **kw)
             assert got == ref, (kw, fast, engine)
+
+
+@pytest.mark.heavy
+def test_filter_paired_fast_flow_byte_identical(tmp_path, rng,
+                                                monkeypatch):
+    """Paired offsets flow vs the list-based paired flow: identical
+    outputs on both sides, both engines, any/both/invert combos; the
+    mate files deliberately have different read lengths per index so
+    the two scored streams advance unevenly."""
+    import functools
+    import io
+
+    import numpy as np
+
+    from findkmer_tpu import filter as filter_mod
+    from findkmer_tpu import filter_device
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    def make(path, seed):
+        r = np.random.default_rng(seed)
+        lines = []
+        for i in range(600):
+            L = int(r.integers(0, 120))
+            s = "".join(r.choice(list("ACGTN"), L))
+            lines.append(f"@p{i}/{seed}\n{s}\n+\n{'J' * L}\n")
+        path.write_text("".join(lines))
+
+    r1, r2 = tmp_path / "R1.fastq", tmp_path / "R2.fastq"
+    make(r1, 1)
+    make(r2, 2)
+    kmers = {"".join(rng.choice(list("ACGT"), 6)) for _ in range(200)}
+    (tmp_path / "s.tsv").write_text(
+        "".join(f"{km}\t1\n" for km in sorted(kmers)))
+    spec = filter_mod.FilterSpec.load(str(tmp_path / "s.tsv"))
+    monkeypatch.setattr(
+        filter_device, "DeviceFilter",
+        functools.partial(filter_device.DeviceFilter,
+                          batch_rows=2, chunk_len=2048),
+    )
+    monkeypatch.setenv("FINDKMER_FILTER_BLOCK", "8192")
+
+    def run(fast, engine, **kw):
+        monkeypatch.setenv("FINDKMER_FILTER_FAST", "1" if fast else "0")
+        o1, o2 = io.BytesIO(), io.BytesIO()
+        kept, seen = filter_mod.filter_file_paired(
+            str(r1), str(r2), o1, o2, spec, engine=engine, **kw)
+        return kept, seen, o1.getvalue(), o2.getvalue()
+
+    for kw in (dict(), dict(pair_mode="both"), dict(invert=True),
+               dict(min_hits=2, min_frac=0.3)):
+        ref = run(False, "host", **kw)
+        for fast, engine in ((True, "host"), (True, "device")):
+            got = run(fast, engine, **kw)
+            assert got == ref, (kw, fast, engine)
+
+    # mismatched read counts must raise the same error
+    r3 = tmp_path / "R3.fastq"
+    r3.write_text(r2.read_text() + "@extra\nACGT\n+\nIIII\n")
+    for fast in (True, False):
+        monkeypatch.setenv("FINDKMER_FILTER_FAST", "1" if fast else "0")
+        with pytest.raises(ValueError, match="differ in read count"):
+            filter_mod.filter_file_paired(
+                str(r1), str(r3), io.BytesIO(), io.BytesIO(), spec,
+                engine="host")
