@@ -7,9 +7,11 @@ original read orientation (samtools-fasta semantics)."""
 
 import gzip
 import io
+import os
 import struct
 import subprocess
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -230,9 +232,17 @@ def test_bam_canonical_count(tmp_path):
 
 
 def _run_cli(args, stdin=None):
+    # same env hygiene as every other CLI runner (tests/test_cli.py):
+    # force the CPU backend and drop the axon sitecustomize dir, which
+    # would otherwise route the subprocess through the TPU tunnel (and
+    # time out in degraded tunnel windows — round-4 heavy-tier flake)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-m", "findkmer_tpu.cli", *args],
-        input=stdin, capture_output=True, timeout=600,
+        input=stdin, capture_output=True, timeout=600, env=env,
     )
 
 
