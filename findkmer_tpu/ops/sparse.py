@@ -114,30 +114,53 @@ def rle_pos(hi, lo, wide: bool = True):
     return jnp.where(is_end & ~is_sent, idx - spos + 1, 0)
 
 
+def seg_totals(is_start, cnt, axis: int):
+    """Segmented run sums: at each position, the sum of cnt from the
+    position's run start (is_start flags) through the position.
+
+    Hand-unrolled Hillis-Steele AFFINE scan — log2(n) levels of
+    (shift, where, add) over a (carry-mask, partial-sum) pair.  No
+    gather (jnp.take at 100M elems measured ~20+ ns/elem on the remote
+    chip — bench/probe_rowsort2.py found compact_counted at 33 Melem/s
+    vs compact_raw at 817 because of it) and no lax.associative_scan
+    (its odd/even recursive combiner hung the axon remote compiler for
+    9+ minutes at 4K elements; these flat shift levels compile fine).
+
+    Wrap-safe: sums are computed in the unsigned image of the count
+    dtype and stay exact modulo the dtype, so any run total that fits
+    the dtype is exact regardless of wraps along the way (same contract
+    as the cumsum-difference formulation it replaces)."""
+    udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
+    b = cnt.astype(udt)
+    m = ~is_start
+    n = b.shape[axis]
+    d = 1
+    while d < n:
+        mp = _shift_right(m, d, axis, False)
+        bp = _shift_right(b, d, axis, 0)
+        b = b + jnp.where(m, bp, jnp.zeros_like(bp))
+        m = m & mp
+        d *= 2
+    return b
+
+
+def _shift_right(a, d: int, axis: int, fill):
+    """a shifted +d along axis, vacated slots filled with `fill`."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (d, 0)
+    padded = jnp.pad(a, pad, constant_values=fill)
+    return lax.slice_in_dim(padded, 0, a.shape[axis], axis=axis)
+
+
 def rle_val(hi, lo, cnt, wide: bool = True):
     """Run totals of sorted codes carrying explicit counts.
 
-    total(run) = C_end - C_before_start with C = cumsum(cnt) in the
-    unsigned image of the count dtype (wraps are benign: differences
-    stay exact modulo the dtype, and true totals are bounded by it).
-    The run base C_before_start is propagated BY POSITION — cummax over
-    run-start indices (monotone, wrap-immune) + one gather.  The gather
-    costs ~8 ns/elem (probe) but this path only runs on store-carrying
-    compactions; the common raw path uses rle_pos.  (A gather-free
-    segmented associative_scan would be faster, but lax.associative_scan
-    with a custom combiner does not compile on the axon remote backend —
-    a 4K-element instance hung the compiler for 9+ minutes.)
-    Returns cnt' at run ENDS, 0 elsewhere."""
-    n = hi.shape[0]
+    Segmented affine scan (seg_totals) over the sorted count plane —
+    gather-free, wrap-safe.  Returns cnt' at run ENDS, 0 elsewhere."""
     is_start, is_end = _adj_flags(hi, lo)
-    udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
-    cu = cnt.astype(udt)
-    C = jnp.cumsum(cu)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=0)
-    base = jnp.take(C - cu, spos)
+    s = seg_totals(is_start, cnt, axis=0)
     is_sent = _is_sent(hi, lo, wide)
-    return jnp.where(is_end & ~is_sent, C - base, 0).astype(cnt.dtype)
+    return jnp.where(is_end & ~is_sent, s, 0).astype(cnt.dtype)
 
 
 @partial(jax.jit, static_argnames=("cdtype",))
@@ -225,15 +248,10 @@ def rle_pos_2d(hi, lo, wide: bool = True):
 
 
 def rle_val_2d(hi, lo, cnt, wide: bool = True):
-    """Row-wise rle_val (same position-gather scheme; see rle_val)."""
+    """Row-wise rle_val (same segmented-scan scheme; see rle_val)."""
     is_start, is_end = _adj_flags_2d(hi, lo)
-    udt = jnp.uint64 if cnt.dtype == jnp.int64 else jnp.uint32
-    cu = cnt.astype(udt)
-    C = jnp.cumsum(cu, axis=1)
-    idx = lax.broadcasted_iota(jnp.int32, hi.shape, 1)
-    spos = lax.cummax(jnp.where(is_start, idx, 0), axis=1)
-    base = jnp.take_along_axis(C - cu, spos, axis=1)
-    return jnp.where(is_end & ~_is_sent(hi, lo, wide), C - base, 0).astype(
+    s = seg_totals(is_start, cnt, axis=1)
+    return jnp.where(is_end & ~_is_sent(hi, lo, wide), s, 0).astype(
         cnt.dtype
     )
 

@@ -134,6 +134,22 @@ def test_rle_val_exact_past_2e31_observations():
     assert d[2] == 1_600_000_000
 
 
+def test_rle_val_exact_past_2e32_observations():
+    """Cumulative observations past 2^32 (a full u32 cumsum wrap BETWEEN
+    runs): every per-run total still fits the dtype and must stay exact.
+    Locks the wrap-safety contract of the segmented affine scan (round-4
+    gather-free rle_val)."""
+    lo = jnp.asarray(np.array([1, 2, 3, 4, 4, 5], np.uint32))
+    hi = jnp.zeros((6,), jnp.uint32)
+    cnt = jnp.asarray(np.array(
+        [2_000_000_000, 2_000_000_000, 2_000_000_000, 5, 1, 7], np.int32
+    ))  # cumsum crosses 2^32 inside run 3->4
+    out = rle_val(hi, lo, cnt)
+    d = _store_to_dict(np.zeros(6, np.uint32), lo, out)
+    assert d == {1: 2_000_000_000, 2: 2_000_000_000,
+                 3: 2_000_000_000, 4: 6, 5: 7}
+
+
 def test_capacity_error_single_chip(rng):
     import pytest
     from conftest import random_dna
@@ -510,15 +526,18 @@ def test_chr_shaped_compaction_ordered_finalize(rng):
 
 def test_store_rows_geometry():
     """Adaptive row count: test-scale caps keep G=64; production caps
-    get the measured-fast 4096; G always divides the cap and every
-    larger ladder value (growth never re-rows)."""
+    climb to the round-4 measured cap 65536 (shorter rows sort faster,
+    monotonically through G=65536 — bench/probe_rowsort2.py); G always
+    divides the cap and every larger ladder value (growth never
+    re-rows)."""
     from findkmer_tpu.models.counter import _store_rows
     from findkmer_tpu.ops.sparse import ladder
 
     assert _store_rows(4096) == 64
     assert _store_rows(8192) == 64
-    assert _store_rows(1 << 20) == 4096
-    assert _store_rows(50_331_648) == 4096
+    assert _store_rows(1 << 20) == 8192
+    assert _store_rows(50_331_648) == 65536
+    assert _store_rows(1 << 28) == 65536
     for cap0 in (4096, 6144, 8192, 1 << 16, 3 << 15, 1 << 20, 3 << 23):
         cap0 = ladder(cap0)
         g = _store_rows(cap0)
@@ -530,8 +549,9 @@ def test_store_rows_geometry():
 
 @pytest.mark.heavy
 def test_large_row_store_multi_compaction_vs_oracle(rng):
-    """G > 64 store geometry: three injected raw rounds drive the
-    compact_raw -> compact_counted -> finalize chain at G=4096, exact
+    """G >> 64 store geometry: three injected raw rounds drive the
+    compact_raw -> compact_counted -> finalize chain at production-class
+    row counts (>= 4096; 65536 after the round-4 g_cap raise), exact
     vs a numpy dict (the round-3 adaptive-rows change)."""
     import jax.numpy as jnp
 
@@ -545,7 +565,7 @@ def test_large_row_store_multi_compaction_vs_oracle(rng):
                  sparse_expected_entries=n,
                  sparse_compact_entries=n)
     c = KmerCounter(cfg)
-    assert c._rows == 4096
+    assert c._rows >= 4096  # production-class geometry, rule-derived
     st = c.init_state()
     hdt = sparse_ops.hi_dtype(k)
     all_codes = []
@@ -567,7 +587,7 @@ def test_large_row_store_multi_compaction_vs_oracle(rng):
             distinct=st.distinct,
         )
         st = c.compact(st)  # 1st: compact_raw; later: compact_counted
-        assert st.store[0].shape[0] == 4096
+        assert st.store[0].shape[0] == c._rows
     got_c, got_n = c.finalize(st)
     want_c, want_n = np.unique(np.concatenate(all_codes),
                                return_counts=True)
@@ -598,7 +618,7 @@ def test_large_ladder_dedup_multichunk_finalize(rng, monkeypatch):
                  sparse_expected_entries=n,
                  sparse_compact_entries=n)
     c = KmerCounter(cfg)
-    assert c._rows == 4096
+    assert c._rows >= 4096  # production-class geometry, rule-derived
     st = c.init_state()
     hdt = sparse_ops.hi_dtype(k)
     # pool of 2^21 distinct codes (< cap): every round re-draws from the
