@@ -56,7 +56,12 @@ def main():
         }))
         sys.stdout.flush()
 
-    for g in (4096, 8192, 16384, 32768, 65536):
+    import os
+
+    gs = tuple(int(v) for v in os.environ.get(
+        "FINDKMER_PROBE_GS", "4096,8192,16384,32768,65536"
+    ).split(","))
+    for g in gs:
         d_hi = jax.device_put(jnp.asarray(hi.reshape(g, -1)))
         d_lo = jax.device_put(jnp.asarray(lo.reshape(g, -1)))
         timed(f"compact_raw_g{g}", sparse_ops.compact_raw_2d,
