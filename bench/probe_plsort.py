@@ -52,15 +52,16 @@ def main():
             while j >= 1:
                 want_min = ((idx & j) == 0) == ((idx & k) == 0)
                 upper = (idx & j) != 0
+                # pltpu.roll requires non-negative shifts: -j == C - j
                 p_hi = jnp.where(
                     upper,
                     pltpu.roll(hi, j, axis=1),
-                    pltpu.roll(hi, -j, axis=1),
+                    pltpu.roll(hi, C - j, axis=1),
                 )
                 p_lo = jnp.where(
                     upper,
                     pltpu.roll(lo, j, axis=1),
-                    pltpu.roll(lo, -j, axis=1),
+                    pltpu.roll(lo, C - j, axis=1),
                 )
                 p_less = (p_hi < hi) | ((p_hi == hi) & (p_lo < lo))
                 take = want_min == p_less
@@ -145,10 +146,21 @@ def main():
         }))
         sys.stdout.flush()
 
-    # canary: tiny network (36 passes), tiny block
-    stage("plsort_canary_1024x256", 1024, 256, 256)
-    # production geometry: C=2048 (66 passes)
-    stage("plsort_prod_65536x2048", 65536, 2048, 256)
+    import os
+
+    stages = os.environ.get(
+        "FINDKMER_PLSORT_STAGES", "canary,mid,prod"
+    ).split(",")
+    if "canary" in stages:
+        # tiny network (36 passes), tiny block
+        stage("plsort_canary_1024x256", 1024, 256, 256)
+    if "mid" in stages:
+        # the G=262144 geometry: C=512 (45 passes)
+        stage("plsort_mid_262144x512", 262144, 512, 512)
+    if "prod" in stages:
+        # C=2048 (66 passes) — measured outcome: the unrolled body
+        # crashes the remote compile helper (HTTP 500)
+        stage("plsort_prod_65536x2048", 65536, 2048, 256)
 
 
 if __name__ == "__main__":

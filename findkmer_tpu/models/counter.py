@@ -208,7 +208,7 @@ def _store_rows(cap0: int) -> int:
 
     Shared geometry rule (ops/compaction.row_geometry — measured
     economics in its docstring): power of two from the round-2
-    STORE_ROWS=64 floor, <= cap0/128, capped at 65536 (round 4).
+    STORE_ROWS=64 floor, <= cap0/128, capped at 262144 (round 4).
     Test-scale caps (4096) keep the round-2 G=64."""
     return compaction.row_geometry(cap0, g0=STORE_ROWS)
 

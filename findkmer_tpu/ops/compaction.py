@@ -34,19 +34,19 @@ import numpy as np
 from findkmer_tpu.ops import sparse as sparse_ops
 
 
-def row_geometry(cap0: int, g0: int = 1, g_cap: int = 65536) -> int:
+def row_geometry(cap0: int, g0: int = 1, g_cap: int = 262144) -> int:
     """Row count of a sorted store over raw capacity cap0.
 
     More rows = shorter rows = fewer bitonic sort stages.  Round 3
     measured 536 -> 885 Melem/s from G=64 to G=4096 at 48M slots and
     called 4096 the knee; the round-4 healthy-window re-sweep
     (bench/probe_rowsort2.py) showed that knee was a window
-    artifact — the full chain climbs monotonically: compact_raw 817 /
-    1175 / 1457 / 1725 Melem/s and compact_counted (segmented-scan RLE)
-    760 / 887 / 1115 at G = 4096 / 16384 / 32768 / 65536 over 100M
-    slots.  g_cap is therefore 65536; the cap0/256 guard below keeps
-    test-scale stores at small G, and gains past 65536 diminish as
-    log^2(cols) flattens while per-row overheads grow.  The result is a
+    artifact — the full chain climbs: compact_raw 817 / 1175 / 1457 /
+    1725 / 1965 / 2304 Melem/s and compact_counted (segmented-scan RLE)
+    760 / 887 / 1115 / 1359 / 1647 at G = 4096 / 16384 / 32768 / 65536
+    / 131072 / 262144 over 100M slots, with the raw knee at 262144
+    (524288 measured DOWN, 2200).  g_cap is therefore 262144; the
+    cap0/128 guard below keeps test-scale stores at small G.  The result is a
     power of two that divides cap0 and every larger ladder capacity
     (buffers only grow; rows never change), kept <= cap0/128 so each
     row retains >= 128 raw slots for the per-row RLE.

@@ -526,18 +526,17 @@ def test_chr_shaped_compaction_ordered_finalize(rng):
 
 def test_store_rows_geometry():
     """Adaptive row count: test-scale caps keep G=64; production caps
-    climb to the round-4 measured cap 65536 (shorter rows sort faster,
-    monotonically through G=65536 — bench/probe_rowsort2.py); G always
-    divides the cap and every larger ladder value (growth never
-    re-rows)."""
+    climb to the round-4 measured knee at G=262144 (shorter rows sort
+    faster through C=512 — bench/probe_rowsort2.py); G always divides
+    the cap and every larger ladder value (growth never re-rows)."""
     from findkmer_tpu.models.counter import _store_rows
     from findkmer_tpu.ops.sparse import ladder
 
     assert _store_rows(4096) == 64
     assert _store_rows(8192) == 64
     assert _store_rows(1 << 20) == 8192
-    assert _store_rows(50_331_648) == 65536
-    assert _store_rows(1 << 28) == 65536
+    assert _store_rows(50_331_648) == 262144
+    assert _store_rows(1 << 28) == 262144
     for cap0 in (4096, 6144, 8192, 1 << 16, 3 << 15, 1 << 20, 3 << 23):
         cap0 = ladder(cap0)
         g = _store_rows(cap0)
