@@ -63,12 +63,16 @@ def _probe_health(jax, np) -> float:
 
 def _measure(jax) -> dict:
     k8_bps, k8_dt = bench_dense_step(jax, k=8)
-    # k=21 also times the count-table merge (BASELINE metric 2): the
-    # ordered finalize — device global sort + coded-wire D2H + host
-    # assembly — on the chr-scale-shaped store the pass just built
-    # (~100M windows).  Reported as finalize_merge_s on stderr.
-    k21_bps, k21_dt, k21_fin = bench_sparse_step(
-        jax, k=21, time_finalize=True
+    # throughput at the production default geometry (Config.batch_rows)
+    k21_bps, k21_dt = bench_sparse_step(jax, k=21)
+    # count-table merge (BASELINE metric 2): the ordered finalize —
+    # device global sort + coded-wire D2H + host assembly — PINNED at
+    # the round-3/4-comparable store geometry (512 x 64K x 3 ~= 100.7M
+    # windows) so the metric stays comparable across rounds even when
+    # the production batch default changes.  Reported on stderr with
+    # its window count.
+    _, _, k21_fin = bench_sparse_step(
+        jax, k=21, batch_rows=512, time_finalize=True
     )
     k15_bps, k15_dt = bench_sparse_step(jax, k=15)
     # BASELINE config 4 is CANONICAL k=21 — measure it explicitly

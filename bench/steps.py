@@ -79,7 +79,7 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
     return bases / dt, dt
 
 
-def bench_sparse_step(jax, k=21, batch_rows=512, chunk_len=65536, steps=3,
+def bench_sparse_step(jax, k=21, batch_rows=1024, chunk_len=65536, steps=3,
                       capacity=1 << 28, canonical=False,
                       time_finalize=False):
     """bases/s of the sparse (log-structured) path for big k.

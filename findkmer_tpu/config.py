@@ -78,12 +78,13 @@ class Config:
     # axon tunnel cost minutes.  0 = unknown, grow by doubling.
 
     # --- batching / streaming (pipeline.py) ---
-    batch_rows: int = 512            # B: rows per device batch
+    batch_rows: int = 1024           # B: rows per device batch
     chunk_len: int = 65536           # L: owned bases per row (halo adds k-1)
-    # 512 x 65536 = 33.5 Mbase/batch: big batches amortize per-dispatch
+    # 1024 x 65536 = 67 Mbase/batch: big batches amortize per-dispatch
     # latency (decisive through the axon tunnel: k=21 step measured
-    # +27% same-window going 256 -> 512 rows, dense k=8 neutral;
-    # bench/RESULTS.md round 3) and keep jit shape count at one; small
+    # +27% same-window going 256 -> 512 rows in round 3 and +11% going
+    # 512 -> 1024 in round 4 at the G=262144 geometry, dense k=8
+    # neutral; bench/RESULTS.md) and keep jit shape count at one; small
     # inputs just pad the final batch
     prefetch: int = 2                # host->device double-buffer depth
 

@@ -345,10 +345,20 @@ class KmerCounter:
     def _raw_cap0(self) -> int:
         """Initial raw-buffer capacity: the expected-size hint when the
         caller knows it (one shape compiles), else a couple of batches'
-        worth with doubling growth."""
+        worth with doubling growth.
+
+        When the hint says the input is SMALLER than one batch, the
+        2-batch floor is dropped to ~2x the hint (slack for record
+        separators and tail-rung padding; the pipeline's tail shrink
+        emits a matching small batch) — a 50 kb input no longer
+        allocates 2 x 67M-slot buffers.  Underestimates self-heal: the
+        step grows buffers by ladder doubling."""
         per_batch = self.cfg.batch_rows * self.cfg.window_len
-        if self.cfg.sparse_expected_entries:
-            want = max(self.cfg.sparse_expected_entries, 2 * per_batch)
+        exp = self.cfg.sparse_expected_entries
+        if exp:
+            want = max(exp, 2 * per_batch)
+            if exp < per_batch:
+                want = min(want, 2 * exp + 4096)
         else:
             want = 2 * per_batch
         return sparse_ops.ladder(

@@ -110,6 +110,16 @@ class _BatchEmitter:
         self.filled = 0  # owned codes currently in work[halo:]
         self.stats = stats
         self.pack = cfg.packed_h2d
+        # tail shrink: an input that ends before the FIRST full batch
+        # emits a ladder-rung-sized batch instead of padding to the full
+        # (B, L) shape — at batch_rows=1024 a 50 kb file would otherwise
+        # pay a 67 Mbase-shaped extraction + 2-batch raw buffers (74 s
+        # on CPU).  Only the first batch (no new shapes in steady-state
+        # streaming, where the padded tail is one batch among many) and
+        # only single-device (the dist paths derive their jit shapes
+        # from cfg.batch_rows and require full batches).
+        self._emitted = 0
+        self._shrink_ok = cfg.devices == 1
         if self.pack:
             from findkmer_tpu.io import native as native_mod
 
@@ -117,10 +127,12 @@ class _BatchEmitter:
             self._native_mod = native_mod
             self.R8 = (self.R + 7) // 8 * 8
 
-    def emit(self):
-        work, B, L, R = self.work, self.B, self.L, self.R
-        need, halo, stats = self.need, self.halo, self.stats
+    def emit(self, rows: Optional[int] = None):
+        work, L, R = self.work, self.L, self.R
+        B = self.B if rows is None else rows
+        need, halo, stats = B * L, self.halo, self.stats
         self.filled = 0
+        self._emitted += 1
         if stats is not None:
             stats.batches += 1
             stats.rows += B
@@ -152,11 +164,26 @@ class _BatchEmitter:
         return out
 
     def finish(self):
-        """Flush the partial tail batch (if any)."""
-        if self.filled:
-            self.work[self.halo + self.filled :] = INVALID
-            return [self.emit()]
-        return []
+        """Flush the partial tail batch (if any).
+
+        A first-and-only partial batch shrinks to the smallest
+        {1,1.5}x2^i ladder rung of rows covering the fill (see
+        __init__); later tails keep the full compiled shape."""
+        if not self.filled:
+            return []
+        if self._shrink_ok and self._emitted == 0:
+            from findkmer_tpu.ops import sparse as sparse_ops
+
+            rows = min(
+                self.B,
+                sparse_ops.ladder(-(-self.filled // self.L), floor=1),
+            )
+            self.work[self.halo + self.filled : self.halo + rows * self.L] = (
+                INVALID
+            )
+            return [self.emit(rows)]
+        self.work[self.halo + self.filled :] = INVALID
+        return [self.emit()]
 
 
 def batches_from_codes(
