@@ -45,10 +45,15 @@ from bench.steps import (
 
 HEALTHY_S = 1.0      # 4 MB D2H: ~0.04 s healthy, seconds when degraded
 WAIT_BUDGET_S = 240  # max time spent waiting for a healthy window
-# round-3 healthy-window reference values (bench/RESULTS.md): a pass
-# below these in a degraded window triggers one re-measure
+# round-4 healthy-window reference values (bench/RESULTS.md): a pass
+# below these in a degraded window triggers one re-measure.  Set ~15%
+# under the healthy-window records (k21 1459 / canonical 1407 / k15
+# 1948 / k8 1555) so window noise retries but a real regression still
+# shows in pass_values.
 EXPECT = {
-    "bases_per_s_per_chip_k21_sparse": 550e6,  # 596 measured (G=4096)
+    "bases_per_s_per_chip_k21_sparse": 1.25e9,
+    "bases_per_s_per_chip_k21_canonical": 1.2e9,
+    "bases_per_s_per_chip_k15_sparse": 1.65e9,
     "bases_per_s_per_chip_k8": 1.4e9,
 }
 

@@ -96,7 +96,13 @@ class Config:
                                      # single-device engine, 0 = all
                                      # available, N>1 = first N
     merge: str = MERGE_AUTO
-    route_capacity_factor: float = 1.5  # all-to-all per-bucket slack
+    route_capacity_factor: float = 2.5  # all-to-all per-bucket slack
+    # over the uniform 1/n_dev share.  Measured on genomic-shaped input
+    # (AT-rich base composition + motif repeats, test_dist_fullscale):
+    # the hottest code-prefix shard carries 2.03x uniform, so the old
+    # 1.5 default fail-fasted on realistic FASTA.  2.5 covers genomic
+    # composition; adversarial near-single-prefix streams still need
+    # ~n_dev/skew (overflow stays fail-fast, never silent).
 
     # --- output (output.py) ---
     zeros: bool = False              # emit zero-count k-mers (small k only)

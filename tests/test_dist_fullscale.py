@@ -8,8 +8,9 @@ The small-k mesh tests (test_dist.py, 4^11 = 4M entries) validate the
 route arithmetic; this one validates the regime they cannot: per-shard
 capacity at GB scale, int32 route offsets against a 2^30 code space,
 and route-bucket sizing against non-uniform prefix traffic (measured
-here: the hottest shard carries 2.03x the uniform share, above the
-default route_capacity_factor of 1.5 — Config must be told about skew).
+here: the hottest shard carries 2.03x the uniform share — above the
+original 1.5 route_capacity_factor default, which is why the default
+is now 2.5; adversarial single-prefix streams still need ~n_dev/skew).
 
 Heavy tier: ~4 GiB of table + a like-sized finalize pull; minutes of
 page-fault time on lazily-backed VMs.  Skipped below 24 GiB of RAM.
@@ -78,8 +79,8 @@ def test_all_to_all_k15_full_table_skewed():
     text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(recs))
 
     # the input's hottest shard carries >1.5x the uniform 1/8 share —
-    # the default route_capacity_factor (1.5) is NOT safe at this skew,
-    # which is the regime this test exists to exercise
+    # the skew that sank the original 1.5 default (now 2.5 because of
+    # this measurement); keep the assert so the sizing stays visible
     shares = _shard_shares(recs, 15, 8)
     assert shares.max() * 8 > 1.6, shares
 
