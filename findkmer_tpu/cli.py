@@ -1259,7 +1259,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="auto",
                     help="membership scorer: host = OpenMP C scan, "
                          "device = TPU sort-merge probe (auto picks "
-                         "device on a real accelerator)")
+                         "the C scan when built, else device on a "
+                         "real accelerator)")
     pf.add_argument("--paired", action="store_true",
                     help="paired-end mode: -i R1 R2, pairs kept/dropped "
                          "together, -o OUT_R1,OUT_R2 (outputs stay "

@@ -424,13 +424,23 @@ def _records_with_raw(path, fmt: str) -> Iterator[Tuple[bytes, bytes]]:
 
 
 def _resolve_engine(engine: str) -> str:
-    """auto -> device on a real accelerator, host otherwise.
+    """auto -> the native host C scan when built, device only as the
+    accelerator-backed fallback, numpy host otherwise.
 
-    The device scorer pays jit compiles and per-batch sort work that
-    only the TPU path amortizes (bench/RESULTS.md round 3); on the CPU
-    backend the OpenMP C scan is the faster engine, so auto keeps it."""
+    Round-4 measurement (bench/RESULTS.md "offsets-based zero-copy
+    flow"): with the offsets flow the OpenMP binary-search scan runs
+    1312 kreads/s keep-few on 4 cores vs the device engine's 376
+    end-to-end — the host scan now wins even against a real
+    accelerator, and it scales with host cores while the device path
+    pays H2D per read.  The device engine stays as the `auto` pick
+    when the C library is unavailable (the numpy fallback scorer is
+    the slowest path) and as an explicit `--engine device` choice."""
     if engine != "auto":
         return engine
+    from .io import native as _nat
+
+    if _nat.available():
+        return "host"
     try:
         import jax
 
