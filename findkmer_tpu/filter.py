@@ -621,13 +621,8 @@ def _filter_fastq_offsets_paired(
     o1 = o2 = 0
 
     def passes(h, w):
-        ok = h >= min_hits
-        if min_frac is not None:
-            nz = w > 0
-            frac_ok = np.zeros(ok.shape, bool)
-            frac_ok[nz] = (h[nz] / w[nz]) >= min_frac
-            ok = ok & frac_ok
-        return ok
+        # per-mate pass rule = _keep_mask before the pair-level invert
+        return _keep_mask(h, w, min_hits, min_frac, False)
 
     while True:
         if b1 is None or o1 >= b1[0].size:
@@ -678,8 +673,9 @@ def filter_file(
     Reads are scored in multi-MB batches (FilterSpec.hits_batch) so the
     per-read Python cost is one list append, not a numpy pipeline.
     engine: "host" (OpenMP C scan / numpy), "device" (TPU sort-merge
-    membership, filter_device.py), or "auto" (device on a real
-    accelerator).  Both engines are bit-for-bit interchangeable.
+    membership, filter_device.py), or "auto" (the native host scan
+    when built, else device on a real accelerator — _resolve_engine).
+    Both engines are bit-for-bit interchangeable.
     Returns (reads kept, reads seen).
 
     FASTQ inputs take the offsets-based zero-copy flow when the native

@@ -150,13 +150,18 @@ class FastqReader:
                 start = e + 1
             if not block:
                 break
-        if line_idx % 4 not in (0, 2, 3):
+        if line_idx % 4 == 1:
             # ended right after a header with no sequence line
             raise ValueError("truncated FASTQ: header without sequence")
-        if pending is not None:
+        if line_idx % 4 in (2, 3):
+            # record ends after its sequence but before the quality
+            # line.  Strict: a truncated file must ERROR, not silently
+            # count/keep a tail read — and the offsets-based fast flows
+            # (filter._fastq_blocks / _fastq_records_block) already
+            # raise here, so leniency would make the
+            # FINDKMER_FASTQ_FAST=1/0 paths diverge (round-4 review).
             raise ValueError(
-                "truncated FASTQ: record ends before its quality line "
-                "(required by --min-qual masking)"
+                "truncated FASTQ: record ends before its quality line"
             )
 
     # ------------------------------------------------------------------

@@ -80,9 +80,11 @@ def _sub_rows(cap0: int) -> int:
     Shared geometry rule (ops/compaction.row_geometry): each device's
     raw slice is reshaped (free, row-major) into R sub-rows before the
     per-compaction sort, so the per-device compaction runs at the
-    measured-fast short-row geometry (~884 vs 530 Melem/s at chr scale)
-    instead of one cap-length row.  Starts at 1 (a device may own very
-    little), power of two <= cap0/128, capped at 4096."""
+    measured-fast short-row geometry instead of one cap-length row.
+    Starts at 1 (a device may own very little), power of two
+    <= cap0/128, capped at row_geometry's shared g_cap — the knee
+    measured on the single-chip chain (round 4: 262144), which is the
+    SAME sort+RLE program this engine runs per device shard."""
     return compaction.row_geometry(cap0, g0=1)
 
 

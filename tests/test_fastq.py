@@ -100,6 +100,28 @@ def test_fastq_malformed_errors(tmp_path):
             list(r.chunks())
 
 
+def test_fastq_truncated_final_record_errors(tmp_path, monkeypatch):
+    """A file whose last record is cut off after its sequence line must
+    ERROR on BOTH counting flows (FINDKMER_FASTQ_FAST=1/0) — the legacy
+    reader was lenient here while the offsets flow raised, so the two
+    paths silently diverged (round-4 review finding)."""
+    from findkmer_tpu import pipeline
+    from findkmer_tpu.models.counter import make_counter
+
+    cfg = Config(k=4, chunk_len=128, batch_rows=4)
+    for tail in ("@r1\nACGTACGTACGT\n",           # header + seq only
+                 "@r1\nACGTACGTACGT\n+\n"):       # missing quality line
+        p = tmp_path / "trunc.fastq"
+        p.write_text("@r0\nACGTACGT\n+\nIIIIIIII\n" + tail)
+        for fast in ("1", "0"):
+            monkeypatch.setenv("FINDKMER_FASTQ_FAST", fast)
+            counter = make_counter(cfg)
+            state = counter.init_state()
+            with pytest.raises(ValueError, match="truncated FASTQ"):
+                for rows in pipeline.batches_from_file(str(p), cfg):
+                    state = counter.step(state, rows)
+
+
 def test_fastq_offsets_counting_path_matches_legacy(tmp_path, monkeypatch):
     """The offsets-based FASTQ counting path (pipeline._fastq_code_stream,
     C record scanner + gather-encode) must produce the identical
