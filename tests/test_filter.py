@@ -618,6 +618,36 @@ def test_fastq_scan_offsets_matches_legacy_parser(tmp_path, block):
     assert _offset_records(str(p), block) == _legacy_records(str(p))
 
 
+def test_fastq_scan_offsets_fuzz_block_sizes(tmp_path, rng):
+    """Randomized cross-diff of the C scanner vs the numpy parser:
+    random read lengths (incl. empty), random CRLF per record, blank
+    lines between records, headers with spaces — across block sizes
+    chosen to straddle records at every line position (round-4 review
+    made this check ad hoc; this pins it)."""
+    from findkmer_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    parts = []
+    for i in range(120):
+        L = int(rng.integers(0, 200))
+        seq = bytes(rng.choice(list(b"ACGTNacgt"), L))
+        qual = bytes(rng.choice(list(b"!IJ~"), L))
+        eol = b"\r\n" if rng.integers(2) else b"\n"
+        parts.append(
+            b"@f" + str(i).encode() + b" x" + eol + seq + eol + b"+"
+            + eol + qual + eol
+        )
+        if rng.integers(4) == 0:
+            parts.append(eol)
+    text = b"".join(parts)
+    p = tmp_path / "fuzz.fastq"
+    p.write_bytes(text)
+    want = _legacy_records(str(p))
+    for block in (37, 251, 1 << 12, 1 << 20):
+        assert _offset_records(str(p), block) == want, block
+
+
 def test_fastq_scan_offsets_errors(tmp_path):
     from findkmer_tpu.io import native
 
