@@ -115,6 +115,47 @@ def test_resume_stats_match_fresh_run(tmp_path, fixtures_dir):
     np.testing.assert_array_equal(spec_fresh, spec_resumed)
 
 
+def test_resume_fastq_fast_flow(tmp_path, rng, monkeypatch):
+    """Checkpoint/resume over a FASTQ input on the offsets-based fast
+    counting flow (pipeline._fastq_code_stream): a crash-resumed run
+    must equal the uninterrupted spectrum, and a run checkpointed under
+    one flow must resume bit-identically under the other (the batch
+    stream is flow-independent — test_fastq pins the streams equal,
+    this pins the composition)."""
+    from findkmer_tpu.io import native
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.utils import checkpoint as ckpt_mod
+
+    if not native.available():
+        pytest.skip("native library not built")
+    recs = [random_dna(rng, n, n_prob=0.02) for n in (800, 60, 400, 900)]
+    p = tmp_path / "in.fastq"
+    p.write_text(
+        "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                for i, s in enumerate(recs))
+    )
+    cfg = Config(k=6, chunk_len=128, batch_rows=2)
+    monkeypatch.setenv("FINDKMER_FASTQ_FAST", "1")
+    want = pipeline.count_file(str(p), cfg)
+
+    ckpt = str(tmp_path / "ckpt")
+    counter = KmerCounter(cfg)
+    state = counter.init_state()
+    for i, rows in enumerate(pipeline.batches_from_file(str(p), cfg)):
+        if i >= 2:
+            break  # "crash" mid-stream under the fast flow
+        state = counter.step(state, rows)
+        ckpt_mod.save(ckpt, cfg, i + 1, state, {})
+
+    # resume under the LEGACY flow: the replayed batch prefix must line
+    # up with the fast flow's checkpointed batches
+    monkeypatch.setenv("FINDKMER_FASTQ_FAST", "0")
+    got = streaming.stream_count(
+        [str(p)], cfg, checkpoint_dir=ckpt, checkpoint_every=2
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_restore_from_legacy_flat_table(rng):
     """restore_state accepts round-1 style FLAT sorted SparseTable
     arrays (pre-row-store checkpoints) and keeps counts exact."""
