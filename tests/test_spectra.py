@@ -1031,6 +1031,39 @@ def test_expr_matches_bruteforce(rng, tmp_path):
             spectra.eval_expression(bad, inputs)
 
 
+def test_expr_random_trees_match_bruteforce(rng, tmp_path):
+    """Randomized expression fuzz: 25 random operator trees (depth <= 4,
+    all four operators, random parenthesization) over four random
+    spectra, each checked against the plain-dict evaluator — the fixed
+    9-expression list above can't cover operator interleavings."""
+    kmers = ["".join(rng.choice(list("ACGT")) for _ in range(6))
+             for _ in range(80)]
+    dicts = {}
+    for name in ("A", "B", "C", "D"):
+        sel = sorted({kmers[int(i)] for i in rng.integers(0, 80, 40)})
+        dicts[name] = {km: int(rng.integers(1, 9)) for km in sel}
+        (tmp_path / f"{name}.tsv").write_text(
+            "".join(f"{km}\t{c}\n" for km, c in sorted(dicts[name].items()))
+        )
+    inputs = {n: str(tmp_path / f"{n}.tsv") for n in dicts}
+
+    def gen(depth):
+        if depth == 0 or rng.integers(3) == 0:
+            return str(rng.choice(list("ABCD")))
+        a, b = gen(depth - 1), gen(depth - 1)
+        op = str(rng.choice(["+", "*", "-", "~"]))
+        e = f"{a} {op} {b}"
+        return f"({e})" if rng.integers(2) else e
+
+    for _ in range(25):
+        text = gen(int(rng.integers(1, 5)))
+        got = dict(
+            (km.decode(), c)
+            for km, c in spectra.eval_expression(text, inputs)
+        )
+        assert got == _brute_expr(text, dicts), text
+
+
 @pytest.mark.heavy
 def test_expr_cli_matches_subcommands(tmp_path, fixtures_dir):
     """expr 'A+B' == merge; 'A*B' == intersect; 'A~B' == subtract
