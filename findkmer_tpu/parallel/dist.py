@@ -615,6 +615,16 @@ class DistributedCounter:
     overflow_check_every = 64
 
     def step(self, state, rows):
+        nrows = (rows[0] if isinstance(rows, tuple) else rows).shape[0]
+        if nrows % self.n_dev:
+            # a sub-batch-rows input shrank its only batch (the tail
+            # shrink is gated on Config.devices == 1) — surface the
+            # misconfiguration instead of XLA's opaque sharding error
+            raise ValueError(
+                f"batch of {nrows} rows is not divisible by the "
+                f"{self.n_dev}-device mesh; set Config.devices to the "
+                "mesh width so the batcher keeps shard-compatible shapes"
+            )
         if isinstance(rows, np.ndarray) or (
             isinstance(rows, tuple) and isinstance(rows[0], np.ndarray)
         ):
