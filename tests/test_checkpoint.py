@@ -51,6 +51,34 @@ def test_resume_bit_identical(fasta_file, tmp_path):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_resume_every_crash_point(fasta_file, tmp_path):
+    """Exhaustive crash-point sweep: for EVERY batch index i, a run
+    checkpointed through batch i and abandoned must resume to the
+    bit-identical spectrum (test_resume_bit_identical covers one
+    point; associativity says all points work — this checks it)."""
+    from findkmer_tpu.models.counter import KmerCounter
+    from findkmer_tpu.utils import checkpoint as ckpt_mod
+
+    cfg = Config(k=6, chunk_len=256, batch_rows=2)
+    want = np.asarray(pipeline.count_file(fasta_file, cfg))
+    n_batches = sum(1 for _ in pipeline.batches_from_file(fasta_file, cfg))
+    assert n_batches >= 3
+    for crash_at in range(1, n_batches + 1):
+        ckpt = str(tmp_path / f"ck{crash_at}")
+        counter = KmerCounter(cfg)
+        state = counter.init_state()
+        for i, rows in enumerate(pipeline.batches_from_file(fasta_file,
+                                                            cfg)):
+            if i >= crash_at:
+                break
+            state = counter.step(state, rows)
+            ckpt_mod.save(ckpt, cfg, i + 1, state, {})
+        got = streaming.stream_count(
+            [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=3
+        )
+        np.testing.assert_array_equal(np.asarray(got), want), crash_at
+
+
 def test_resume_after_complete_is_stable(fasta_file, tmp_path):
     cfg = Config(k=5, chunk_len=256, batch_rows=2)
     ckpt = str(tmp_path / "ckpt2")
