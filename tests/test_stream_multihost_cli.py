@@ -53,13 +53,14 @@ def test_host_resume_composes_with_sharding(tmp_path, fixtures_dir):
     assert a == b
 
 
-@pytest.mark.parametrize("k", ["6", "18"])  # dense-sum and sparse merge
+@pytest.mark.parametrize("k,n_proc", [("6", 2), ("18", 2), ("18", 4)])
 @pytest.mark.heavy
-def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
-    """REAL 2-process jax.distributed group on CPU: `stream
+def test_coordinator_collective_merge(tmp_path, fixtures_dir, k, n_proc):
+    """REAL N-process jax.distributed group on CPU: `stream
     --coordinator` ends in one collective allgather merge — host 0
-    writes the FULL spectrum, host 1 writes nothing (round-1 verdict
-    item 4)."""
+    writes the FULL spectrum, the others write nothing (round-1 verdict
+    item 4; the 4-process case pins the protocol beyond the pairwise
+    shape — BASELINE config 5 says N >= 2 hosts)."""
     import socket
 
     src = os.path.join(fixtures_dir, "ecoli_frag.fa")
@@ -71,7 +72,7 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
     coord = f"127.0.0.1:{port}"
     common = ["stream", "-i", src, "-k", k, "--chunk-len", "1024",
               "--batch-rows", "4", "--coordinator", coord,
-              "--num-processes", "2"]
+              "--num-processes", str(n_proc)]
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -85,18 +86,19 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k):
             env=env, cwd=str(tmp_path),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        for i in range(2)
+        for i in range(n_proc)
     ]
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (_, err) in zip(procs, outs):
         assert p.returncode == 0, err
 
-    # host 0 wrote the FULL spectrum; host 1 wrote nothing
+    # host 0 wrote the FULL spectrum; the others wrote nothing
     full = _cli(["count", "-i", src, "-k", k, "--chunk-len", "1024",
                  "--batch-rows", "4"], tmp_path)
     h0 = (tmp_path / "h0.tsv").read_text()
     assert h0 == full
-    assert not (tmp_path / "h1.tsv").exists()
+    for i in range(1, n_proc):
+        assert not (tmp_path / f"h{i}.tsv").exists()
 
 
 @pytest.mark.heavy
