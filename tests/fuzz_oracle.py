@@ -3,8 +3,10 @@
 Usage: python tests/fuzz_oracle.py [seed] [n_trials]  (CPU backend).
 Randomizes k 1..31, canonical, chunk/batch geometry, table mode, hist
 algorithm, N/lowercase/IUPAC noise density, and record counts; each
-trial diffs the full pipeline against oracle/scalar.py.  Round-4
-sweeps: seeds 1 (80 trials) and 42 (300 trials), 0 failures."""
+trial diffs the full pipeline against oracle/scalar.py; sparse k>=11
+trials sometimes force disk spill (tiny capacity + eager compaction).
+Round-4 sweeps: seeds 1 (80), 42 (300), 11 (100, incl. forced-spill
+trials); 0 failures."""
 import os, sys, traceback
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -30,16 +32,28 @@ for trial in range(N):
         recs.append("".join(arr))
     text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(recs))
     canonical = bool(rng.integers(2))
+    mode = str(rng.choice(["auto", "sparse"])) if k >= 6 else "auto"
+    extra = {}
+    spill_dir = None
+    if mode == "sparse" and k >= 11 and rng.integers(3) == 0:
+        # force disk spill: tiny distinct capacity + eager compaction
+        import tempfile
+        spill_dir = tempfile.mkdtemp(prefix="fkspill")
+        extra = dict(spill_dir=spill_dir, sparse_capacity=2048,
+                     sparse_compact_entries=1024)
+    else:
+        extra = dict(sparse_capacity=1 << 16)
     cfg = Config(
         k=k, canonical=canonical,
         chunk_len=int(rng.choice([64, 128, 256, 1024])),
         batch_rows=int(rng.choice([1, 2, 4, 8])),
-        table_mode=str(rng.choice(["auto", "sparse"])) if k >= 6 else "auto",
-        sparse_capacity=1 << 16,
+        table_mode=mode,
         hist=str(rng.choice(["auto", "scatter", "sort", "onehot"])),
+        **extra,
     )
     tag = (f"trial={trial} k={k} canon={canonical} chunk={cfg.chunk_len} "
-           f"rows={cfg.batch_rows} mode={cfg.table_mode} hist={cfg.hist}")
+           f"rows={cfg.batch_rows} mode={cfg.table_mode} hist={cfg.hist}"
+           f"{' spill' if spill_dir else ''}")
     try:
         spectrum, _ = count_text(text, cfg)
         got = spectrum_to_dict(spectrum, k)
@@ -54,6 +68,10 @@ for trial in range(N):
         fails += 1
         print(f"ERROR {tag}: {type(e).__name__}: {e}")
         traceback.print_exc(limit=2)
+    finally:
+        if spill_dir:
+            import shutil
+            shutil.rmtree(spill_dir, ignore_errors=True)
     if (trial + 1) % 10 == 0:
         print(f"...{trial + 1}/{N} ok so far, fails={fails}", flush=True)
 print(f"done: {N} trials, {fails} failures")
