@@ -8,8 +8,12 @@ trials sometimes force disk spill (tiny capacity + eager compaction).
 Round-4 sweeps: seeds 1 (80), 42 (300), 11 (100, incl. forced-spill
 trials); 0 failures."""
 import os, sys, traceback
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if os.environ.get("FINDKMER_FUZZ_TPU", "0") != "1":
+    # default: CPU backend (fast, no tunnel); FINDKMER_FUZZ_TPU=1 runs
+    # the same trials on the real chip (each new (k, geometry) shape
+    # pays a tunnel compile — keep n_trials small)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import numpy as np
 _here = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_here)); sys.path.insert(0, os.path.join(os.path.dirname(_here), "tests"))
