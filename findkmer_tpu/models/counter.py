@@ -52,6 +52,8 @@ import numpy as np
 from jax import lax
 
 from findkmer_tpu.config import Config
+from findkmer_tpu.models import rowstore
+from findkmer_tpu.models.rowstore import RowStoreMixin
 from findkmer_tpu.ops import compaction
 from findkmer_tpu.ops import histogram as hist_ops
 from findkmer_tpu.ops import sparse as sparse_ops
@@ -145,13 +147,11 @@ def _batch_codes(batch, k: int, canonical: bool, R: int):
     ))
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _append(bufs, parts, offset):
-    """Write a batch's raw codes into the (donated) raw buffers."""
-    return tuple(
-        lax.dynamic_update_slice(b, p, (offset,))
-        for b, p in zip(bufs, parts)
-    )
+# Shared raw-buffer append/grow (models/rowstore.py — ONE jitted
+# implementation for this engine's 1-D buffers and dist.py's 2-D
+# row-sharded ones; round-4 verdict weak #3 fold)
+_append = rowstore.append_raw
+_grow = rowstore.grow_raw
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "R"), donate_argnums=(0,))
@@ -167,17 +167,6 @@ def _ingest(bufs, batch, offset, k: int, canonical: bool, R: int):
     return tuple(
         lax.dynamic_update_slice(b, p, (offset,))
         for b, p in zip(bufs, parts)
-    )
-
-
-@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
-def _grow(bufs, new_cap: int):
-    return tuple(
-        jnp.concatenate(
-            [b, jnp.full((new_cap - b.shape[0],),
-                         sparse_ops.sent_of(b.dtype), b.dtype)]
-        )
-        for b in bufs
     )
 
 
@@ -263,8 +252,13 @@ def make_counter(cfg: Config):
     return DistributedCounter(cfg, make_mesh(n))
 
 
-class KmerCounter:
+class KmerCounter(RowStoreMixin):
     """Single-device k-mer counter (distribution lives in parallel/)."""
+
+    def _dedup_geometry(self):
+        """Store geometry for the shared capacity/dedup machinery
+        (models/rowstore.py): one device group of G rows."""
+        return 1, self._rows, COL_FLOOR
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -387,65 +381,6 @@ class KmerCounter:
             spill.init_dir(self.cfg.spill_dir)  # refuses stale runs
         return SparseState(raw=_fresh(self._raw_cap0(), self._buf_dtypes))
 
-    def adopt_spill_runs(self, n_runs: int, token: str | None = None):
-        """Checkpoint-resume adoption of disk-spill runs.
-
-        The checkpoint manifest records how many spill runs belong to
-        its prefix (streaming.py); runs past that index were written by
-        a later, crashed stream whose batches will be REPLAYED — they
-        are deleted here, or the spectrum would double-count them.
-        Fewer runs than the manifest promises is unrecoverable.
-
-        `token` is the stream-identity token the checkpoint recorded
-        (spill.write_token at init_dir time): any run files present
-        when it does NOT match the dir's token belong to a DIFFERENT
-        count — adopting them would corrupt the spectrum and deleting
-        them would destroy someone else's crash state, so both are
-        refused."""
-        if n_runs and not self.cfg.spill_dir:
-            raise ValueError(
-                f"checkpoint recorded {n_runs} spill runs but --spill "
-                "is off; rerun with the original --spill DIR"
-            )
-        if not self.cfg.spill_dir:
-            return
-        from findkmer_tpu import spill
-
-        have = len(spill.load_runs(self.cfg.spill_dir))
-        dir_token = spill.read_token(self.cfg.spill_dir)
-        same = (
-            token is not None and dir_token is not None
-            and token == dir_token
-        )
-        # pre-token legacy state (neither side has an identity) with an
-        # EXACT run-count match resumes as before the tokens existed —
-        # the guard exists to stop adopting/deleting a DIFFERENT
-        # count's runs, not to strand old checkpoints
-        legacy_exact = (
-            token is None and dir_token is None and have == n_runs
-        )
-        if (have or n_runs) and not (same or legacy_exact):
-            raise RuntimeError(
-                f"spill dir {self.cfg.spill_dir!r} holds run files "
-                "from a different stream than this checkpoint "
-                "(identity token mismatch); refusing to adopt or "
-                "delete them — resume with the original --spill DIR, "
-                "or point --spill at an empty directory"
-            )
-        if have < n_runs:
-            raise RuntimeError(
-                f"checkpoint expects {n_runs} spill runs in "
-                f"{self.cfg.spill_dir!r} but only {have} exist; the "
-                "spill dir was truncated — restart the count"
-            )
-        if have > n_runs:
-            spill.remove_runs_from(self.cfg.spill_dir, n_runs)
-        if dir_token is None:
-            # resumed into a fresh dir (no runs yet): re-stamp the
-            # stream's identity so later checkpoints stay consistent
-            spill.write_token(self.cfg.spill_dir, token)
-        self._spill_n = n_runs
-
     def step(self, state, batch):
         """One batch update.
 
@@ -547,12 +482,13 @@ class KmerCounter:
         else:
             # previous compaction's per-row scalars: long since resolved
             d = np.asarray(state.distinct)
-            if int(d.sum()) > self.cfg.sparse_capacity:
+            if self._distinct_total(d) > self.cfg.sparse_capacity:
                 # fold cross-row duplicates first: the sum counts store
                 # ENTRIES, and only the exact distinct count should
                 # decide spill/error (_dedup_state docstring)
                 state, d = self._dedup_state(state)
-            if self.cfg.spill_dir and int(d.sum()) > self.cfg.sparse_capacity:
+                d = np.asarray(d)
+            if self.cfg.spill_dir and self._distinct_total(d) > self.cfg.sparse_capacity:
                 # disk spill (spill.py): persist the sorted store as a
                 # run file and restart it — raw compacts fresh below
                 self._spill_store(state.store)
@@ -564,7 +500,7 @@ class KmerCounter:
                     raw=_fresh(cap, self._buf_dtypes), fill=0, store=store,
                     store_len=cap // G, distinct=drows,
                 )
-            self._check_capacity(int(d.sum()))
+            self._check_capacity(self._distinct_total(d))
             store, store_cols = state.store, state.store_len
             Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
             if store_cols > 2 * Ldc:
@@ -582,48 +518,9 @@ class KmerCounter:
         """Back-compat alias: force a compaction (checkpoint/bench)."""
         return self.compact(state)
 
-    def _check_capacity(self, distinct: int):
-        if self.cfg.spill_dir:
-            return  # spilling bounds the store instead of erroring
-        if distinct > self.cfg.sparse_capacity:
-            raise RuntimeError(
-                f"sparse store exceeded sparse_capacity "
-                f"({distinct} > {self.cfg.sparse_capacity} distinct "
-                "k-mers); raise Config.sparse_capacity or set --spill"
-            )
-
-    def _dedup_state(self, state):
-        """Cross-row dedup of the store: one flat global sort leaves
-        EXACT distinct counts.
-
-        d.sum() counts LIVE STORE ENTRIES — a code held by several rows
-        counts once per row, so repeat-heavy inputs can inflate it up
-        to G x above true distinct (round-3 review finding; worse at
-        G=4096 than at the round-2 G=64).  Runs only when the sum
-        crosses sparse_capacity: folds the duplicates so the capacity
-        decision (error or spill) is made on the true count, and the
-        store shrinks to match.  Shared machinery: the D=1, sub=G case
-        of ops/compaction.dedup_rows (dp_sparse uses D=n_dev)."""
-        G = self._rows
-        store2, Lc, drows = compaction.dedup_rows(
-            state.store, 1, G, COL_FLOOR
-        )
-        return SparseState(
-            raw=state.raw, fill=state.fill, store=store2,
-            store_len=Lc, distinct=drows,
-        ), drows
-
-    def _ensure_capacity(self, state):
-        """(state, distinct vector) with the capacity contract checked
-        against EXACT distinct (cross-row dedup on demand)."""
-        d = np.asarray(state.distinct)
-        if (
-            state.store is not None
-            and int(d.sum()) > self.cfg.sparse_capacity
-        ):
-            state, d = self._dedup_state(state)
-        self._check_capacity(int(d.sum()))
-        return state, d
+    # _check_capacity / _dedup_state / _ensure_capacity / adopt_spill_runs
+    # are shared with the dp_sparse engine — models/rowstore.RowStoreMixin
+    # (geometry from _dedup_geometry above)
 
     def _spill_store(self, store):
         """Pull the compacted store (ordered finalize: globally sorted

@@ -1,10 +1,14 @@
 """Restartable streaming count driver (`findkmer stream`).
 
-Single-host streaming with periodic checkpoints (utils/checkpoint.py) and
-exact resume: on restart the deterministic batch stream is replayed and
+Streaming with periodic checkpoints (utils/checkpoint.py) and exact
+resume: on restart the deterministic batch stream is replayed and
 already-counted batches are skipped without touching the device
-(SURVEY.md §5 failure detection / checkpoint-resume).  Multi-host streaming
-composes this with parallel/ (each host streams its shard of batches).
+(SURVEY.md §5 failure detection / checkpoint-resume).  Composes with
+BOTH distribution axes: multi-DEVICE meshes (--devices > 1; the
+counter's table_state/restore_state reduce mesh state to one portable
+table, parallel/dist.py) and multi-HOST streaming (each host streams
+its shard of batches and checkpoints into its own proc subdir; a
+killed coordinator group relaunches and resumes collectively).
 """
 
 from __future__ import annotations
@@ -17,7 +21,6 @@ from typing import Optional
 
 from findkmer_tpu import pipeline
 from findkmer_tpu.config import Config
-from findkmer_tpu.models.counter import KmerCounter
 from findkmer_tpu.utils import checkpoint as ckpt_mod
 from findkmer_tpu.utils.logging import get_logger
 
@@ -78,11 +81,13 @@ def _stream_state(
     from findkmer_tpu.models.counter import make_counter
 
     counter = make_counter(cfg)
-    if checkpoint_dir is not None and not isinstance(counter, KmerCounter):
-        raise ValueError(
-            "--checkpoint is not yet supported with --devices > 1 "
-            "(distributed state is merged per step, not checkpointable); "
-            "run per-host single-device streams and `findkmer merge`"
+    if checkpoint_dir is not None and num_processes > 1:
+        # per-process subdir (mirrors the spill-dir mapping in
+        # run_stream): checkpoint indices are local to each host's
+        # batch subsequence, so hosts sharing a filesystem must never
+        # share a checkpoint dir
+        checkpoint_dir = os.path.join(
+            checkpoint_dir, f"proc{process_id:03d}"
         )
     start_batch = 0
     state = None

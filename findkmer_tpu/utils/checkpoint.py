@@ -89,7 +89,7 @@ def load_latest(
     meta = json.loads(meta_path.read_text())
     saved_cfg = Config(**meta["config"])
     for field in (
-        "k", "canonical", "table_mode", "chunk_len", "batch_rows",
+        "k", "canonical", "chunk_len", "batch_rows",
         "sparse_capacity", "count_dtype",
     ):
         if getattr(saved_cfg, field) != getattr(cfg, field):
@@ -97,6 +97,15 @@ def load_latest(
                 f"checkpoint config mismatch on {field!r}: "
                 f"{getattr(saved_cfg, field)} != {getattr(cfg, field)}"
             )
+    # table_mode compares RESOLVED (auto vs an explicit spelling of the
+    # same mode is compatible); devices/merge are deliberately NOT
+    # checked — checkpoints are elastic across mesh width and merge
+    # strategy (parallel/dist.py restore_state)
+    if saved_cfg.resolved_table_mode != cfg.resolved_table_mode:
+        raise ValueError(
+            f"checkpoint config mismatch on table mode: "
+            f"{saved_cfg.resolved_table_mode} != {cfg.resolved_table_mode}"
+        )
     import jax.numpy as jnp
 
     data = np.load(d / meta["file"])

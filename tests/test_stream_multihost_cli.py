@@ -102,6 +102,84 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k, n_proc):
 
 
 @pytest.mark.heavy
+def test_coordinator_group_kill_and_resume(tmp_path, fixtures_dir):
+    """Whole-group fault injection (round-4 verdict item 1/missing #3):
+    SIGKILL BOTH processes of a live 2-process jax.distributed stream
+    once each has checkpointed, then relaunch the group (fresh
+    coordinator) with the same --checkpoint; the resumed collective
+    merge must be bit-identical to an uninterrupted single-host count.
+    Checkpoints land in per-process subdirs of the shared dir
+    (streaming._stream_state)."""
+    import signal
+    import socket
+    import time
+
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    ck = tmp_path / "ck"
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def launch(port):
+        common = ["stream", "-i", src, "-k", "6", "--chunk-len", "512",
+                  "--batch-rows", "2", "--coordinator",
+                  f"127.0.0.1:{port}", "--num-processes", "2",
+                  "--checkpoint", str(ck), "--checkpoint-every", "1"]
+        return [
+            subprocess.Popen(
+                [sys.executable, "-m", "findkmer_tpu.cli", *common,
+                 "--process-id", str(i), "-o", f"h{i}.tsv"],
+                env=env, cwd=str(tmp_path),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            for i in range(2)
+        ]
+
+    procs = launch(free_port())
+    marks = [ck / f"proc{i:03d}" / "latest.json" for i in range(2)]
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            if all(m.exists() for m in marks):
+                break
+            if all(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.05)
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signal.SIGKILL)
+        for p in procs:
+            p.wait(timeout=30)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    killed = any(p.returncode == -signal.SIGKILL for p in procs)
+    if not killed and not all(m.exists() for m in marks):
+        pytest.skip("group finished before both hosts checkpointed")
+
+    # resume the whole group under a fresh coordinator
+    procs = launch(free_port())
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    full = _cli(["count", "-i", src, "-k", "6", "--chunk-len", "512",
+                 "--batch-rows", "2"], tmp_path)
+    assert (tmp_path / "h0.tsv").read_text() == full
+    assert not (tmp_path / "h1.tsv").exists()
+
+
+@pytest.mark.heavy
 def test_stream_sparse_singlehost_resume_oracle(tmp_path, fixtures_dir):
     """Sparse (k=17) single-host stream — the streamed finalize write —
     is oracle-exact, resumes bit-identically from a checkpoint (the
