@@ -45,11 +45,11 @@ from bench.steps import (
 
 HEALTHY_S = 1.0      # 4 MB D2H: ~0.04 s healthy, seconds when degraded
 WAIT_BUDGET_S = 240  # max time spent waiting for a healthy window
-# round-4 healthy-window reference values (bench/RESULTS.md): a pass
-# below these in a degraded window triggers one re-measure.  Set ~15%
-# under the healthy-window records (k21 1459 / canonical 1407 / k15
-# 1948 / k8 1555) so window noise retries but a real regression still
-# shows in pass_values.
+# healthy-window reference values (bench/RESULTS.md): a pass below
+# these in a degraded window triggers one re-measure.  Set ~15% under
+# the healthy-window records (k21 1459 / canonical 1407 / k15 1948 /
+# k8 1645 at the round-5 1024-row geometry) so window noise retries
+# but a real regression still shows in pass_values.
 EXPECT = {
     "bases_per_s_per_chip_k21_sparse": 1.25e9,
     "bases_per_s_per_chip_k21_canonical": 1.2e9,
@@ -67,7 +67,12 @@ def _probe_health(jax, np) -> float:
 
 
 def _measure(jax) -> dict:
-    k8_bps, k8_dt = bench_dense_step(jax, k=8)
+    # production default geometry (Config.batch_rows = 1024): the
+    # round-5 sweep (bench/probe_k8_sort.py + RESULTS.md "k=8 A/B")
+    # measured the dense step monotonic in batch rows — 1556 @ 256r,
+    # 1645 @ 1024r, 1726 @ 3072r — and bench history through round 4
+    # ran the NON-default 256r geometry.  Measure what production runs.
+    k8_bps, k8_dt = bench_dense_step(jax, k=8, batch_rows=1024)
     # throughput at the production default geometry (Config.batch_rows)
     k21_bps, k21_dt = bench_sparse_step(jax, k=21)
     # count-table merge (BASELINE metric 2): the ordered finalize —

@@ -81,7 +81,7 @@ def bench_dense_step(jax, k=8, batch_rows=256, chunk_len=65536, steps=8,
 
 def bench_sparse_step(jax, k=21, batch_rows=1024, chunk_len=65536, steps=3,
                       capacity=1 << 28, canonical=False,
-                      time_finalize=False):
+                      time_finalize=False, table_mode="auto"):
     """bases/s of the sparse (log-structured) path for big k.
 
     Honest accounting: the timed window covers everything the device does
@@ -109,7 +109,7 @@ def bench_sparse_step(jax, k=21, batch_rows=1024, chunk_len=65536, steps=3,
     cfg = Config(
         k=k, batch_rows=batch_rows, chunk_len=chunk_len,
         sparse_capacity=capacity, canonical=canonical,
-        sparse_expected_entries=bases,
+        sparse_expected_entries=bases, table_mode=table_mode,
     )
     counter = KmerCounter(cfg)
     rng = np.random.default_rng(0)
