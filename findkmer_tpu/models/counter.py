@@ -212,6 +212,26 @@ _squeeze_slice_keep = compaction.squeeze_slice_keep
 
 
 @dataclass
+class _WirePlan:
+    """The ordered finalize's in-flight pull plan (see _ordered_pull).
+
+    code_chunks[i] covers spans[i]; cnt_chunks is the u8 count plane
+    (count-plane wire) or None (counts default 1 + exceptions).
+    exc_idx/exc_cnt are count exceptions (counts > 1) or >255 escapes
+    over the plane — same overlay mechanics either way.  runs are the
+    run-coded top bits applied at run_shift."""
+
+    spans: list
+    code_chunks: list
+    cnt_chunks: Optional[list]
+    exc_idx: np.ndarray
+    exc_cnt: np.ndarray
+    n_live: int
+    runs: Optional[tuple]
+    run_shift: int
+
+
+@dataclass
 class SparseState:
     """Log-structured sparse counting state.
 
@@ -602,14 +622,22 @@ class KmerCounter(RowStoreMixin):
 
     def _ordered_pull(self, store, ph):
         """Shared front of the ordered finalize: global device sort,
-        scalar sync, live/exception slice, and the chunked async pull
-        plan.  Returns (spans, dev_chunks, exc_idx, exc_cnt, n_live,
-        runs) — every chunk's D2H is already in flight when this
-        returns.  runs is None (narrow k <= 15: lo IS the code;
-        k > 26: hi pulled per entry) or host (run_starts, run_his)
-        arrays: for k <= 26 the sorted prefix's hi word is RUN-CODED
-        on the wire (<= 4^(k-16)+1 runs), so chunks carry only lo —
-        4 B/entry instead of 8."""
+        scalar sync, wire-leg choice, slice, and the chunked async pull
+        plan.  Returns a _WirePlan — every chunk's D2H is already in
+        flight when this returns.
+
+        Wire v2 (round 5; measured design in bench/probe_finalize_wire
+        + RESULTS.md): the CODE leg and the COUNT leg are chosen
+        independently from this store's measured stats:
+          * codes: 3 u8 byte planes + run-coded top bits (code >> 24,
+            apply shift 24) when 8*n_runs < N — 3 B/entry for ANY k
+            with few top-runs (always for k <= 12; k=21: <= 4^9+1).
+            Fallbacks: lo + run-coded hi (shift 32, wide k <= 26,
+            4 B/entry) or per-entry planes.
+          * counts: a u8 plane + >255 escapes when 8*n_multi > N
+            (repeat-heavy stores: 1 B/entry), else count exceptions
+            (positions with count > 1: 8 B/exception, ~1% at chr
+            scale)."""
         k = self.cfg.k
         with ph("finalize/global_sort"):
             if len(store) == 2:
@@ -625,39 +653,80 @@ class KmerCounter(RowStoreMixin):
             n_live = int(np.asarray(n_live))
             n_multi = int(np.asarray(n_multi))
         if n_live == 0:
-            return ([], [], np.empty(0, np.int64), np.empty(0, np.int64),
-                    0, None)
+            return _WirePlan(
+                spans=[], code_chunks=[], cnt_chunks=None,
+                exc_idx=np.empty(0, np.int64),
+                exc_cnt=np.empty(0, np.int64), n_live=0, runs=None,
+                run_shift=32,
+            )
         total = int(codes_dev[0].shape[0])
         N = min(sparse_ops.ladder(n_live, floor=4096), total)
-        E = min(sparse_ops.ladder(max(n_multi, 1), floor=256), total)
+        with ph("finalize/wire_stats"):
+            if len(codes_dev) == 1:
+                stats = sparse_ops.wire_stats_narrow(codes_dev[0], cnt)
+            else:
+                stats = sparse_ops.wire_stats_wide(
+                    codes_dev[0], codes_dev[1], cnt
+                )
+            stats = np.asarray(stats)
+            n_big, n_runs = int(stats[0]), int(stats[1])
+        bytes3 = 8 * n_runs < N
+        count_plane = 8 * n_multi > N
         runs_dev = None
+        run_shift = 24
+        cnt8 = None
         with ph("finalize/slice"):
-            if len(codes_dev) == 2 and k <= 26:
-                HR = min(4 ** (k - 16) + 1, N)
-                lo, ridx, rhi, exc_idx, exc_cnt = (
-                    sparse_ops.slice_live_exc_runs(
-                        codes_dev[0], codes_dev[1], cnt, N, E, HR
+            if bytes3:
+                HR = min(sparse_ops.ladder(n_runs + 1, floor=256), N)
+                if len(codes_dev) == 2:
+                    b0, b1, b2, ridx, rtop = (
+                        sparse_ops.slice_bytes_runs_wide(
+                            codes_dev[0], codes_dev[1], N, HR
+                        )
                     )
+                else:
+                    b0, b1, b2, ridx, rtop = (
+                        sparse_ops.slice_bytes_runs_narrow(
+                            codes_dev[0], N, HR
+                        )
+                    )
+                codes_dev = (b0, b1, b2)
+                runs_dev = (ridx, rtop)
+            elif len(codes_dev) == 2 and k <= 26:
+                HR = min(4 ** (k - 16) + 1, N)
+                lo, ridx, rhi = sparse_ops.slice_lo_runs(
+                    codes_dev[0], codes_dev[1], N, HR
                 )
                 codes_dev = (lo,)
                 runs_dev = (ridx, rhi)
+                run_shift = 32
             else:
-                codes_dev, exc_idx, exc_cnt = sparse_ops.slice_live_exc(
-                    codes_dev, cnt, N, E
+                codes_dev = sparse_ops.slice_codes(codes_dev, N)
+            if count_plane:
+                E = min(sparse_ops.ladder(max(n_big, 1), floor=256), N)
+                cnt8, exc_idx, exc_cnt = sparse_ops.slice_cnt_plane(
+                    cnt, N, E
                 )
+                n_exc = n_big
+            else:
+                E = min(
+                    sparse_ops.ladder(max(n_multi, 1), floor=256), N
+                )
+                exc_idx, exc_cnt = sparse_ops.slice_exc(cnt, N, E)
+                n_exc = n_multi
         with ph("finalize/d2h_start"):
-            # pull the SMALL side tables first (exceptions + hi runs):
+            # pull the SMALL side tables first (exceptions + runs):
             # they must be on host before the first chunk can be
             # consumed, and behind the bulk chunk transfers they would
             # serialize the whole wire ahead of any host work
-            exc_idx_h = np.asarray(exc_idx)[:n_multi]
-            exc_cnt_h = np.asarray(exc_cnt)[:n_multi]
+            exc_idx_h = np.asarray(exc_idx)[:n_exc].astype(np.int64)
+            exc_cnt_h = np.asarray(exc_cnt)[:n_exc].astype(np.int64)
             runs = None
             if runs_dev is not None:
                 ridx_h = np.asarray(runs_dev[0])
-                rhi_h = np.asarray(runs_dev[1])
+                rv_h = np.asarray(runs_dev[1])
                 real = ridx_h < n_live  # fills carry start == N
-                runs = (ridx_h[real].astype(np.int64), rhi_h[real])
+                runs = (ridx_h[real].astype(np.int64), rv_h[real])
             # then issue every chunk's transfer: chunk i widens /
             # formats / writes on host while chunks i+1.. stream.
             # FINDKMER_FINALIZE_CHUNKS forces the chunk count (tests
@@ -669,30 +738,53 @@ class KmerCounter(RowStoreMixin):
             ) or min(8, max(1, N // (1 << 22)))
             step = -(-N // n_chunks)
             spans = [(a, min(a + step, N)) for a in range(0, N, step)]
-            dev_chunks = [
+            code_chunks = [
                 tuple(c[a:b] for c in codes_dev) for a, b in spans
             ]
-            for chs in dev_chunks:
+            cnt_chunks = None
+            if cnt8 is not None:
+                cnt_chunks = [cnt8[a:b] for a, b in spans]
+            for i, chs in enumerate(code_chunks):
                 for c in chs:
                     try:
                         c.copy_to_host_async()
                     except Exception:
                         pass
-        return spans, dev_chunks, exc_idx_h, exc_cnt_h, n_live, runs
+                if cnt_chunks is not None:
+                    try:
+                        cnt_chunks[i].copy_to_host_async()
+                    except Exception:
+                        pass
+        return _WirePlan(
+            spans=spans, code_chunks=code_chunks, cnt_chunks=cnt_chunks,
+            exc_idx=exc_idx_h, exc_cnt=exc_cnt_h, n_live=n_live,
+            runs=runs, run_shift=run_shift,
+        )
 
     @staticmethod
-    def _widen_chunk(chs, m, a=0, runs=None):
+    def _widen_chunk(chs, m, a=0, runs=None, shift=32):
         """Device chunk arrays -> host uint64 codes for span [a, a+m).
 
-        runs: (run_starts, run_his) when hi travels run-coded — the
-        runs overlapping this span are OR'd in segment-wise (a handful
-        of segments per chunk)."""
+        chs: 3 byte planes (v2 byte wire), (hi, lo) per-entry planes,
+        or (lo,).  runs: (run_starts, run_vals) when the top bits
+        travel run-coded — the runs overlapping this span are OR'd in
+        at `shift` segment-wise (a handful of segments per chunk)."""
+        if len(chs) == 3:
+            codes = (
+                np.asarray(chs[0])[:m].astype(np.uint64)
+                | (np.asarray(chs[1])[:m].astype(np.uint64)
+                   << np.uint64(8))
+                | (np.asarray(chs[2])[:m].astype(np.uint64)
+                   << np.uint64(16))
+            )
+            sparse_ops.apply_hi_runs(codes, a, runs[0], runs[1], shift)
+            return codes
         if len(chs) == 2:
             hi_h = np.asarray(chs[0])[:m].astype(np.uint64)
             return (hi_h << np.uint64(32)) | np.asarray(chs[1])[:m]
         codes = np.asarray(chs[0])[:m].astype(np.uint64)
         if runs is not None:
-            sparse_ops.apply_hi_runs(codes, a, runs[0], runs[1])
+            sparse_ops.apply_hi_runs(codes, a, runs[0], runs[1], shift)
         return codes
 
     def _finalize_ordered(self, store, timers=None):
@@ -706,22 +798,34 @@ class KmerCounter(RowStoreMixin):
         # same output contract as the legacy heap-merge path (device
         # accumulation still happens in cfg.count_dtype; int64 mode is
         # required for > 2^31 observations of one k-mer, as documented)
-        spans, dev_chunks, exc_idx, exc_cnt, n_live, runs = (
-            self._ordered_pull(store, ph)
-        )
+        plan = self._ordered_pull(store, ph)
+        n_live = plan.n_live
         if n_live == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
         with ph("finalize/d2h"):
             codes = np.empty(n_live, np.uint64)
-            for (a, b), chs in zip(spans, dev_chunks):
+            counts = (
+                np.empty(n_live, np.int64)
+                if plan.cnt_chunks is not None else None
+            )
+            for i, ((a, b), chs) in enumerate(
+                zip(plan.spans, plan.code_chunks)
+            ):
                 if a >= n_live:
                     break
                 e = min(b, n_live)
-                codes[a:e] = self._widen_chunk(chs, e - a, a, runs)
+                codes[a:e] = self._widen_chunk(
+                    chs, e - a, a, plan.runs, plan.run_shift
+                )
+                if counts is not None:
+                    counts[a:e] = np.asarray(
+                        plan.cnt_chunks[i]
+                    )[: e - a]
         with ph("finalize/counts"):
-            counts = np.ones(n_live, np.int64)
-            if exc_idx.size:
-                counts[exc_idx] = exc_cnt
+            if counts is None:
+                counts = np.ones(n_live, np.int64)
+            if plan.exc_idx.size:
+                counts[plan.exc_idx] = plan.exc_cnt
         return codes, counts
 
     def _merged_spill_chunks(self, state, ph):
@@ -762,20 +866,30 @@ class KmerCounter(RowStoreMixin):
         if self._spill_n:
             yield from self._merged_spill_chunks(state, ph)
             return
-        spans, dev_chunks, exc_idx, exc_cnt, n_live, runs = (
-            self._ordered_pull(state.store, ph)
-        )
-        for (a, b), chs in zip(spans, dev_chunks):
+        plan = self._ordered_pull(state.store, ph)
+        n_live = plan.n_live
+        for i, ((a, b), chs) in enumerate(
+            zip(plan.spans, plan.code_chunks)
+        ):
             if a >= n_live:
                 break
             e = min(b, n_live)
             with ph("finalize/d2h"):
-                codes = self._widen_chunk(chs, e - a, a, runs)
-            counts = np.ones(e - a, np.int64)
-            lo_i = np.searchsorted(exc_idx, a)
-            hi_i = np.searchsorted(exc_idx, e)
+                codes = self._widen_chunk(
+                    chs, e - a, a, plan.runs, plan.run_shift
+                )
+                if plan.cnt_chunks is not None:
+                    counts = np.asarray(
+                        plan.cnt_chunks[i]
+                    )[: e - a].astype(np.int64)
+                else:
+                    counts = np.ones(e - a, np.int64)
+            lo_i = np.searchsorted(plan.exc_idx, a)
+            hi_i = np.searchsorted(plan.exc_idx, e)
             if hi_i > lo_i:
-                counts[exc_idx[lo_i:hi_i] - a] = exc_cnt[lo_i:hi_i]
+                counts[plan.exc_idx[lo_i:hi_i] - a] = (
+                    plan.exc_cnt[lo_i:hi_i]
+                )
             yield codes, counts
 
     # ------------------------------------------------------------------

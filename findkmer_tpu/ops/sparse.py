@@ -358,42 +358,136 @@ def global_compact_narrow(lo, cnt):
     return lo, cnt, jnp.count_nonzero(cnt), jnp.sum(cnt > 1)
 
 
-@partial(jax.jit, static_argnames=("N", "E"))
-def slice_live_exc(codes, cnt, N: int, E: int):
-    """Live prefix + count exceptions of a globally compacted store.
+# ---- wire v2 (round 5): orthogonal code/count legs -------------------
+# The round-4 wire bundled codes+exceptions (slice_live_exc*) and
+# assumed n_multi ~ 1% of entries; bench/probe_finalize_wire.py measured
+# the pinned merge-metric store at n_multi == N, where the (i32, i32)
+# exception tables outweigh the code plane 2:1 over a ~40 MB/s D2H
+# tunnel.  v2 picks each leg from measured byte counts:
+#   codes:  3 x u8 byte planes + run-coded top bits (code >> 24) when
+#           8 * n_runs < N (always for k <= 12; k = 21: <= 4^9+1 runs)
+#           — 3 B/entry instead of 4; else the round-4 legs.
+#   counts: a u8 plane + >255 escapes when 8 * n_multi > N (repeat-heavy
+#           stores) — 1 B/entry instead of 8 B/exception; else the
+#           round-4 count-exception leg.
+# Both decisions are data-driven host-side from wire_stats, and every
+# combination is byte-exact (tests force each mode).
 
-    codes: tuple of flat code arrays ((lo,) or (hi, lo)) from
-    global_compact_*; N/E are laddered sizes (>= n_live / n_multi) so
-    only a few shapes compile.  Returns the sliced code arrays, the
-    positions whose count exceeds 1 (first n_multi entries are real;
-    the rest are fill), and those counts."""
-    out = tuple(c[:N] for c in codes)
-    cntN = cnt[:N]
-    (idx,) = jnp.nonzero(cntN > 1, size=E, fill_value=0)
-    idx = idx.astype(jnp.int32)
-    return out, idx, jnp.take(cntN, idx)
+@jax.jit
+def wire_stats_narrow(lo, cnt):
+    """(n_big255, n_runs_top24) of a globally compacted narrow store.
+
+    n_runs counts value changes of the composite top word (code bits
+    >= 24) over the FULL array — the live prefix's runs plus at most
+    one sentinel-tail transition (sentinels are all equal)."""
+    top = lo >> 24
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), top[1:] != top[:-1]]
+    )
+    return jnp.stack(
+        [jnp.sum(cnt > 255), jnp.sum(change)]
+    ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("N", "E", "HR"))
-def slice_live_exc_runs(hi, lo, cnt, N: int, E: int, HR: int):
-    """slice_live_exc variant with RUN-CODED hi (wide stores, k <= 26).
+@jax.jit
+def wire_stats_wide(hi, lo, cnt):
+    """wire_stats_narrow for (hi, lo) stores: top = hi:lo[31:24]."""
+    top = (hi.astype(jnp.uint32) << 8) | (lo >> 24)
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), top[1:] != top[:-1]]
+    )
+    return jnp.stack(
+        [jnp.sum(cnt > 255), jnp.sum(change)]
+    ).astype(jnp.int32)
 
-    The globally sorted live prefix's hi word changes at most
-    4^(k-16) times, so instead of 4 B/entry of hi the wire carries
-    (run start position, hi value) pairs — ~1 K entries at k=21 for
-    ~99 M codes, halving finalize D2H bytes to ~4 B/entry.  Returns
-    (lo[:N], run_starts, run_his, exc_idx, exc_cnt); run entries past
-    the last real run are filled with start == N."""
-    hiN, loN, cntN = hi[:N], lo[:N], cnt[:N]
+
+@partial(jax.jit, static_argnames=("N", "HR"))
+def slice_bytes_runs_narrow(lo, N: int, HR: int):
+    """Code leg: 3 u8 byte planes of lo[:N] + run-coded top bits.
+
+    Returns (b0, b1, b2, run_starts i32, run_tops u32); run entries
+    past the last real run are filled with start == N.  Host rebuilds
+    codes = (run_top << 24) | b2 << 16 | b1 << 8 | b0 segment-wise
+    (apply_hi_runs with shift=24)."""
+    loN = lo[:N]
+    top = loN >> 24
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), top[1:] != top[:-1]]
+    )
+    (ridx,) = jnp.nonzero(change, size=HR, fill_value=N)
+    ridx = ridx.astype(jnp.int32)
+    rtop = jnp.take(top, jnp.clip(ridx, 0, N - 1))
+    return (
+        (loN & 0xFF).astype(jnp.uint8),
+        ((loN >> 8) & 0xFF).astype(jnp.uint8),
+        ((loN >> 16) & 0xFF).astype(jnp.uint8),
+        ridx, rtop,
+    )
+
+
+@partial(jax.jit, static_argnames=("N", "HR"))
+def slice_bytes_runs_wide(hi, lo, N: int, HR: int):
+    """slice_bytes_runs_narrow for (hi, lo) stores: the run value
+    carries ALL bits >= 24 ((hi << 8) | lo[31:24]), so only 3 B/entry
+    cross the wire regardless of k (chosen only when the run table is
+    small: 8 * n_runs < N)."""
+    hiN, loN = hi[:N], lo[:N]
+    top = (hiN.astype(jnp.uint32) << 8) | (loN >> 24)
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), top[1:] != top[:-1]]
+    )
+    (ridx,) = jnp.nonzero(change, size=HR, fill_value=N)
+    ridx = ridx.astype(jnp.int32)
+    rtop = jnp.take(top, jnp.clip(ridx, 0, N - 1))
+    return (
+        (loN & 0xFF).astype(jnp.uint8),
+        ((loN >> 8) & 0xFF).astype(jnp.uint8),
+        ((loN >> 16) & 0xFF).astype(jnp.uint8),
+        ridx, rtop,
+    )
+
+
+@partial(jax.jit, static_argnames=("N", "HR"))
+def slice_lo_runs(hi, lo, N: int, HR: int):
+    """Round-4 wide code leg, decomposed from slice_live_exc_runs:
+    lo[:N] + run-coded hi (shift 32).  Used when the byte-plane leg's
+    run table would be too big (8 * n_runs_top24 >= N)."""
+    hiN, loN = hi[:N], lo[:N]
     change = jnp.concatenate(
         [jnp.ones((1,), bool), hiN[1:] != hiN[:-1]]
     )
     (ridx,) = jnp.nonzero(change, size=HR, fill_value=N)
     ridx = ridx.astype(jnp.int32)
     rhi = jnp.take(hiN, jnp.clip(ridx, 0, N - 1))
+    return loN, ridx, rhi
+
+
+@partial(jax.jit, static_argnames=("N",))
+def slice_codes(codes, N: int):
+    """Trivial code leg: slice each plane to the live ladder."""
+    return tuple(c[:N] for c in codes)
+
+
+@partial(jax.jit, static_argnames=("N", "E"))
+def slice_exc(cnt, N: int, E: int):
+    """Count leg A (sparse counts): positions with count > 1 and their
+    counts; entries past n_multi are fill (idx 0) — host slices."""
+    cntN = cnt[:N]
     (idx,) = jnp.nonzero(cntN > 1, size=E, fill_value=0)
     idx = idx.astype(jnp.int32)
-    return loN, ridx, rhi, idx, jnp.take(cntN, idx)
+    return idx, jnp.take(cntN, idx)
+
+
+@partial(jax.jit, static_argnames=("N", "E"))
+def slice_cnt_plane(cnt, N: int, E: int):
+    """Count leg B (repeat-heavy stores): a u8 plane (counts clamped to
+    255) + escape exceptions for counts > 255.  1 B/entry on the wire
+    instead of 8 B/exception; exact because escapes are by position."""
+    cntN = cnt[:N]
+    cnt8 = jnp.minimum(cntN, 255).astype(jnp.uint8)
+    (idx,) = jnp.nonzero(cntN > 255, size=E, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    return cnt8, idx, jnp.take(cntN, idx)
 
 
 @jax.jit
@@ -444,12 +538,14 @@ def hi_runs_2d(hi, N: int, HR: int):
     return ridx, rhi
 
 
-def apply_hi_runs(codes, a: int, ridx, rhi) -> None:
-    """OR run-coded hi words into uint64 `codes` (span [a, a+m)) in place.
+def apply_hi_runs(codes, a: int, ridx, rhi, shift: int = 32) -> None:
+    """OR run-coded words into uint64 `codes` (span [a, a+m)) in place.
 
     ridx: sorted run start positions (absolute, real entries only);
-    rhi: the hi value of each run.  Only runs overlapping the span are
-    touched — a handful of segment ORs per chunk."""
+    rhi: the value of each run, OR'd in at bit `shift` (32 for the
+    round-4 hi-plane runs; 24 for the byte-plane wire's top runs).
+    Only runs overlapping the span are touched — a handful of segment
+    ORs per chunk."""
     m = codes.shape[0]
     e = a + m
     j0 = max(int(np.searchsorted(ridx, a, side="right")) - 1, 0)
@@ -459,7 +555,7 @@ def apply_hi_runs(codes, a: int, ridx, rhi) -> None:
         t = int(ridx[j + 1]) if j + 1 < ridx.size else e
         t = min(t, e) - a
         if t > s and rhi[j]:
-            codes[s:t] |= np.uint64(rhi[j]) << np.uint64(32)
+            codes[s:t] |= np.uint64(rhi[j]) << np.uint64(shift)
 
 
 def ladder(n: int, floor: int = 1 << 20) -> int:
