@@ -496,6 +496,31 @@ def row_multi(cnt):
     return jnp.sum(cnt > 1, axis=1)
 
 
+@jax.jit
+def row_big255(cnt):
+    """Per-row number of entries with count > 255 (count-plane escapes)."""
+    return jnp.sum(cnt > 255, axis=1)
+
+
+@partial(jax.jit, static_argnames=("N", "E"))
+def wire_rows_cnt_plane_2d(cnt, N: int, E: int):
+    """Row-store count leg B (repeat-heavy mesh stores): per-row u8
+    count plane (clamped to 255) + per-row >255 escapes.
+
+    The dp_sparse analog of slice_cnt_plane: when most entries repeat,
+    the padded (G, E) exception tables of wire_rows_exc_2d cost 8 B per
+    slot vs 1 B/entry here (chosen host-side when N < 8*E).  Escape
+    positions past row g's big-count are fill == N."""
+    cntN = cnt[:, :N]
+    cnt8 = jnp.minimum(cntN, 255).astype(jnp.uint8)
+    iota = lax.broadcasted_iota(jnp.int32, cntN.shape, 1)
+    ek = jnp.where(cntN > 255, iota, jnp.int32(N))
+    (ek,) = lax.sort((ek,), dimension=1, num_keys=1, is_stable=False)
+    eidx = ek[:, :E]
+    ecnt = jnp.take_along_axis(cntN, jnp.clip(eidx, 0, N - 1), axis=1)
+    return cnt8, eidx, ecnt
+
+
 @partial(jax.jit, static_argnames=("N", "E"))
 def wire_rows_exc_2d(store, N: int, E: int):
     """Per-row coded wire for a squeezed row store (dp_sparse finalize).

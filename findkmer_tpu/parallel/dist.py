@@ -714,13 +714,19 @@ class DistributedCounter(RowStoreMixin):
     def _pull_sorted_runs(self, store, store_len: int, d):
         """Per-row coded wire: each store row (a device sub-row) is
         squeezed to a sorted live prefix on device, then only the code
-        planes cross the wire — counts travel as per-row exceptions
-        (positions with count > 1; ~1% at chr scale) and for
+        planes cross the wire.  Counts travel as per-row exceptions
+        (positions with count > 1; ~1% at chr scale) OR — when the
+        padded exception tables would outweigh it (repeat-heavy
+        stores, chosen when N < 8*E) — as a per-row u8 count plane
+        with >255 escapes, the dp_sparse analog of the single-chip
+        wire-v2 count leg (ops/sparse.py "wire v2").  For
         16 <= k <= 26 the hi plane travels run-coded
         (<= 4^(k-16)+1 runs/row) — ~4 B/entry of finalize D2H instead
-        of 12 (wide) / 8 (narrow).  Returns (row_index, codes u64
-        sorted distinct, counts i64) per live row; device dev owns rows
-        [dev*sub, (dev+1)*sub)."""
+        of 12 (wide) / 8 (narrow).  The byte-plane code leg is NOT
+        used here: rows are arbitrary partitions of the full code
+        range, so top-24 runs ~= entries and the run table wouldn't
+        pay.  Returns (row_index, codes u64 sorted distinct, counts
+        i64) per live row; device dev owns rows [dev*sub, (dev+1)*sub)."""
         k = self.cfg.k
         n_live = d.astype(np.int64)
         N = min(
@@ -734,9 +740,25 @@ class DistributedCounter(RowStoreMixin):
         E = min(
             sparse_ops.ladder(max(int(n_multi.max()), 1), floor=256), N
         )
+        cnt8_dev = None
+        if N < 8 * E:
+            # count plane: 1 B/entry beats the (G, E) exception slots
+            big = np.asarray(sparse_ops.row_big255(store[-1]))
+            E = min(
+                sparse_ops.ladder(max(int(big.max()), 1), floor=256), N
+            )
+            cnt8_dev, eidx, ecnt = sparse_ops.wire_rows_cnt_plane_2d(
+                store[-1], N, E
+            )
+            codes_dev = tuple(c[:, :N] for c in store[:-1])
+            n_exc = big
+        else:
+            codes_dev, eidx, ecnt = sparse_ops.wire_rows_exc_2d(
+                store, N, E
+            )
+            n_exc = n_multi
         wide = len(store) == 3
         run_coded = wide and k <= 26
-        codes_dev, eidx, ecnt = sparse_ops.wire_rows_exc_2d(store, N, E)
         runs_dev = None
         if run_coded:
             HR = min(4 ** (k - 16) + 2, N)
@@ -749,6 +771,7 @@ class DistributedCounter(RowStoreMixin):
         if runs_dev is not None:
             ridx_h = np.asarray(runs_dev[0])
             rhi_h = np.asarray(runs_dev[1])
+        cnt8_h = None if cnt8_dev is None else np.asarray(cnt8_dev)
         planes = [np.asarray(c) for c in codes_dev]
         host_runs = []
         for g in range(planes[0].shape[0]):
@@ -766,8 +789,11 @@ class DistributedCounter(RowStoreMixin):
                         codes, 0, ridx_h[g][real].astype(np.int64),
                         rhi_h[g][real],
                     )
-            counts = np.ones(nl, np.int64)
-            nm = int(n_multi[g])
+            if cnt8_h is not None:
+                counts = cnt8_h[g][:nl].astype(np.int64)
+            else:
+                counts = np.ones(nl, np.int64)
+            nm = int(n_exc[g])
             if nm:
                 counts[eidx_h[g][:nm]] = ecnt_h[g][:nm]
             host_runs.append((g, codes, counts))

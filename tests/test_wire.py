@@ -135,6 +135,43 @@ def test_multi_chunk_reassembly_all_modes(rng, monkeypatch, chunks):
     )
 
 
+def _count_dist(text, cfg, n_dev):
+    from findkmer_tpu.parallel.dist import DistributedCounter
+    from findkmer_tpu.parallel.mesh import make_mesh
+
+    dc = DistributedCounter(cfg, make_mesh(n_dev))
+    state = dc.init_state()
+    reader = FastaReader(io.BytesIO(text.encode()))
+    for rows in pipeline.batches_from_codes(
+        pipeline.code_stream(reader), cfg
+    ):
+        state = dc.step(state, rows)
+    return dc.finalize(state)
+
+
+def test_mesh_count_plane_repeat_heavy(rng):
+    """dp_sparse per-row wire: a repeat-heavy mesh store takes the
+    count-plane leg (N < 8*E) and stays oracle-exact — including a
+    >255 escape from a poly-A run repeated across records."""
+    seq = random_dna(rng, 1200) + "A" * 400 + random_dna(rng, 400)
+    text = "".join(f">r{i}\n{seq}\n" for i in range(10))
+    cfg = Config(k=17, devices=4, chunk_len=256, batch_rows=4,
+                 table_mode="sparse")
+    got = spectrum_to_dict(_count_dist(text, cfg, 4), 17)
+    want = oracle_dict(text, 17)
+    assert got == want
+    assert max(want.values()) > 255  # the poly-A escape engaged
+
+
+def test_mesh_exception_leg_still_exact(rng):
+    """Mostly-singleton mesh store keeps the exception leg; exact."""
+    text = f">r\n{random_dna(rng, 20000)}\n"
+    cfg = Config(k=21, devices=4, chunk_len=512, batch_rows=4,
+                 table_mode="sparse")
+    got = spectrum_to_dict(_count_dist(text, cfg, 4), 21)
+    assert got == oracle_dict(text, 21)
+
+
 def test_wide_k27_per_entry_hi(rng):
     """k > 26 with few distinct: neither run leg pays — per-entry
     (hi, lo) planes remain exact."""
