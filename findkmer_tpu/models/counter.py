@@ -670,7 +670,12 @@ class KmerCounter(RowStoreMixin):
                 )
             stats = np.asarray(stats)
             n_big, n_runs = int(stats[0]), int(stats[1])
-        bytes3 = 8 * n_runs < N
+        # byte-plane leg needs the composite top word (code bits >= 24,
+        # i.e. 2k-24 bits) to fit uint32 on device: k <= 28 for wide
+        # stores (k=29+ would wrap (hi << 8) and corrupt codes —
+        # round-5 fuzz seed 77 trials 128/158/237/272/293), always for
+        # narrow (<= 6 bits)
+        bytes3 = 8 * n_runs < N and (len(codes_dev) == 1 or k <= 28)
         count_plane = 8 * n_multi > N
         runs_dev = None
         run_shift = 24

@@ -34,6 +34,13 @@ for trial in range(N):
                       ("R", .01), ("a", float(rng.uniform(0, .3)))):
             arr[rng.random(L) < p] = ch
         recs.append("".join(arr))
+    if rng.integers(4) == 0:
+        # repeat-heavy trial: duplicated records (+ sometimes a long
+        # homopolymer) drive n_multi ~ distinct and counts > 255, the
+        # count-plane/escape legs of the v2 finalize wire
+        recs = recs * int(rng.integers(2, 5))
+        if rng.integers(2) == 0 and recs:
+            recs[0] = "A" * int(rng.integers(300, 800)) + recs[0]
     text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(recs))
     canonical = bool(rng.integers(2))
     mode = str(rng.choice(["auto", "sparse"])) if k >= 6 else "auto"

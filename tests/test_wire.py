@@ -179,3 +179,26 @@ def test_wide_k27_per_entry_hi(rng):
     cfg = Config(k=27, chunk_len=256, batch_rows=2, table_mode="sparse")
     plan, got = _plan_of(text, cfg)
     assert got == oracle_dict(text, 27)
+
+
+@pytest.mark.parametrize("k", [29, 31])
+def test_bytes3_refused_past_k28(rng, k):
+    """Regression (round-5 fuzz seed 77): at k >= 29 the composite top
+    word (2k-24 bits) no longer fits uint32, so the byte-plane leg
+    must be REFUSED even when the run table is tiny (few distinct
+    codes) — engaging it wrapped (hi << 8) and corrupted codes."""
+    text = f">r\n{random_dna(rng, 150)}\n"  # few distinct: tiny run table
+    cfg = Config(k=k, chunk_len=128, batch_rows=2, table_mode="sparse")
+    plan, got = _plan_of(text, cfg)
+    assert len(plan.code_chunks[0]) != 3  # byte planes refused
+    assert got == oracle_dict(text, k)
+
+
+def test_bytes3_wide_boundary_k28(rng):
+    """k=28 is the last k whose top word fits uint32: the byte-plane
+    leg engages on a tiny-run-table store and stays exact."""
+    text = f">r\n{random_dna(rng, 150)}\n"
+    cfg = Config(k=28, chunk_len=128, batch_rows=2, table_mode="sparse")
+    plan, got = _plan_of(text, cfg)
+    assert len(plan.code_chunks[0]) == 3 and plan.run_shift == 24
+    assert got == oracle_dict(text, 28)
