@@ -56,6 +56,11 @@ EXPECT = {
     "bases_per_s_per_chip_k15_sparse": 1.65e9,
     "bases_per_s_per_chip_k8": 1.4e9,
 }
+# time metrics (lower is better): retry when a pass lands ABOVE these.
+# finalize wire v2 measures 5.4-5.6 s in healthy windows; degraded
+# windows inflate the D2H arbitrarily (23 s observed on an identical
+# store), so the same window-noise retry applies inverted.
+EXPECT_TIME = {"finalize_merge_s_k21": 7.0}
 
 
 def _probe_health(jax, np) -> float:
@@ -154,7 +159,10 @@ def main() -> int:
     while (
         passes < 3
         and time.monotonic() < retry_deadline
-        and any(results[m][0] < v for m, v in EXPECT.items())
+        and (
+            any(results[m][0] < v for m, v in EXPECT.items())
+            or any(results[m][0] > v for m, v in EXPECT_TIME.items())
+        )
     ):
         time.sleep(30)
         rn = run_pass()

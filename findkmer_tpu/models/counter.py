@@ -261,15 +261,19 @@ def make_counter(cfg: Config):
     from findkmer_tpu.utils.shmalloc import ensure_shared_alloc
 
     ensure_shared_alloc()  # before this run's big host buffers exist
+    # LOCAL devices: under a jax.distributed group this host counts its
+    # batch shard on its own chips and partials merge collectively
+    # (parallel/multihost.py) — a mesh over jax.devices() would grab
+    # other hosts' non-addressable chips
     n = cfg.devices
     if n == 0:
-        n = len(jax.devices())
+        n = len(jax.local_devices())
     if n <= 1:
         return KmerCounter(cfg)
     from findkmer_tpu.parallel.dist import DistributedCounter
     from findkmer_tpu.parallel.mesh import make_mesh
 
-    return DistributedCounter(cfg, make_mesh(n))
+    return DistributedCounter(cfg, make_mesh(n, devices=jax.local_devices()))
 
 
 class KmerCounter(RowStoreMixin):

@@ -101,6 +101,51 @@ def test_coordinator_collective_merge(tmp_path, fixtures_dir, k, n_proc):
         assert not (tmp_path / f"h{i}.tsv").exists()
 
 
+@pytest.mark.parametrize("k", ["6", "17"])
+@pytest.mark.heavy
+def test_coordinator_group_with_device_meshes(tmp_path, fixtures_dir, k):
+    """The FULL deployment shape (BASELINE config 5 on a real pod):
+    N=2 processes x 4 local devices each, under a real jax.distributed
+    group — each host runs a DistributedCounter over its LOCAL 4-device
+    mesh (make_counter must not grab other hosts' non-addressable
+    chips) and the per-host partials merge collectively.  k=6 = psum
+    mesh per host; k=17 = dp_sparse per host."""
+    import socket
+
+    src = os.path.join(fixtures_dir, "ecoli_frag.fa")
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    common = ["stream", "-i", src, "-k", k, "--chunk-len", "512",
+              "--batch-rows", "4", "--devices", "4",
+              "--coordinator", f"127.0.0.1:{port}",
+              "--num-processes", "2"]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "findkmer_tpu.cli", *common,
+             "--process-id", str(i), "-o", f"h{i}.tsv"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err
+
+    full = _cli(["count", "-i", src, "-k", k, "--chunk-len", "512",
+                 "--batch-rows", "4"], tmp_path)
+    assert (tmp_path / "h0.tsv").read_text() == full
+    assert not (tmp_path / "h1.tsv").exists()
+
+
 @pytest.mark.heavy
 def test_coordinator_group_kill_and_resume(tmp_path, fixtures_dir):
     """Whole-group fault injection (round-4 verdict item 1/missing #3):
