@@ -74,6 +74,13 @@ def main() -> int:
             arr[rng.random(L) < float(rng.uniform(0, 0.06))] = "N"
             arr[rng.random(L) < 0.15] = "c"
             recs.append("".join(arr))
+        if rng.integers(4) == 0:
+            # repeat-heavy trial: duplicated records (+ sometimes a
+            # homopolymer) drive the per-row count-plane/escape wire
+            # legs of the dp_sparse finalize
+            recs = recs * int(rng.integers(2, 5))
+            if rng.integers(2) == 0 and recs:
+                recs[0] = "A" * int(rng.integers(300, 800)) + recs[0]
         text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(recs))
         canonical = bool(rng.integers(2))
         # batch_rows must be divisible by the mesh width, and devices
@@ -99,6 +106,18 @@ def main() -> int:
                 bad = {kk for kk in set(want) | set(got)
                        if want.get(kk) != got.get(kk)}
                 print(f"FAIL {tag} diffs={len(bad)}")
+        except RuntimeError as e:
+            if "route bucket overflowed" in str(e):
+                # DESIGNED fail-fast: repeat-heavy trials can spike a
+                # homopolymer prefix, and canonical folding concentrates
+                # such codes onto one shard past route_capacity_factor —
+                # the engine must ERROR loudly (never drop counts), so
+                # this outcome is a pass (see Config.route_capacity_factor)
+                print(f"OK(overflow-fail-fast) {tag}")
+            else:
+                fails += 1
+                print(f"ERROR {tag}: RuntimeError: {e}")
+                traceback.print_exc(limit=2)
         except Exception as e:
             fails += 1
             print(f"ERROR {tag}: {type(e).__name__}: {e}")
