@@ -906,77 +906,30 @@ class KmerCounter(RowStoreMixin):
         """The checkpointable table (compacting buffered codes first).
 
         The SparseTable carries the (STORE_ROWS, cols) row store
-        directly; checkpoints round-trip it through npz unchanged."""
+        directly (rowstore._store_table — shared serialization with the
+        dp_sparse engine, so checkpoints restore across engines);
+        checkpoints round-trip it through npz unchanged."""
         if self.mode == "direct":
             return state, state
         state = self.compact(state)
         state, d = self._ensure_capacity(state)
-        Ldc = sparse_ops.ladder(int(d.max()), floor=COL_FLOOR)
-        if state.store_len > Ldc:
-            store = _squeeze_slice_dev(state.store, Ldc)
-            cols = Ldc
-        else:
-            store = state.store
-            cols = state.store_len
-        state = SparseState(
-            raw=state.raw, fill=state.fill, store=store, store_len=cols,
-            distinct=d,
-        )
-        if len(store) == 2:
-            lo, cnt = store
-            hi = jnp.where(cnt > 0, jnp.uint32(0),
-                           jnp.uint32(sparse_ops.SENTINEL))
-        else:
-            hi, lo, cnt = store
-        table = table_mod.SparseTable(
-            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool),
-            k=self.cfg.k,
-        )
-        return state, table
+        return self._store_table(state, d)
 
     def restore_state(self, table):
         """Rebuild step state from a checkpointed table.
 
-        Accepts row-store (2-D) or legacy flat (1-D) tables: entries are
-        merged to one sorted distinct run on host, then laid out as G
-        contiguous row chunks — each row sorted with globally disjoint
-        code ranges, so finalize-without-recompaction stays exact."""
+        Accepts row-store (2-D) or legacy flat (1-D) tables from any
+        engine (rowstore._restore_planes): entries are merged to one
+        sorted distinct run on host, then laid out as G contiguous row
+        chunks — each row sorted with globally disjoint code ranges,
+        so finalize-without-recompaction stays exact."""
         if self.mode == "direct":
             return table
-        hi = np.asarray(table.hi)
-        lo = np.asarray(table.lo)
-        cnt = np.asarray(table.cnt)
-        if hi.ndim == 1:
-            hi, lo, cnt = hi[None], lo[None], cnt[None]
-        codes, counts = sparse_ops.store_to_host_2d(hi, lo, cnt)
-        G = self._rows
-        n = codes.size
-        Lc = sparse_ops.ladder(-(-n // G) if n else 1, floor=COL_FLOOR)
-        cdt = np.dtype(self.cfg.count_dtype)
-        lo2 = np.full((G * Lc,), SENT32, np.uint32)
-        cnt2 = np.zeros((G * Lc,), cdt)
-        lo2[:n] = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        cnt2[:n] = counts.astype(cdt)
-        drows = np.bincount(np.arange(n) // Lc, minlength=G).astype(
-            np.int64
-        )
-        if self._n_bufs == 1:
-            store = (
-                jnp.asarray(lo2.reshape(G, Lc)),
-                jnp.asarray(cnt2.reshape(G, Lc)),
-            )
-        else:
-            hdt = sparse_ops.hi_dtype(self.cfg.k)
-            hi2 = np.full((G * Lc,), sparse_ops.sent_of(hdt), hdt)
-            hi2[:n] = (codes >> np.uint64(32)).astype(hdt)
-            store = (
-                jnp.asarray(hi2.reshape(G, Lc)),
-                jnp.asarray(lo2.reshape(G, Lc)),
-                jnp.asarray(cnt2.reshape(G, Lc)),
-            )
+        planes, Lc, drows = self._restore_planes(table)
         return SparseState(
             raw=_fresh(self._raw_cap0(), self._buf_dtypes), fill=0,
-            store=store, store_len=Lc, distinct=drows,
+            store=tuple(jnp.asarray(p) for p in planes),
+            store_len=Lc, distinct=drows,
         )
 
     # ------------------------------------------------------------------

@@ -131,6 +131,78 @@ class RowStoreMixin:
                 "--spill"
             )
 
+    # -- checkpoint table serialization ---------------------------------
+    def _store_table(self, st, d):
+        """(state, SparseTable) for checkpointing a row store: squeeze
+        to the live ladder, synthesize the dummy hi plane for narrow
+        stores (sentinel where dead, like the legacy flat tables), wrap
+        as a SparseTable.  Shared by KmerCounter.table_state and
+        DistributedCounter.table_state (the same serialization keeps
+        their checkpoints mutually restorable — elastic resume)."""
+        from findkmer_tpu import table as table_mod
+
+        _, _, floor = self._dedup_geometry()
+        d = np.asarray(d)
+        Ld = sparse_ops.ladder(max(int(d.max()), 1), floor=floor)
+        store, cols = st.store, st.store_len
+        if cols > Ld:
+            store = compaction.squeeze_slice(store, Ld)
+            cols = Ld
+        st = dataclasses.replace(
+            st, store=store, store_len=cols, distinct=d
+        )
+        if len(store) == 2:
+            lo, cnt = store
+            hi = jnp.where(cnt > 0, jnp.uint32(0),
+                           jnp.uint32(sparse_ops.SENTINEL))
+        else:
+            hi, lo, cnt = store
+        table = table_mod.SparseTable(
+            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool),
+            k=self.cfg.k,
+        )
+        return st, table
+
+    def _restore_planes(self, table):
+        """Checkpointed SparseTable -> (host planes, Lc, per-row
+        distinct) re-dealt as D*R contiguous sorted row chunks.
+
+        Accepts row-store (2-D) or legacy flat (1-D) tables from ANY
+        engine/geometry: entries merge to one sorted distinct run on
+        host, then lay out as contiguous chunks — each row sorted with
+        globally disjoint code ranges, so finalize-without-recompaction
+        stays exact.  The caller places the planes (plain jnp arrays
+        single-chip; sharded device_put on a mesh)."""
+        D, R, floor = self._dedup_geometry()
+        G = D * R
+        hi = np.asarray(table.hi)
+        lo = np.asarray(table.lo)
+        cnt = np.asarray(table.cnt)
+        if hi.ndim == 1:
+            hi, lo, cnt = hi[None], lo[None], cnt[None]
+        codes, counts = sparse_ops.store_to_host_2d(hi, lo, cnt)
+        n = codes.size
+        Lc = sparse_ops.ladder(-(-n // G) if n else 1, floor=floor)
+        cdt = np.dtype(self.cfg.count_dtype)
+        lo2 = np.full((G * Lc,), sparse_ops.SENTINEL, np.uint32)
+        cnt2 = np.zeros((G * Lc,), cdt)
+        lo2[:n] = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        cnt2[:n] = counts.astype(cdt)
+        drows = np.bincount(np.arange(n) // Lc, minlength=G).astype(
+            np.int64
+        )
+        if self.cfg.k <= 15:
+            planes = (lo2.reshape(G, Lc), cnt2.reshape(G, Lc))
+        else:
+            hdt = sparse_ops.hi_dtype(self.cfg.k)
+            hi2 = np.full((G * Lc,), sparse_ops.sent_of(hdt), hdt)
+            hi2[:n] = (codes >> np.uint64(32)).astype(hdt)
+            planes = (
+                hi2.reshape(G, Lc), lo2.reshape(G, Lc),
+                cnt2.reshape(G, Lc),
+            )
+        return planes, Lc, drows
+
     # -- checkpoint/resume spill composition ----------------------------
     def adopt_spill_runs(self, n_runs: int, token: str | None = None):
         """Checkpoint-resume adoption of disk-spill runs.

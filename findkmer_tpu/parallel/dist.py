@@ -741,6 +741,7 @@ class DistributedCounter(RowStoreMixin):
             sparse_ops.ladder(max(int(n_multi.max()), 1), floor=256), N
         )
         cnt8_dev = None
+        self._wire_cnt_plane = N < 8 * E  # test-visible leg choice
         if N < 8 * E:
             # count plane: 1 B/entry beats the (G, E) exception slots
             big = np.asarray(sparse_ops.row_big255(store[-1]))
@@ -842,26 +843,9 @@ class DistributedCounter(RowStoreMixin):
             )
         st = self._compact_sparse(state)
         st, d = self._ensure_capacity(st)
-        Ld = sparse_ops.ladder(max(int(d.max()), 1), floor=128)
-        store, cols = st.store, st.store_len
-        if cols > Ld:
-            store = _squeeze_slice_dev2(store, Ld)
-            cols = Ld
-        st = DpSparseState(
-            raw=st.raw, fill=st.fill, store=store, store_len=cols,
-            distinct=d,
-        )
-        if len(store) == 2:
-            lo, cnt = store
-            hi = jnp.where(cnt > 0, jnp.uint32(0),
-                           jnp.uint32(sparse_ops.SENTINEL))
-        else:
-            hi, lo, cnt = store
-        table = table_mod.SparseTable(
-            hi=hi, lo=lo, cnt=cnt, overflow=jnp.zeros((), bool),
-            k=cfg.k,
-        )
-        return st, table
+        # shared serialization (rowstore._store_table): same layout as
+        # KmerCounter checkpoints, so resume is elastic across engines
+        return self._store_table(st, d)
 
     def restore_state(self, table):
         """Rebuild mesh step state from a checkpointed table.
@@ -896,32 +880,7 @@ class DistributedCounter(RowStoreMixin):
             full = np.zeros((n_dev, T), cdt)
             full[0] = counts
             return jax.device_put(full, self._state_sharding)
-        hi = np.asarray(table.hi)
-        lo = np.asarray(table.lo)
-        cnt = np.asarray(table.cnt)
-        if hi.ndim == 1:
-            hi, lo, cnt = hi[None], lo[None], cnt[None]
-        codes, counts = sparse_ops.store_to_host_2d(hi, lo, cnt)
-        G = n_dev * self._sub
-        n = codes.size
-        Lc = sparse_ops.ladder(-(-n // G) if n else 1, floor=128)
-        lo2 = np.full((G * Lc,), _SENT, np.uint32)
-        cnt2 = np.zeros((G * Lc,), cdt)
-        lo2[:n] = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        cnt2[:n] = counts.astype(cdt)
-        drows = np.bincount(np.arange(n) // Lc, minlength=G).astype(
-            np.int64
-        )
-        if self._narrow:
-            planes = (lo2.reshape(G, Lc), cnt2.reshape(G, Lc))
-        else:
-            hdt = sparse_ops.hi_dtype(cfg.k)
-            hi2 = np.full((G * Lc,), sparse_ops.sent_of(hdt), hdt)
-            hi2[:n] = (codes >> np.uint64(32)).astype(hdt)
-            planes = (
-                hi2.reshape(G, Lc), lo2.reshape(G, Lc),
-                cnt2.reshape(G, Lc),
-            )
+        planes, Lc, drows = self._restore_planes(table)
         store = tuple(
             jax.device_put(p, self._state_sharding) for p in planes
         )

@@ -95,6 +95,20 @@ def _stream_state(
         loaded = ckpt_mod.load_latest(checkpoint_dir, cfg)
         if loaded is not None:
             start_batch, table, saved_stats, extra = loaded
+            # batch_index indexes THIS host's round-robin subsequence
+            # (i % num_processes == process_id): resuming under a
+            # different host count or id would silently skip the wrong
+            # batches — validate like any other semantic config field
+            for field, cur in (("num_processes", num_processes),
+                               ("process_id", process_id)):
+                saved = extra.get(field)
+                if saved is not None and saved != cur:
+                    raise ValueError(
+                        f"checkpoint was written with {field}={saved}; "
+                        f"resuming with {field}={cur} would replay the "
+                        "wrong batch subsequence — relaunch with the "
+                        "original topology"
+                    )
             state = counter.restore_state(table)
             # spill composition: adopt the runs the checkpoint's prefix
             # wrote; delete any spilled after it (their batches replay).
@@ -148,13 +162,18 @@ def _stream_state(
             and checkpoint_every > 0
             and batch_index % checkpoint_every == 0
         ):
-            state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
+            state = _save(counter, checkpoint_dir, cfg, batch_index,
+                          state, stats, num_processes=num_processes,
+                          process_id=process_id)
     if checkpoint_dir is not None and batch_index > start_batch:
-        state = _save(counter, checkpoint_dir, cfg, batch_index, state, stats)
+        state = _save(counter, checkpoint_dir, cfg, batch_index, state,
+                      stats, num_processes=num_processes,
+                      process_id=process_id)
     return counter, state
 
 
-def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
+def _save(counter, checkpoint_dir, cfg, batch_index, state, stats,
+          num_processes: int = 1, process_id: int = 0):
     import jax
 
     state, table = counter.table_state(state)  # flushes pending sparse runs
@@ -162,18 +181,20 @@ def _save(counter, checkpoint_dir, cfg, batch_index, state, stats):
     jax.block_until_ready(
         table.counts if hasattr(table, "counts") else table.cnt
     )
+    # the host topology is checkpoint semantics too: batch_index indexes
+    # this host's round-robin subsequence (validated on resume)
+    extra = {"num_processes": num_processes, "process_id": process_id}
     # spill runs written so far (table_state's compaction may have just
     # spilled one) belong to this checkpoint's prefix — record them so
     # resume adopts exactly these and deletes later ones
     n_spill = int(getattr(counter, "_spill_n", 0))
-    extra = None
     if cfg.spill_dir:
         from findkmer_tpu import spill
 
-        extra = {
-            "spill_runs": n_spill,
-            "spill_token": spill.read_token(cfg.spill_dir),
-        }
+        extra.update(
+            spill_runs=n_spill,
+            spill_token=spill.read_token(cfg.spill_dir),
+        )
     ckpt_mod.save(
         checkpoint_dir,
         cfg,

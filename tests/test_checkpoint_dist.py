@@ -184,6 +184,23 @@ def test_mesh_checkpoint_composes_with_spill(fasta_file, tmp_path):
     _spectra_equal(got, want)
 
 
+def test_resume_topology_mismatch_rejected(fasta_file, tmp_path):
+    """batch_index indexes a host's round-robin subsequence, so a
+    checkpoint written at --num-processes 2 must refuse to resume at
+    --num-processes 3 (it would silently skip the wrong batches)."""
+    cfg = Config(k=6, chunk_len=1024, batch_rows=4)
+    ck = str(tmp_path / "ck")
+    streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ck, checkpoint_every=1,
+        num_processes=2, process_id=0,
+    )
+    with pytest.raises(ValueError, match="num_processes"):
+        streaming.stream_count(
+            [fasta_file], cfg, checkpoint_dir=ck, checkpoint_every=1,
+            num_processes=3, process_id=0,
+        )
+
+
 def test_route_overflow_fails_checkpoint(tmp_path, rng):
     """all_to_all: table_state refuses to persist overflowed (silently
     incomplete) routing state."""

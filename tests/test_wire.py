@@ -146,30 +146,39 @@ def _count_dist(text, cfg, n_dev):
         pipeline.code_stream(reader), cfg
     ):
         state = dc.step(state, rows)
-    return dc.finalize(state)
+    return dc.finalize(state), dc
 
 
 def test_mesh_count_plane_repeat_heavy(rng):
     """dp_sparse per-row wire: a repeat-heavy mesh store takes the
     count-plane leg (N < 8*E) and stays oracle-exact — including a
-    >255 escape from a poly-A run repeated across records."""
+    >255 escape from a poly-A run repeated across records.  The leg
+    choice is asserted so a gate regression can't pass silently
+    through the (equally exact) exception leg."""
     seq = random_dna(rng, 1200) + "A" * 400 + random_dna(rng, 400)
     text = "".join(f">r{i}\n{seq}\n" for i in range(10))
     cfg = Config(k=17, devices=4, chunk_len=256, batch_rows=4,
                  table_mode="sparse")
-    got = spectrum_to_dict(_count_dist(text, cfg, 4), 17)
+    spectrum, dc = _count_dist(text, cfg, 4)
+    got = spectrum_to_dict(spectrum, 17)
     want = oracle_dict(text, 17)
     assert got == want
+    assert dc._wire_cnt_plane  # count-plane leg engaged
     assert max(want.values()) > 255  # the poly-A escape engaged
 
 
 def test_mesh_exception_leg_still_exact(rng):
-    """Mostly-singleton mesh store keeps the exception leg; exact."""
-    text = f">r\n{random_dna(rng, 20000)}\n"
+    """Mostly-singleton mesh store big enough that the padded (G, E)
+    exception tables undercut the count plane (N >= 8*E at the E=256
+    ladder floor: per-row live prefix >= 2048) keeps the exception leg;
+    exact.  Small singleton stores correctly pick the PLANE — the
+    256-slot exception floor makes it the cheaper wire there."""
+    text = f">r\n{random_dna(rng, 200000)}\n"
     cfg = Config(k=21, devices=4, chunk_len=512, batch_rows=4,
                  table_mode="sparse")
-    got = spectrum_to_dict(_count_dist(text, cfg, 4), 21)
-    assert got == oracle_dict(text, 21)
+    spectrum, dc = _count_dist(text, cfg, 4)
+    assert spectrum_to_dict(spectrum, 21) == oracle_dict(text, 21)
+    assert not dc._wire_cnt_plane  # exception leg held
 
 
 def test_wide_k27_per_entry_hi(rng):
