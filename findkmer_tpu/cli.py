@@ -352,7 +352,7 @@ def cmd_count(args) -> int:
     timers = PhaseTimers() if args.stats == "json" else None
 
     # multiple inputs: one combined spectrum (records concatenated)
-    from findkmer_tpu.models.counter import KmerCounter, make_counter
+    from findkmer_tpu.models.counter import make_counter
 
     counter = make_counter(cfg)
     state = counter.init_state()
@@ -380,10 +380,8 @@ def cmd_count(args) -> int:
             spectrum = counter.finalize(state)
         else:
             with timers.phase("finalize"):
-                if isinstance(counter, KmerCounter):
-                    spectrum = counter.finalize(state, timers=timers)
-                else:
-                    spectrum = counter.finalize(state)
+                # counter-uniform interface: both engines accept timers
+                spectrum = counter.finalize(state, timers=timers)
 
     if not stream_finalize:
         f, close = _open_out(args.output)

@@ -100,9 +100,6 @@ def _pallas_dense_step(
     return table + delta.astype(table.dtype)
 
 
-SENT32 = np.uint32(sparse_ops.SENTINEL)
-
-
 @partial(jax.jit, static_argnames=("k", "canonical", "R"))
 def _batch_codes(batch, k: int, canonical: bool, R: int):
     """One batch -> flat raw window-code arrays, invalid as sentinel.
@@ -346,10 +343,6 @@ class KmerCounter(RowStoreMixin):
         # jax.devices() lists GLOBAL devices and [0] may not be
         # addressable from this host
         return jax.device_put(rows, jax.local_devices()[0])
-
-    @property
-    def _n_bufs(self) -> int:
-        return 1 if self.cfg.k <= 15 else 2
 
     @property
     def _buf_dtypes(self):
@@ -744,7 +737,11 @@ class KmerCounter(RowStoreMixin):
 
             n_chunks = int(
                 os.environ.get("FINDKMER_FINALIZE_CHUNKS", "0")
-            ) or min(8, max(1, N // (1 << 22)))
+            )
+            if n_chunks <= 0:  # <= 0 (incl. typos) means auto — a
+                # negative count would build an EMPTY span list and
+                # return uninitialized memory as the spectrum
+                n_chunks = min(8, max(1, N // (1 << 22)))
             step = -(-N // n_chunks)
             spans = [(a, min(a + step, N)) for a in range(0, N, step)]
             code_chunks = [

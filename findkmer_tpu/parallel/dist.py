@@ -54,8 +54,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_SENT = np.uint32(sparse_ops.SENTINEL)
-
 # Shared raw-buffer append/grow (models/rowstore.py — ONE jitted
 # implementation for these 2-D row-sharded buffers and the single-chip
 # engine's 1-D ones; round-4 verdict weak #3 fold)
@@ -99,24 +97,6 @@ def _host_merge_stores(store) -> Tuple[np.ndarray, np.ndarray]:
         lo, cnt = store
         return sparse_ops.store_to_host_2d(None, lo, cnt)
     return sparse_ops.store_to_host_2d(*store)
-
-
-def merge_sorted_spectra(
-    codes: np.ndarray, counts: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Sum counts of duplicate codes; return sorted distinct arrays."""
-    order = np.argsort(codes, kind="stable")
-    codes, counts = codes[order], counts[order]
-    if codes.size == 0:
-        return codes, counts.astype(np.int64)
-    uniq = np.empty(codes.shape, bool)
-    uniq[0] = True
-    np.not_equal(codes[1:], codes[:-1], out=uniq[1:])
-    idx = np.cumsum(uniq) - 1
-    out_codes = codes[uniq]
-    out_counts = np.zeros(out_codes.shape, np.int64)
-    np.add.at(out_counts, idx, counts.astype(np.int64))
-    return out_codes, out_counts
 
 
 @dataclass
@@ -220,7 +200,6 @@ class DistributedCounter(RowStoreMixin):
         cfg, mesh, n_dev = self.cfg, self.mesh, self.n_dev
         k, canonical = cfg.k, cfg.canonical
         T = self.table_size if self.mode == "direct" else None
-        dtype = jnp.dtype(cfg.count_dtype)
         rows_leaf_spec = P(AXIS, None)
         # batches may be raw (B, R) rows or a (packed, validbits) pair
         # (Config.packed_h2d); both leaves shard on the batch dim
@@ -465,17 +444,33 @@ class DistributedCounter(RowStoreMixin):
         return sparse_ops.ladder(per_dev, floor=4096)
 
     def _fresh_raw(self, cap: int):
+        """Sentinel-filled (n_dev, cap) raw planes, created SHARDED in
+        place via a jitted fill with out_shardings — a plain jnp.full
+        would materialize the whole buffer on the default device (a
+        transient n_dev-fold HBM spike at the 2^28-slot production cap)
+        and then pay a cross-device re-layout.  One tiny fill program
+        per ladder cap (cached)."""
         if self._narrow:
             dts = (np.uint32,)
         else:
             dts = (sparse_ops.hi_dtype(self.cfg.k), np.uint32)
-        arrs = tuple(
-            jnp.full((self.n_dev, cap), sparse_ops.sent_of(dt), dt)
-            for dt in dts
-        )
-        return tuple(
-            jax.device_put(a, self._state_sharding) for a in arrs
-        )
+        cache = getattr(self, "_fresh_fns", None)
+        if cache is None:
+            cache = self._fresh_fns = {}
+        fn = cache.get(cap)
+        if fn is None:
+
+            def fill(dts=dts, cap=cap, n=self.n_dev):
+                return tuple(
+                    jnp.full((n, cap), sparse_ops.sent_of(dt), dt)
+                    for dt in dts
+                )
+
+            fn = cache[cap] = jax.jit(
+                fill,
+                out_shardings=tuple(self._state_sharding for _ in dts),
+            )
+        return fn()
 
     def _dedup_geometry(self):
         """Store geometry for the shared capacity/dedup machinery
@@ -623,13 +618,23 @@ class DistributedCounter(RowStoreMixin):
         )
 
     # ------------------------------------------------------------------
-    def finalize(self, state):
-        """Merge device state -> host spectrum (dense array or sparse tuple)."""
+    def finalize(self, state, timers=None):
+        """Merge device state -> host spectrum (dense array or sparse
+        tuple).  Pass a utils.prof.PhaseTimers for the same finalize
+        phase breakdown the single-chip engine reports (counter-uniform
+        interface; cli --stats json)."""
+        import contextlib
+
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
         if self.merge == "psum":
-            return np.asarray(self._finalize(state))
+            with ph("finalize/merge"):
+                return np.asarray(self._finalize(state))
         if self.merge == "psum_scatter":
             # (n_dev, T/n) device-sharded -> full (T,) on host
-            return np.asarray(self._finalize(state)).reshape(-1)
+            with ph("finalize/merge"):
+                return np.asarray(self._finalize(state)).reshape(-1)
         if self.merge == "all_to_all":
             shards, overflow = state
             if bool(overflow):
@@ -638,30 +643,38 @@ class DistributedCounter(RowStoreMixin):
                     f"(capacity {self._route_cap}); raise "
                     "Config.route_capacity_factor (skewed input)"
                 )
-            return np.asarray(self._finalize(shards))
+            with ph("finalize/merge"):
+                return np.asarray(self._finalize(shards))
         import os
 
-        st = self._compact_sparse(state)
-        st, d = self._ensure_capacity(st)
+        with ph("finalize/compact"):
+            st = self._compact_sparse(state)
+            st, d = self._ensure_capacity(st)
         store = st.store
         if self._spill_n:
             # merge disk runs with the residual per-device runs in a
             # streaming k-way block merge (spill.iter_merged)
-            parts = list(self._merged_spill_chunks(st, d))
-            if not parts:
-                return np.empty(0, np.uint64), np.empty(0, np.int64)
-            return (
-                np.concatenate([c for c, _ in parts]),
-                np.concatenate([n for _, n in parts]),
-            )
+            with ph("finalize/merge"):
+                parts = list(self._merged_spill_chunks(st, d))
+                if not parts:
+                    return np.empty(0, np.uint64), np.empty(0, np.int64)
+                return (
+                    np.concatenate([c for c, _ in parts]),
+                    np.concatenate([n for _, n in parts]),
+                )
         if os.environ.get("FINDKMER_ORDERED_FINALIZE", "1") != "1":
             # legacy wire: squeeze holes/padding to the live ladder and
             # pull the full (hi, lo, cnt) planes for a host heap merge
-            Ld = sparse_ops.ladder(int(d.max()), floor=4096)
-            if st.store_len > Ld:
-                store = _squeeze_slice_keep2(store, Ld)
-            return _host_merge_stores(store)
-        return self._finalize_sparse_ordered(store, st.store_len, d)
+            with ph("finalize/merge"):
+                Ld = sparse_ops.ladder(int(d.max()), floor=4096)
+                if st.store_len > Ld:
+                    store = _squeeze_slice_keep2(store, Ld)
+                return _host_merge_stores(store)
+        with ph("finalize/d2h"):
+            runs = [(c, n) for _, c, n in
+                    self._pull_sorted_runs(store, st.store_len, d)]
+        with ph("finalize/merge"):
+            return sparse_ops.merge_host_runs(runs)
 
     def _merged_spill_chunks(self, st: "DpSparseState", d):
         """Streaming k-way merge of disk runs + residual device runs;
@@ -687,9 +700,15 @@ class DistributedCounter(RowStoreMixin):
         i64) chunks in globally sorted distinct order (the dp_sparse
         analog of KmerCounter.finalize_chunks; chunks concatenate to
         exactly finalize(state)'s output)."""
+        import contextlib
+
         assert self.merge == "dp_sparse", "finalize_chunks is sparse-only"
-        st = self._compact_sparse(state)
-        st, d = self._ensure_capacity(st)
+        ph = timers.phase if timers is not None else (
+            lambda name: contextlib.nullcontext()
+        )
+        with ph("finalize/compact"):
+            st = self._compact_sparse(state)
+            st, d = self._ensure_capacity(st)
         if self._spill_n:
             yield from self._merged_spill_chunks(st, d)
             return
@@ -698,17 +717,6 @@ class DistributedCounter(RowStoreMixin):
         yield from spill.iter_merged(
             [(c, n) for _, c, n in
              self._pull_sorted_runs(st.store, st.store_len, d)]
-        )
-
-    def _finalize_sparse_ordered(self, store, store_len: int, d):
-        """Coded-wire dp_sparse finalize (multi-chip analog of the
-        single-chip ordered finalize, models/counter.py): pull one
-        sorted distinct run per store row and heap-merge them
-        (hierarchical C passes; BASELINE metric 2: count-table
-        merge)."""
-        return sparse_ops.merge_host_runs(
-            [(c, n) for _, c, n in
-             self._pull_sorted_runs(store, store_len, d)]
         )
 
     def _pull_sorted_runs(self, store, store_len: int, d):
