@@ -90,6 +90,22 @@ def test_dp_sparse_crash_points_across_compaction(fasta_file, tmp_path):
         _spectra_equal(got, want)
 
 
+def test_mesh_resume_every_crash_point(fasta_file, tmp_path):
+    """Exhaustive crash-point sweep ON THE MESH (the dist analog of
+    test_checkpoint.test_resume_every_crash_point): for EVERY batch
+    index i, a 4-device psum run checkpointed through batch i and
+    abandoned must resume to the bit-identical spectrum."""
+    cfg = Config(k=6, devices=4, chunk_len=1024, batch_rows=4)
+    want = np.asarray(pipeline.count_file(fasta_file, cfg))
+    n_batches = sum(1 for _ in pipeline.batches_from_file(fasta_file, cfg))
+    assert n_batches >= 3
+    for crash_at in range(1, n_batches + 1):
+        got = _crash_then_resume(
+            fasta_file, cfg, str(tmp_path / f"ck{crash_at}"), crash_at
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_elastic_resume_dense_across_devices_and_merge(
     fasta_file, tmp_path
 ):
