@@ -948,6 +948,13 @@ def cmd_bench(args) -> int:
     return bench_quick.run(args)
 
 
+def cmd_selftest(args) -> int:
+    _enable_compile_cache()
+    from findkmer_tpu import selftest
+
+    return selftest.run(args)
+
+
 def build_parser() -> argparse.ArgumentParser:
     from findkmer_tpu.version import __version__
 
@@ -1281,6 +1288,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "wall-clock phase breakdown (host batching / "
                          "dispatch / finalize / write)")
     pb.set_defaults(fn=cmd_bench)
+
+    pst = sub.add_parser(
+        "selftest",
+        help="count synthetic DNA on this backend and diff bit-exactly "
+             "against a built-in scalar reference (deployment sanity "
+             "check: bad install / backend / native lib fails loudly)",
+    )
+    pst.add_argument("--devices", type=int, default=1,
+                     help="devices in the counting mesh (as for count)")
+    pst.add_argument("--seed", type=int, default=0)
+    pst.set_defaults(fn=cmd_selftest)
 
     return p
 
