@@ -921,6 +921,13 @@ class KmerCounter(RowStoreMixin):
         chunks — each row sorted with globally disjoint code ranges,
         so finalize-without-recompaction stays exact."""
         if self.mode == "direct":
+            # checkpoints arrive host-side (utils/checkpoint.py keeps
+            # them numpy); the dense step donates its table, so place
+            # it on device here
+            if not isinstance(table.counts, jnp.ndarray):
+                table = table_mod.DenseTable(
+                    counts=jnp.asarray(table.counts), k=table.k
+                )
             return table
         planes, Lc, drows = self._restore_planes(table)
         return SparseState(

@@ -106,19 +106,20 @@ def load_latest(
             f"checkpoint config mismatch on table mode: "
             f"{saved_cfg.resolved_table_mode} != {cfg.resolved_table_mode}"
         )
-    import jax.numpy as jnp
-
     data = np.load(d / meta["file"])
+    # tables stay HOST-side (numpy): every restore_state re-deals or
+    # re-shards them anyway, so a jnp.asarray here would push a
+    # chr-scale store H2D only for restore to pull it straight back
+    # (2x the store over the tunnel on every resume).  The direct-mode
+    # single-chip restore converts to device itself.
     if meta["mode"] == "direct":
-        state = table_mod.DenseTable(
-            counts=jnp.asarray(data["counts"]), k=cfg.k
-        )
+        state = table_mod.DenseTable(counts=data["counts"], k=cfg.k)
     else:
         state = table_mod.SparseTable(
-            hi=jnp.asarray(data["hi"]),
-            lo=jnp.asarray(data["lo"]),
-            cnt=jnp.asarray(data["cnt"]),
-            overflow=jnp.asarray(data["overflow"]),
+            hi=data["hi"],
+            lo=data["lo"],
+            cnt=data["cnt"],
+            overflow=data["overflow"],
             k=cfg.k,
         )
     return meta["batch_index"], state, meta.get("stats", {}), \
