@@ -329,7 +329,11 @@ def _fastq_records_block(path) -> Iterator[Tuple[bytes, bytes]]:
                 li += 4
                 consumed = e3
             if eof:
-                if data[consumed:].strip():
+                # strip ONLY newline characters: a space-only trailing
+                # line is malformed to the strict line reader
+                # (FastqReader), and the flows must agree on
+                # accept/reject
+                if data[consumed:].strip(b"\r\n"):
                     raise ValueError(f"{path}: truncated FASTQ record")
                 return
             rem = data[consumed:]
@@ -384,7 +388,11 @@ def _fastq_blocks(path, block_bytes: int = 1 << 22):
                     "(expected @header/seq/+/quality groups)"
                 )
             if eof:
-                if data[consumed:].strip():
+                # strip ONLY newline characters: a space-only trailing
+                # line is malformed to the strict line reader
+                # (FastqReader), and the flows must agree on
+                # accept/reject
+                if data[consumed:].strip(b"\r\n"):
                     raise ValueError(f"{path}: truncated FASTQ record")
                 return
             if consumed == 0 and len(data) >= block_bytes:

@@ -95,11 +95,11 @@ def decode_codes(codes: np.ndarray) -> bytes:
 def pack_2bit(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
     """Pack uint8 codes into (packed, validmask, n).
 
-    packed:    uint8, ceil(n/4) bytes, base j of byte i at bits 2*(j)..2*j+1
-               (little-endian within the byte); INVALID packs as 0.
-    validmask: uint8, ceil(n/8) bytes, bit j of byte i = base (8i+j) valid.
-    n:         original base count.
-    """
+    MSB-first (one big-endian 2-bit stream, matching encode.c and the
+    device unpack): base 4i+j of byte i sits at bits (6-2j)..(7-2j),
+    so base 0 occupies the TOP two bits; INVALID packs as 0.
+    validmask: uint8, ceil(n/8) bytes, base 8i+j at bit (7-j) of byte i
+    (np.packbits bitorder='big').  n: original base count."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = codes.shape[0]
     valid = codes < 4

@@ -178,7 +178,15 @@ class FastaReader:
             while pos < n:
                 is_header = buf[pos] == 0x3E and at_line_start  # '>'
                 if is_header:
+                    # a header ends at '\n' OR at a lone '\r' (classic-
+                    # Mac line endings: without the CR fallback a
+                    # CR-only file would re-buffer forever and emit an
+                    # empty spectrum).  For CRLF the CR wins; the LF it
+                    # leaves behind is whitespace in the sequence region.
                     nl = buf.find(b"\n", pos)
+                    cr = buf.find(b"\r", pos)
+                    if cr >= 0 and (nl < 0 or cr < nl):
+                        nl = cr
                     if nl < 0:
                         if not eof:
                             raise _NeedMore(pos)

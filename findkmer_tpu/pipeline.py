@@ -57,26 +57,16 @@ def code_stream(
     reader: FastaReader,
     *,
     prefer_native: bool = True,
-    fused: bool = False,
     stats: Optional[StreamStats] = None,
 ) -> Iterator[np.ndarray]:
     """Encoded code chunks with one INVALID separator after each record.
 
-    fused=True: chunk data still contains whitespace (reader constructed
-    with strip_ws=False) and the native C pass strips + encodes in one
-    sweep (io/native.fk_encode_compact).
-    """
+    This is the plain (non-fused) encode path; the production fused
+    strip+encode-into-work-buffer flow is _batches_fused."""
     sep = np.array([INVALID], dtype=np.uint8)
-    if fused:
-        from findkmer_tpu.io import native as native_mod
     for chunk in reader.chunks():
         if chunk.data:
-            if fused:
-                codes = native_mod.encode_compact(chunk.data)
-            else:
-                codes = encode_bytes(
-                    chunk.data, prefer_native=prefer_native
-                )
+            codes = encode_bytes(chunk.data, prefer_native=prefer_native)
             if stats is not None:
                 stats.bases += codes.size
                 stats.valid_bases += int(np.count_nonzero(codes < 4))
@@ -117,7 +107,11 @@ class _BatchEmitter:
         # on CPU).  Only the first batch (no new shapes in steady-state
         # streaming, where the padded tail is one batch among many) and
         # only single-device (the dist paths derive their jit shapes
-        # from cfg.batch_rows and require full batches).
+        # from cfg.batch_rows and require full batches).  Multi-file
+        # streams build one emitter per file, so each sub-batch-size
+        # file can shrink — the {1,1.5}x2^i rung ladder bounds the
+        # distinct compiled shapes to ~2*log2(B) total, persistently
+        # cached.
         self._emitted = 0
         self._shrink_ok = cfg.devices == 1
         if self.pack:
@@ -437,14 +431,11 @@ def _check_no_qual(cfg: Config, path) -> None:
 def _batches_from_reader(reader, fused: bool, cfg: Config, *, stats=None):
     if fused:
         return _batches_fused(reader, cfg, stats=stats)
+    # non-fused branch runs only when the native lib is absent or
+    # use_native_encode is off, so prefer_native could never pick the
+    # C encoder here anyway
     return batches_from_codes(
-        code_stream(
-            reader,
-            prefer_native=cfg.use_native_encode
-            and isinstance(reader, FastaReader),
-            fused=False,
-            stats=stats,
-        ),
+        code_stream(reader, prefer_native=False, stats=stats),
         cfg,
         stats=stats,
     )
@@ -552,14 +543,29 @@ def prefetch_to_device(
 
     _END = object()
     host_q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # stop-aware put: a consumer that exits early (step raised)
+        # sets `stop`, and the producer must never block forever on a
+        # full queue — that leaked the thread, the open reader, and
+        # the batch generator for the process lifetime
+        while not stop.is_set():
+            try:
+                host_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for b in batches:
-                host_q.put(b)
-            host_q.put(_END)
+                if not _put(b):
+                    return
+            _put(_END)
         except BaseException as e:  # surface errors in the consumer
-            host_q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -580,13 +586,17 @@ def prefetch_to_device(
                 break
             yield dq.popleft()
     finally:
-        done = True
-        # drain so the producer can exit if the consumer stops early
+        stop.set()
+        # drain until the producer has actually exited (one transient
+        # empty read is NOT proof it finished — it may be mid-encode)
         while t.is_alive():
             try:
-                host_q.get_nowait()
+                host_q.get(timeout=0.05)
             except queue.Empty:
-                break
+                pass
+        t.join()
+        if hasattr(batches, "close"):
+            batches.close()  # deterministic reader/file cleanup
 
 
 def count_file(

@@ -80,15 +80,22 @@ def _stream_state(
     streamed finalize_chunks() write path."""
     from findkmer_tpu.models.counter import make_counter
 
+    if num_processes > 1:
+        # per-process subdirs: checkpoint indices are local to each
+        # host's batch subsequence and spill runs carry a per-stream
+        # identity token, so hosts sharing a filesystem must never
+        # share either directory.  Both remaps live HERE so the public
+        # stream_count API gets them too, not just the CLI.
+        if checkpoint_dir is not None:
+            checkpoint_dir = os.path.join(
+                checkpoint_dir, f"proc{process_id:03d}"
+            )
+        if cfg.spill_dir:
+            cfg = cfg.replace(
+                spill_dir=os.path.join(cfg.spill_dir,
+                                       f"proc{process_id:03d}")
+            )
     counter = make_counter(cfg)
-    if checkpoint_dir is not None and num_processes > 1:
-        # per-process subdir (mirrors the spill-dir mapping in
-        # run_stream): checkpoint indices are local to each host's
-        # batch subsequence, so hosts sharing a filesystem must never
-        # share a checkpoint dir
-        checkpoint_dir = os.path.join(
-            checkpoint_dir, f"proc{process_id:03d}"
-        )
     start_batch = 0
     state = None
     if checkpoint_dir is not None:
@@ -144,13 +151,21 @@ def _stream_state(
             yield from all_batches()
 
     it = batches()
-    # exact resume: skip batches the checkpoint already covers
+    # exact resume: skip batches the checkpoint already covers.  A
+    # replay stream SHORTER than the checkpoint's batch index means the
+    # input changed since the checkpoint — erroring beats silently
+    # emitting the stale table as a "complete" result.
     if start_batch:
-        for _ in range(start_batch):
+        for skipped in range(start_batch):
             try:
                 next(it)
             except StopIteration:
-                break
+                raise ValueError(
+                    f"checkpoint was taken at batch {start_batch} but "
+                    f"the replayed input ends after {skipped} batches; "
+                    "the input changed since the checkpoint — restore "
+                    "the original inputs or restart the count"
+                ) from None
 
     batch_index = start_batch
     for rows in pipeline.prefetch_to_device(it, cfg.prefetch,
@@ -177,7 +192,10 @@ def _save(counter, checkpoint_dir, cfg, batch_index, state, stats,
     import jax
 
     state, table = counter.table_state(state)  # flushes pending sparse runs
-    # block so we never checkpoint an in-flight (possibly donated) buffer
+    # best-effort wait (jax.block_until_ready can return EARLY on the
+    # axon backend — CLAUDE.md gotcha 3); the REAL barrier is
+    # checkpoint.save's np.asarray host materialization of every plane,
+    # which cannot complete before the device writes have
     jax.block_until_ready(
         table.counts if hasattr(table, "counts") else table.cnt
     )
@@ -219,14 +237,8 @@ def run_stream(args) -> int:
     num_processes, process_id = initialize(
         args.coordinator, args.num_processes, args.process_id
     )
-    if cfg.spill_dir and num_processes > 1:
-        # per-process subdir: each host spills and merges its own runs
-        # into its partial spectrum (the collective/file-level merge of
-        # partials is unchanged) — shared filesystems never collide
-        cfg = cfg.replace(
-            spill_dir=os.path.join(cfg.spill_dir,
-                                   f"proc{process_id:03d}")
-        )
+    # per-process spill/checkpoint subdirs are applied inside
+    # _stream_state (shared with the stream_count API)
     t0 = time.time()
     from findkmer_tpu.parallel import multihost
 

@@ -217,3 +217,25 @@ def test_restore_from_legacy_flat_table(rng):
     codes, counts = counter.finalize(state)
     np.testing.assert_array_equal(codes, want_codes)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_resume_rejects_truncated_input(fasta_file, tmp_path):
+    """A replay stream shorter than the checkpoint's batch index means
+    the input changed — resume must error, not silently emit the stale
+    table as a complete spectrum (round-5 review finding)."""
+    import os
+
+    cfg = Config(k=6, chunk_len=256, batch_rows=2)
+    ckpt = str(tmp_path / "ck")
+    streaming.stream_count(
+        [fasta_file], cfg, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    short = tmp_path / "short.fa"
+    with open(fasta_file) as f:
+        text = f.read()
+    short.write_text(text[: len(text) // 3])
+    with pytest.raises(ValueError, match="input changed|ends after"):
+        streaming.stream_count(
+            [str(short)], cfg, checkpoint_dir=ckpt
+        )
+    assert os.path.exists(ckpt)

@@ -172,3 +172,25 @@ def test_fastq_offsets_counting_path_matches_legacy(tmp_path, monkeypatch):
         assert (st_f.bases, st_f.valid_bases, st_f.records) == (
             st_l.bases, st_l.valid_bases, st_l.records
         )
+
+
+def test_trailing_space_line_rejected_by_both_flows(tmp_path):
+    """A space-only trailing line is malformed in BOTH FASTQ parsers
+    (round-5 review finding: the offsets scanner's tail check stripped
+    ALL whitespace and silently accepted what the strict line reader
+    rejects)."""
+    import pytest
+
+    from findkmer_tpu.filter import _fastq_blocks, _fastq_records_block
+    from findkmer_tpu.io.fastq import FastqReader
+    from findkmer_tpu.io import native
+
+    p = tmp_path / "t.fastq"
+    p.write_bytes(b"@r\nACGT\n+\nIIII\n \n")
+    with pytest.raises(ValueError):
+        list(FastqReader(str(p)).chunks())
+    if native.available():
+        with pytest.raises(ValueError):
+            list(_fastq_blocks(str(p)))
+    with pytest.raises(ValueError):
+        list(_fastq_records_block(str(p)))

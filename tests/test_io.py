@@ -127,3 +127,56 @@ def test_reader_blank_prefix_no_phantom_record(tmp_path):
     p3 = tmp_path / "empty.fa"
     p3.write_text("\n \n")
     assert read_records(str(p3)) == []
+
+
+def test_reader_cr_only_line_endings(tmp_path):
+    """Classic-Mac (lone-CR) FASTA parses to the same records as its
+    LF twin — before round 5 the header scan waited for a '\\n' that
+    never came, re-buffered the whole file, and emitted an empty
+    spectrum."""
+    from findkmer_tpu.io.fasta import read_records
+
+    lf = tmp_path / "lf.fa"
+    cr = tmp_path / "cr.fa"
+    crlf = tmp_path / "crlf.fa"
+    body = ">r1\nACGTACGT\nGGTT\n>r2\nTTTTACGT\n"
+    lf.write_text(body)
+    cr.write_bytes(body.replace("\n", "\r").encode())
+    crlf.write_bytes(body.replace("\n", "\r\n").encode())
+    want = read_records(str(lf))
+    assert read_records(str(cr)) == want
+    assert read_records(str(crlf)) == want
+    assert want[0] == ("r1", b"ACGTACGTGGTT")
+
+
+def test_prefetch_consumer_exception_cleans_up(tmp_path):
+    """A consumer that raises mid-stream must not leak the producer
+    thread or leave the batch generator (and its reader) open."""
+    import threading
+    import time as _time
+
+    from findkmer_tpu import pipeline
+
+    closed = {"v": False}
+
+    def batches():
+        try:
+            for i in range(1000):
+                yield np.full((2, 64), i % 5, np.uint8)
+        finally:
+            closed["v"] = True
+
+    before = threading.active_count()
+    it = pipeline.prefetch_to_device(
+        batches(), depth=2, put=lambda b: b
+    )
+    with pytest.raises(RuntimeError):
+        for j, b in enumerate(it):
+            if j == 3:
+                raise RuntimeError("consumer died")
+    it.close()  # generator finalization runs the cleanup
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert threading.active_count() == before, "producer thread leaked"
+    assert closed["v"], "batch generator (reader) was not closed"

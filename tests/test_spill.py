@@ -382,3 +382,34 @@ def test_adopt_spill_runs_refuses_foreign_runs(tmp_path):
     c.adopt_spill_runs(1, token=None)
     assert c._spill_n == 1
     assert len(spill.load_runs(str(sp3))) == 1  # adopted, not deleted
+
+
+def test_stream_count_api_multiproc_spill_subdirs(tmp_path, rng):
+    """The PUBLIC stream_count API gives multi-host runs per-process
+    spill subdirs (round-5 review finding: the remap lived only in the
+    CLI adapter, so API callers sharing a filesystem collided on the
+    spill identity token)."""
+    from conftest import random_dna
+    from findkmer_tpu import pipeline, streaming
+    from findkmer_tpu.config import Config
+    from findkmer_tpu.ops.sparse import merge_host_runs
+
+    seq = random_dna(rng, 4000)
+    src = tmp_path / "in.fa"
+    src.write_text(f">r\n{seq}\n")
+    spd = tmp_path / "sp"
+    cfg = Config(k=17, chunk_len=256, batch_rows=2,
+                 sparse_compact_entries=1024, sparse_capacity=64,
+                 spill_dir=str(spd))
+    parts = [
+        streaming.stream_count([str(src)], cfg, num_processes=2,
+                               process_id=i)
+        for i in range(2)
+    ]
+    assert (spd / "proc000").exists() and (spd / "proc001").exists()
+    merged = merge_host_runs([p for p in parts if p[0].size])
+    plain = pipeline.count_file(
+        str(src), Config(k=17, chunk_len=256, batch_rows=2)
+    )
+    np.testing.assert_array_equal(merged[0], plain[0])
+    np.testing.assert_array_equal(merged[1], plain[1])
