@@ -116,23 +116,26 @@ def count(
     inputs: Union[str, Sequence[str]],
     k: int,
     *,
-    canonical: bool = False,
+    canonical: Optional[bool] = None,
     config: Optional[Config] = None,
     **config_overrides,
 ) -> Spectrum:
     """Count k-mers in FASTA file(s); returns a Spectrum.
 
     Extra keyword arguments become Config fields (e.g. chunk_len=...,
-    table_mode="sparse", hist="pallas").
+    table_mode="sparse", hist="pallas").  canonical=None (default)
+    keeps config's setting — passing config=Config(canonical=True)
+    used to be silently clobbered by this keyword's old False default.
     """
     from findkmer_tpu.models.counter import make_counter
     from findkmer_tpu import pipeline
 
     if isinstance(inputs, (str, bytes)):
         inputs = [inputs]
-    cfg = (config or Config(k=k, canonical=canonical)).replace(
-        k=k, canonical=canonical, **config_overrides
-    )
+    cfg = config or Config(k=k)
+    if canonical is not None:
+        config_overrides["canonical"] = canonical
+    cfg = cfg.replace(k=k, **config_overrides)
     counter = make_counter(cfg)
     state = counter.init_state()
     for path in inputs:
@@ -148,7 +151,7 @@ def count_per_record(
     inputs: Union[str, Sequence[str]],
     k: int,
     *,
-    canonical: bool = False,
+    canonical: Optional[bool] = None,
     config: Optional[Config] = None,
     **config_overrides,
 ):
@@ -156,15 +159,17 @@ def count_per_record(
 
     The device program compiles once and is reused across records
     (pipeline.per_record_spectra); memory is bounded by one record's
-    spectrum.  CLI equivalent: `findkmer count --per-record`."""
+    spectrum.  CLI equivalent: `findkmer count --per-record`.
+    canonical=None (default) keeps config's setting."""
     from findkmer_tpu.models.counter import make_counter
     from findkmer_tpu import pipeline
 
     if isinstance(inputs, (str, bytes)):
         inputs = [inputs]
-    cfg = (config or Config(k=k, canonical=canonical)).replace(
-        k=k, canonical=canonical, **config_overrides
-    )
+    cfg = config or Config(k=k)
+    if canonical is not None:
+        config_overrides["canonical"] = canonical
+    cfg = cfg.replace(k=k, **config_overrides)
     counter = make_counter(cfg)
     for path in inputs:
         for header, spectrum in pipeline.per_record_spectra(
@@ -390,6 +395,15 @@ def similarity(a, b, *, canonical: bool = False, sep: str = "\t"):
     )
     if a_sk or b_sk:
         ref = _as_sketch(a if a_sk else b)
+        if canonical and not bool(ref["canonical"]):
+            # folding only the spectrum side would always fail
+            # compare_sketches' mismatch guard AFTER the (potentially
+            # long) sketch work — reject up front, like the CLI does
+            raise ValueError(
+                "canonical=True cannot apply to a non-canonical "
+                f"sketch ({ref.get('name', '?')}); re-sketch it "
+                "canonically or drop the flag"
+            )
         sa = _as_sketch(a) if a_sk else sketch_mod.sketch_spectrum_file(
             a, s=int(ref["s"]), sep=sep,
             canonical=bool(ref["canonical"]) or canonical)

@@ -764,15 +764,12 @@ def cmd_sketch(args) -> int:
             sk = sketch_mod.sketch_sequences(
                 [path], args.k, s=args.s, canonical=args.canonical,
             )
-            stem = os.path.basename(path)
-            for ext in (".gz", ".fa", ".fasta", ".fastq", ".fq",
-                        ".sam", ".bam"):
-                if stem.endswith(ext):
-                    stem = stem[: -len(ext)]
-            n = seen.get(stem, 0) + 1
-            seen[stem] = n
-            if n > 1:
-                stem = f"{stem}.{n}"
+            # THE shared --per-input naming convention (_input_stem —
+            # an inline copy here once drifted on the extension list)
+            stem = _input_stem(
+                path, seen,
+                exts=_SEQ_EXTS + (".sam", ".bam"),
+            )
             out_path = os.path.join(args.output, stem + ".sketch.json")
             with open(out_path, "wb") as f:
                 sketch_mod.write_sketch(sk, f)

@@ -91,7 +91,12 @@ def merge_spectra(
 
 
 def _infer_k(path, sep_b: bytes) -> int | None:
-    """k from the first data line of a spectrum file (None = no data)."""
+    """k from the first data line of a spectrum file.
+
+    None = no C fast path: the file is empty OR its k-mers exceed the
+    2-bit-code range (k > 31).  Callers must treat None as "use the
+    string-level fallback", never as "no data" — a k=51 third-party
+    spectrum is valid input to the line-loop paths."""
     from findkmer_tpu.io.fasta import open_maybe_gzip
 
     f, _ = open_maybe_gzip(path)
@@ -181,11 +186,15 @@ def canonize_spectrum_file(path, out_f, sep: str = "\t") -> int:
     Fast path: C parse -> vectorized fold -> C format.  Fallback (native
     lib missing / exotic input): Python dict + oracle string fold."""
     sep_b = sep.encode()
+    # _infer_k None = "no C fast path" (empty OR k > 31), not "no
+    # data": a k=51 third-party spectrum must fold through the
+    # string-level fallback, not silently write an empty file
     k = _infer_k(path, sep_b)
-    if k is None:
-        return 0
     # the C parse/format paths support 1-byte separators only
-    parsed = _parse_binary(path, k, sep_b) if len(sep_b) == 1 else None
+    parsed = (
+        _parse_binary(path, k, sep_b)
+        if k is not None and len(sep_b) == 1 else None
+    )
     if parsed is not None:
         codes, counts = canonize_runs(parsed[0], parsed[1], k)
         _write_codes(out_f, codes, counts, k, sep_b)
@@ -210,10 +219,23 @@ def merge_binary_fast(paths, out_f, sep: str = "\t") -> bool:
     False (having written nothing) when inputs are exotic (unsorted,
     lowercase, blank lines, mixed k) — callers then use the streaming
     Python merge."""
+    import os
+
     from findkmer_tpu.io import native
 
     sep_b = sep.encode()
     if not native.available() or len(sep_b) != 1:
+        return False
+    # memory gate (same knob as the set ops): this path holds every
+    # input fully parsed (~1.7x file bytes) plus the merged output —
+    # at the documented multi-host chr-scale tail (N x ~2.4 GB
+    # spectra) that's tens of GB, so beyond the limit the caller's
+    # streaming k-way merge keeps its O(buffers) promise
+    limit = int(os.environ.get("FINDKMER_SETOP_FAST_MAX", 1 << 30))
+    try:
+        if sum(os.path.getsize(p) for p in paths) > limit:
+            return False
+    except OSError:
         return False
     k = _infer_k(paths[0], sep_b)
     if k is None:
@@ -328,6 +350,17 @@ def merge_sorted_streaming(
     def _emit(kmer: bytes, count: int):
         nonlocal lines
         if expected is not None:
+            # an input k-mer outside the enumeration (wrong length,
+            # lowercase, non-ACGT) would otherwise EXHAUST the zeros
+            # generator and silently garble every later line
+            if len(kmer) != zeros_k or not all(
+                c in b"ACGT" for c in kmer
+            ):
+                raise ValueError(
+                    f"input k-mer {kmer.decode()!r} does not match the "
+                    f"-z enumeration (k={zeros_k}, uppercase ACGT); "
+                    "check -k / canonize inputs first"
+                )
             if canonical and not _is_canonical_kmer(kmer):
                 raise ValueError(
                     f"non-canonical k-mer {kmer.decode()!r} in input of a "
@@ -452,14 +485,23 @@ def spectrum_lines(
     if zeros_k is not None:
         from oracle.scalar import all_kmers, canonical_kmers
 
-        if canonical:
-            for kmer in counts:
-                if not _is_canonical_kmer(kmer.encode()):
-                    raise ValueError(
-                        f"non-canonical k-mer {kmer!r} in input of a "
-                        "canonical -z merge; fold inputs with "
-                        "`findkmer canonize` first"
-                    )
+        for kmer in counts:
+            # outside-the-enumeration keys (wrong k, lowercase,
+            # non-ACGT) would silently DROP their counts below
+            if len(kmer) != zeros_k or any(
+                c not in "ACGT" for c in kmer
+            ):
+                raise ValueError(
+                    f"input k-mer {kmer!r} does not match the -z "
+                    f"enumeration (k={zeros_k}, uppercase ACGT); "
+                    "check -k / canonize inputs first"
+                )
+            if canonical and not _is_canonical_kmer(kmer.encode()):
+                raise ValueError(
+                    f"non-canonical k-mer {kmer!r} in input of a "
+                    "canonical -z merge; fold inputs with "
+                    "`findkmer canonize` first"
+                )
         enum = canonical_kmers if canonical else all_kmers
         for kmer in enum(zeros_k):
             yield f"{kmer}{sep}{counts.get(kmer, 0)}"
@@ -576,10 +618,15 @@ def histo_spectrum_file(path, max_count: int = 10000, sep: str = "\t"):
     import numpy as np
 
     sep_b = sep.encode()
+    # _infer_k returning None means "no C fast path" (empty file OR
+    # k > 31) — NOT "no data"; the line loop below handles any k, so
+    # e.g. a third-party k=51 spectrum must not yield an all-zero
+    # histogram
     k = _infer_k(path, sep_b)
-    if k is None:
-        return np.zeros(max_count + 1, np.int64)
-    parsed = _parse_binary(path, k, sep_b) if len(sep_b) == 1 else None
+    parsed = (
+        _parse_binary(path, k, sep_b)
+        if k is not None and len(sep_b) == 1 else None
+    )
     if parsed is not None:
         counts = np.minimum(parsed[1], max_count)
         counts = counts[counts > 0]
@@ -1021,13 +1068,20 @@ def query_spectrum(
         return {k: got[ck] for k, ck in folded.items()}
     sep_b = sep.encode()
     want = {k.upper().encode(): 0 for k in kmers}
-    left = len(want)
+    # early exit only when EVERY queried key has been seen AND the
+    # scan has moved past the largest one: per-KEY tracking sums legal
+    # duplicate keys (the old per-hit countdown broke before later
+    # queried k-mers), and requiring all keys seen keeps the
+    # round-3 guarantee that an unsorted file errors rather than
+    # silently reporting a missed key as 0
+    seen: set = set()
+    last = max(want) if want else b""
     for kmer, cnt in _sorted_lines(path, sep_b):
         if kmer in want:
             want[kmer] += cnt
-            left -= 1
-            if left == 0:
-                break
+            seen.add(kmer)
+        elif len(seen) == len(want) and kmer > last:
+            break
     return {k.decode(): v for k, v in want.items()}
 
 
@@ -1035,6 +1089,8 @@ def top_n(path, n: int, sep: str = "\t") -> List[Tuple[str, int]]:
     """The n most frequent k-mers (count desc, kmer asc), one pass."""
     import heapq as hq
 
+    if n <= 0:
+        return []  # heap[0] on an empty heap would IndexError
     sep_b = sep.encode()
     # min-heap of (count, reversed-order kmer) keeps the current top n
     heap: List[Tuple[int, bytes]] = []

@@ -52,6 +52,15 @@ def write_run(dir_: str, idx: int, codes: np.ndarray,
     _save_atomic(cp, np.asarray(codes, dtype=np.uint64))
 
 
+def _any_run_files(dir_: str) -> bool:
+    """True if ANY run file exists, contiguous-from-0 or not — a crash
+    midway through remove_runs (which deletes from index 0 upward) can
+    leave a non-contiguous tail that load_runs' walk would miss."""
+    import glob
+
+    return bool(glob.glob(os.path.join(dir_, "run*.npy")))
+
+
 def init_dir(dir_: str) -> None:
     """Create the spill dir; refuse one that already holds run files
     (a stale dir would silently merge another count's spectrum in).
@@ -59,7 +68,7 @@ def init_dir(dir_: str) -> None:
     tell 'later runs of THIS stream' (safe to delete and replay) from
     a different count's runs (refused) — see counter.adopt_spill_runs."""
     os.makedirs(dir_, exist_ok=True)
-    if load_runs(dir_):
+    if _any_run_files(dir_):
         raise ValueError(
             f"spill dir {dir_!r} already contains run files from "
             "another count; use an empty directory"
@@ -100,18 +109,20 @@ def remove_runs_from(dir_: str, start: int) -> None:
 
     Resume path: runs spilled AFTER the checkpoint being restored come
     from batches the resumed stream will replay — keeping them would
-    double-count (streaming.py adopt_spill_runs)."""
-    i = start
-    while True:
-        cp, np_ = _run_paths(dir_, i)
-        if not os.path.exists(cp):
-            return
-        os.unlink(cp)
-        try:
-            os.unlink(np_)
-        except OSError:
-            pass
-        i += 1
+    double-count (streaming.py adopt_spill_runs).  Deletion globs
+    rather than walking contiguous indices so a previous crash
+    mid-delete (non-contiguous leftovers) cannot strand a stale tail."""
+    import glob
+    import re
+
+    pat = re.compile(r"run(\d{5})\.(codes|counts)\.npy$")
+    for path in glob.glob(os.path.join(dir_, "run*.npy")):
+        m = pat.search(path)
+        if m and int(m.group(1)) >= start:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def load_runs(dir_: str) -> List[Run]:

@@ -162,3 +162,42 @@ def test_expr_api(tmp_path):
                             "C": str(tmp_path / "c.tsv")},
                   canonical=True)
     assert got == {"AAAA": 2}
+
+
+def test_count_config_canonical_not_clobbered(tmp_path, rng):
+    """api.count(config=Config(canonical=True)) must produce a
+    canonical spectrum — the old canonical=False keyword default
+    silently overrode the config (round-5 review)."""
+    from conftest import random_dna
+    from findkmer_tpu.config import Config
+
+    src = tmp_path / "in.fa"
+    src.write_text(f">r\n{random_dna(rng, 500)}\n")
+    via_config = fk.count(str(src), 5, config=Config(k=5, canonical=True))
+    via_kw = fk.count(str(src), 5, canonical=True)
+    assert via_config.to_dict() == via_kw.to_dict()
+    plain = fk.count(str(src), 5)
+    assert via_config.to_dict() != plain.to_dict()
+
+
+def test_similarity_canonical_vs_plain_sketch_rejected_early(tmp_path, rng):
+    """canonical=True against a non-canonical sketch errors up front
+    (the CLI already did; the API used to fail only after sketching
+    the whole spectrum side — round-5 review)."""
+    from conftest import random_dna
+
+    src = tmp_path / "in.fa"
+    src.write_text(f">r\n{random_dna(rng, 400)}\n")
+    spec = fk.count(str(src), 5)
+    spec_path = tmp_path / "s.tsv"
+    spec.write(str(spec_path))
+    from findkmer_tpu import sketch as sketch_mod
+
+    sk = sketch_mod.sketch_sequences([str(src)], 5, s=64, canonical=False)
+    sk_path = tmp_path / "a.sketch.json"
+    with open(sk_path, "wb") as f:
+        sketch_mod.write_sketch(sk, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-canonical"):
+        fk.similarity(str(sk_path), str(spec_path), canonical=True)

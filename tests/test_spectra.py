@@ -1154,3 +1154,61 @@ def test_dict_path_size_guard(tmp_path, monkeypatch):
         spectra.read_spectrum(str(p))
     monkeypatch.setenv("FINDKMER_DICT_MAX", "100")
     assert spectra.read_spectrum(str(p))["ACGT"] == 5
+
+
+def test_query_sums_duplicate_keys_and_reaches_later_keys(tmp_path):
+    """Duplicate adjacent keys are legal in third-party files (merge
+    sums them); the early exit must not fire before later queried
+    k-mers or before a duplicate of the last one (round-5 review)."""
+    p = tmp_path / "d.tsv"
+    p.write_text("AAAA\t1\nAAAA\t2\nCCCC\t5\nCCCC\t6\nGGGG\t9\n")
+    got = spectra.query_spectrum(str(p), ["AAAA", "CCCC"])
+    assert got == {"AAAA": 3, "CCCC": 11}
+
+
+def test_topn_nonpositive_n(tmp_path):
+    p = tmp_path / "s.tsv"
+    p.write_text("AAAA\t3\nCCCC\t1\n")
+    assert spectra.top_n(str(p), 0) == []
+    assert spectra.top_n(str(p), -2) == []
+
+
+def test_canonize_and_histo_handle_k_beyond_31(tmp_path):
+    """k > 31 spectra (assembly tooling uses k=51+) must take the
+    string-level fallback, not silently produce empty output
+    (round-5 review: _infer_k's None conflated 'no data' with
+    'k out of range')."""
+    import io as _io
+
+    import numpy as np
+
+    a = "A" * 51
+    t = "T" * 51
+    p = tmp_path / "k51.tsv"
+    p.write_text(f"{a}\t3\n{'C' * 51}\t2\n")
+    out = _io.BytesIO()
+    n = spectra.canonize_spectrum_file(str(p), out)
+    assert n == 2
+    text = out.getvalue().decode()
+    # canonical(A^51) = min(A^51, T^51) = A^51, so counts survive
+    assert f"{a}\t3" in text
+    assert t not in text
+    h = spectra.histo_spectrum_file(str(p), max_count=10)
+    assert int(h[3]) == 1 and int(h[2]) == 1
+
+
+def test_merge_zeros_rejects_mismatched_k(tmp_path):
+    """merge -z with a -k that doesn't match the file's k used to
+    exhaust the zeros enumeration and silently garble the output
+    (round-5 review)."""
+    import io as _io
+
+    p = tmp_path / "k8.tsv"
+    p.write_text("AAAACCCC\t2\n")
+    out = _io.BytesIO()
+    with pytest.raises(ValueError, match="enumeration"):
+        spectra.merge_sorted_streaming(
+            [str(p)], out, zeros_k=4
+        )
+    with pytest.raises(ValueError, match="enumeration"):
+        list(spectra.spectrum_lines({"AAAACCCC": 2}, zeros_k=4))

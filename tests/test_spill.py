@@ -413,3 +413,20 @@ def test_stream_count_api_multiproc_spill_subdirs(tmp_path, rng):
     )
     np.testing.assert_array_equal(merged[0], plain[0])
     np.testing.assert_array_equal(merged[1], plain[1])
+
+
+def test_init_dir_detects_noncontiguous_stale_runs(tmp_path):
+    """A crash midway through remove_runs (deletes from 0 up) leaves a
+    non-contiguous tail; init_dir must refuse it, not let load_runs'
+    contiguous walk miss it and merge another count's runs in
+    (round-5 review)."""
+    d = str(tmp_path / "sp")
+    for i in (5, 6):  # stale tail, no run00000
+        spill.write_run(d, i, np.array([i], np.uint64),
+                        np.array([1], np.int64))
+    assert spill.load_runs(d) == []  # the contiguous walk misses them
+    with pytest.raises(ValueError, match="already contains run files"):
+        spill.init_dir(d)
+    # remove_runs now globs: clears the stale tail too
+    spill.remove_runs(d)
+    spill.init_dir(d)  # accepted once actually empty
