@@ -82,7 +82,6 @@ def _filter_step(members, packed, validbits, k: int, canonical: bool,
         pay = jnp.concatenate([members[1], slot])
         lo, pay = lax.sort((lo, pay), num_keys=2, is_stable=False)
         hi = jnp.zeros_like(lo)
-        wide = False
     else:
         # narrow the window hi plane to the member plane's dtype BEFORE
         # concatenate (16<=k<=23: uint16; the truncating cast maps the
@@ -95,7 +94,6 @@ def _filter_step(members, packed, validbits, k: int, canonical: bool,
         pay = jnp.concatenate([members[2], slot])
         hi, lo, pay = lax.sort((hi, lo, pay), num_keys=3,
                                is_stable=False)
-        wide = True
 
     # member-first runs: payload is the last sort key and members carry
     # -1, so a run containing a member has it at the run START; one
@@ -107,7 +105,6 @@ def _filter_step(members, packed, validbits, k: int, canonical: bool,
     mpos = lax.cummax(jnp.where(is_start & (pay < 0), idx, -1), axis=0)
     is_query = (pay >= 0) & (pay < _PAD_PAY)
     hit = (mpos == spos) & is_query
-    del wide
 
     key = jnp.where(
         is_query, (pay << 1) | hit.astype(jnp.int32), _KEY_MAX
@@ -137,6 +134,20 @@ class DeviceFilter:
         self.R = chunk_len + k - 1
         self.R8 = (self.R + 7) // 8 * 8
         self.need = self.B * self.L  # owned bases per device batch
+        # _filter_step packs (slot << 1 | hit) into int32 payloads and
+        # reshapes the hit bits (B*L,) -> (-1, 32): past 2^30 slots the
+        # shifted payload would overflow SILENTLY, so guard loudly
+        if self.need > 1 << 30:
+            raise ValueError(
+                f"batch_rows * chunk_len = {self.need} exceeds the "
+                "2^30 slot limit of the int32 payload packing; use a "
+                "smaller batch geometry"
+            )
+        if self.need % 32:
+            raise ValueError(
+                f"batch_rows * chunk_len = {self.need} must be a "
+                "multiple of 32 (hit-bitmap word packing)"
+            )
 
         codes = spec.codes  # sorted distinct uint64
         ns = int(codes.size)

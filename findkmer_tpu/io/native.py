@@ -247,7 +247,7 @@ def encode_compact_into(buf: np.ndarray, out: np.ndarray,
     lib = _load()
     assert lib is not None, "native encoder not available"
     assert buf.dtype == np.uint8 and buf.flags["C_CONTIGUOUS"]
-    assert out.dtype == np.uint8
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
     assert offset + buf.size <= out.size
     return int(
         lib.fk_encode_compact(
@@ -335,7 +335,9 @@ def merge_runs(runs):
     if G == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
     assert G <= 256, "fk_merge_runs supports up to 256 runs"
-    is64 = runs[0][1].dtype.itemsize == 8
+    # widen to 64-bit when ANY run carries 64-bit counts: keying on
+    # runs[0] alone would silently downcast a later run's > 2^31 count
+    is64 = any(n.dtype.itemsize == 8 for _, n in runs)
     cdt = np.int64 if is64 else np.int32
     runs = [(c, n.astype(cdt, copy=False)) for c, n in runs]
     code_ptrs = (ctypes.c_void_p * G)(
@@ -357,7 +359,8 @@ def merge_runs(runs):
             out_counts.ctypes.data_as(ctypes.c_void_p),
         )
     )
-    assert m != -1
+    if m in (-1, (1 << 64) - 1):  # c_size_t returns (size_t)-1 as 2^64-1
+        raise RuntimeError("fk_merge_runs failed (run count/size guard)")
     return out_codes[:m], out_counts[:m]
 
 

@@ -74,12 +74,10 @@ def _codes_of_spectrum_file(path, sep: str) -> tuple:
         parsed = spectra._parse_binary(path, k, sep_b)
         if parsed is not None:
             return k, parsed[0]
-    # Line fallback: batch k-mer bytes, LUT to bases, pack to codes.
-    lut = np.full(256, 255, np.uint8)
-    for i, b in enumerate(b"ACGT"):
-        lut[b] = i
-    for i, b in enumerate(b"acgt"):
-        lut[b] = i
+    # Line fallback: batch k-mer bytes, LUT to bases, pack to codes
+    # (the shared ACGT/acgt table; non-ACGT maps > 3)
+    from findkmer_tpu.io.encode import LUT as lut
+
     kk: Optional[int] = None
     chunks: List[np.ndarray] = []
     batch: List[bytes] = []
